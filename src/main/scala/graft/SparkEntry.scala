@@ -1,13 +1,76 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.oracle.Oracles
+import graft.queries.{Events, Reference, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry in `queries` that is SQL-expressible has a DuckDB oracle in
+  * `oracleSql` with IDENTICAL output column names; non-SQL-expressible
+  * entries (none yet) would be rows-only checked.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Word count is the reference's own flagship workload
+    * (reference tests/test_integration_02.py) — it exercises the entire
+    * reference DAG: scan → flatMap → shuffle → agg → sort.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Reference.wordcount(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ §7 superset). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference workloads (SURVEY.md §2b) + engine core
+    "wordcount" -> ((s, d) => Reference.wordcount(s, d)),
+    "mr_wordcount" -> ((s, d) => Reference.mrWordcount(s, d)),
+    "grep" -> ((s, d) => Reference.grep(s, d, "customer")),
+    // Relational superset (SURVEY.md §7 step 4)
+    "q1_pricing_summary" -> ((s, d) => Relational.q1PricingSummary(s, d)),
+    "q2_filter_pushdown" -> ((s, d) => Relational.q2FilterPushdown(s, d)),
+    "q3_segment_revenue" -> ((s, d) => Relational.q3SegmentRevenue(s, d)),
+    "q4_region_revenue" -> ((s, d) => Relational.q4RegionRevenue(s, d)),
+    "q5_semi_join" -> ((s, d) => Relational.q5SemiJoin(s, d)),
+    "q6_anti_join" -> ((s, d) => Relational.q6AntiJoin(s, d)),
+    "q7_distinct_counts" -> ((s, d) => Relational.q7DistinctCounts(s, d)),
+    "q8_topk" -> ((s, d) => Relational.q8TopK(s, d)),
+    "q9_union" -> ((s, d) => Relational.q9Union(s, d)),
+    "q10_window_rank" -> ((s, d) => Relational.q10WindowRank(s, d)),
+    "q11_window_running" -> ((s, d) => Relational.q11WindowRunning(s, d)),
+    "q12_scalar_funcs" -> ((s, d) => Relational.q12ScalarFuncs(s, d)),
+    "q13_rollup" -> ((s, d) => Relational.q13Rollup(s, d)),
+    "q14_cube" -> ((s, d) => Relational.q14Cube(s, d)),
+    "q15_max_per_group" -> ((s, d) => Relational.q15MaxPerGroup(s, d)),
+    "q16_pivot" -> ((s, d) => Relational.q16Pivot(s, d)),
+    "q17_json_extract" -> ((s, d) => Relational.q17JsonExtract(s, d)),
+    // Event-time windowing
+    "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
+    "events_sessions" -> ((s, d) => Events.sessions(s, d))
+  )
+
+  /** DuckDB-equivalent SQL per query (column names match the Spark side). */
+  def oracleSql: Map[String, String] = Map(
+    "wordcount" -> Oracles.wordcount,
+    "mr_wordcount" -> Oracles.mrWordcount,
+    "grep" -> Oracles.grep("customer"),
+    "q1_pricing_summary" -> Oracles.q1PricingSummary,
+    "q2_filter_pushdown" -> Oracles.q2FilterPushdown,
+    "q3_segment_revenue" -> Oracles.q3SegmentRevenue,
+    "q4_region_revenue" -> Oracles.q4RegionRevenue,
+    "q5_semi_join" -> Oracles.q5SemiJoin,
+    "q6_anti_join" -> Oracles.q6AntiJoin,
+    "q7_distinct_counts" -> Oracles.q7DistinctCounts,
+    "q8_topk" -> Oracles.q8TopK,
+    "q9_union" -> Oracles.q9Union,
+    "q10_window_rank" -> Oracles.q10WindowRank,
+    "q11_window_running" -> Oracles.q11WindowRunning,
+    "q12_scalar_funcs" -> Oracles.q12ScalarFuncs,
+    "q13_rollup" -> Oracles.q13Rollup,
+    "q14_cube" -> Oracles.q14Cube,
+    "q15_max_per_group" -> Oracles.q15MaxPerGroup,
+    "q16_pivot" -> Oracles.q16Pivot,
+    "q17_json_extract" -> Oracles.q17JsonExtract,
+    "events_tumbling" -> Oracles.eventsTumbling,
+    "events_sessions" -> Oracles.eventsSessions
+  )
 }

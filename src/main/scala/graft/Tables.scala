@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated parquet star schema + LLM-pipeline
+  * tables (TESTDATA.md / FIXTURES.md §B). One function per table so every
+  * query declares its scan explicitly and Catalyst can prune/push down
+  * per-query.
+  */
+object Tables {
+  def region(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/region.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/nation.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/part.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read it as raw nanos (legacy conf) and floor-convert to
+    * microseconds — exactly what DuckDB does when it truncates ns → its
+    * native µs timestamps, so oracle comparisons agree.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+}
+
+/** Local session factory used by Bench and the test suites. Local-mode
+  * tuning: shuffle partitions sized to cores (not the 200 default), AQE on
+  * so skewed shuffles re-plan at runtime — both are also the right defaults
+  * on a real cluster (AQE coalesces the 32-partition assumption away).
+  */
+object GraftSession {
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,171 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for every oracle-checkable query in
+  * graft.SparkEntry.queries. Table names are bare (`lineitem`, …) — the
+  * driver materializes each parquet table under its name.
+  *
+  * Parity rules (why these strings look the way they do):
+  *  - every double aggregate is `round(sum(..), 4)`: inputs are on a
+  *    ≤1e-4 decimal grid so rounding kills summation-order ULP noise;
+  *  - avg is written `round(sum(x),4)/count(*)` — division of identical
+  *    doubles is deterministic, DuckDB/Spark `avg` internals are not;
+  *  - counts are BIGINT on both engines; DuckDB `sum(int)` would be
+  *    HUGEINT so integer sums are cast;
+  *  - vector math (see Similarity/Dedup oracles) uses index-ordered
+  *    list_reduce so double accumulation is bit-identical to Spark's
+  *    left-fold `aggregate()`.
+  */
+object Oracles {
+
+  val wordcount: String =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(lower(text), '[ \t]')) AS word FROM documents)
+      |GROUP BY word ORDER BY word""".stripMargin
+
+  val mrWordcount: String = wordcount
+
+  def grep(query: String): String =
+    s"""SELECT text FROM documents
+       |WHERE length(trim(text)) > 0 AND contains(lower(text), '${query.toLowerCase}')
+       |ORDER BY text""".stripMargin
+
+  val q1PricingSummary: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+      |  round(sum(l_quantity), 4) / count(*) AS avg_qty,
+      |  round(sum(l_extendedprice), 4) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q2FilterPushdown: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 10.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val q3SegmentRevenue: String =
+    """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val q4RegionRevenue: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val q5SemiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  val q6AntiJoin: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  val q7DistinctCounts: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val q8TopK: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  val q9Union: String =
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 4) AS total FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+      |)""".stripMargin
+
+  val q10WindowRank: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  val q11WindowRunning: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val q12ScalarFuncs: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  upper(substr(o_orderpriority, 1, 1)) AS pri1,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+      |  o_orderstatus || '|' || o_orderpriority AS status_pri,
+      |  round(sqrt(o_totalprice), 6) AS sqrt_price,
+      |  round(o_totalprice * 0.07, 4) AS tax,
+      |  round(abs(o_totalprice - 250000.0), 4) AS dist_mid
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  val q13Rollup: String =
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val q14Cube: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows, round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  val q15MaxPerGroup: String =
+    """SELECT p_brand, p_partkey, p_retailprice FROM part
+      |WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand)
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
+  val q16Pivot: String =
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val q17JsonExtract: String =
+    """SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k,
+      |  count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  val eventsTumbling: String =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  /** Session windows: new session when the gap to the previous event of
+    * the same user is >= 30 min (matches Spark session_window, whose
+    * window end is last_ts + gap, exclusive).
+    */
+  val eventsSessions: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM ordered
+      |)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+}

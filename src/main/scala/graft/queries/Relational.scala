@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational capability superset over the star schema (SURVEY.md §7
+  * step 4): one named query per operator family, each with a DuckDB
+  * oracle (graft.oracle.Oracles). All double aggregates are wrapped in
+  * `round(_, 4)` — inputs sit on a ≤1e-4 decimal grid, so rounding makes
+  * the sum order-independent and engine-portable while FP error stays
+  * ~1e-9.
+  *
+  * Scale notes are per-query; the common rules: broadcast only genuinely
+  * small dims (region/nation/customer at any SF; never lineitem/orders),
+  * let AQE pick shuffle-join vs broadcast at runtime, and keep every
+  * filter/projection in the parquet scan via pushdown.
+  */
+object Relational {
+
+  /** TPC-H Q1 flavor: full-scan partial-agg on 6 grouping cells — at
+    * 100 TB the shuffle moves only num_partitions × 6 pre-aggregated
+    * rows; avg is expressed as round(sum)/count so both engines divide
+    * identical doubles.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 4).as("sum_charge"),
+        (round(sum($"l_quantity"), 4) / count(lit(1))).as("avg_qty"),
+        (round(sum($"l_extendedprice"), 4) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Selective filter + narrow projection — exists to prove pushdown: the
+    * parquet scan must show PushedFilters on l_shipdate/l_discount and a
+    * 6-column ReadSchema (checked in PlanSpec).
+    */
+  def q2FilterPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.05 && $"l_quantity" < 10.0
+      )
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** Broadcast-hash join: customer is the small build side (150k rows at
+    * sf=100 ≈ a few MB/1000th of lineitem) — no shuffle of orders at all.
+    */
+  def q3SegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(round(sum($"o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** TPC-H Q5 flavor: the two big tables (lineitem ⋈ orders) shuffle on
+    * orderkey (sort-merge/shuffled-hash under AQE); customer joins on the
+    * already-shuffled side; nation/region broadcast. Region filter is
+    * applied before the broadcast so the build side is 1/5 the size.
+    */
+  def q4RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val asiaNations = Tables
+      .nation(spark, dir)
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    Tables
+      .lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one open order. */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_orderstatus" === "O"),
+        $"c_custkey" === $"o_custkey",
+        "left_semi"
+      )
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q6AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .customer(spark, dir)
+      .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Exact distinct aggregation; countDistinct expands to a two-phase
+    * shuffle — fine here because the group count is 3.
+    */
+  def q7DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_supps"),
+        count(lit(1)).as("n_rows")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** Top-k: sort+limit plans as TakeOrderedAndProject — each partition
+    * keeps only its local top 10, the driver merges k×partitions rows, so
+    * no global sort at any scale. Tie-broken on o_orderkey for
+    * determinism.
+    */
+  def q8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  /** UNION ALL of two filtered scans feeding one aggregate. */
+  def q9Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey", $"o_totalprice")
+    val big = o.filter($"o_totalprice" > 400000.0).select($"o_orderkey", $"o_totalprice")
+    urgent
+      .union(big)
+      .agg(count(lit(1)).as("n_rows"), round(sum($"o_totalprice"), 4).as("total"))
+  }
+
+  /** Window / rank: top-3 orders per customer. One shuffle on o_custkey;
+    * the per-partition sort is local.
+    */
+  def q10WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables
+      .orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Running (cumulative) aggregate per customer ordered by date. */
+  def q11WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window
+      .partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .orders(spark, dir)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        round(sum($"o_totalprice").over(w), 4).as("running_spend")
+      )
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Scalar function library row: string/date/math functions chosen for
+    * bit-identical cross-engine results (sqrt is IEEE-correctly-rounded;
+    * no libm-dependent trig/log).
+    */
+  def q12ScalarFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        upper(substring($"o_orderpriority", 1, 1)).as("pri1"),
+        length($"o_orderpriority").cast("long").as("pri_len"),
+        concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("status_pri"),
+        round(sqrt($"o_totalprice"), 6).as("sqrt_price"),
+        round($"o_totalprice" * 0.07, 4).as("tax"),
+        round(abs($"o_totalprice" - 250000.0), 4).as("dist_mid")
+      )
+      .orderBy($"o_orderkey")
+  }
+
+  /** ROLLUP grouping sets (nulls-first ordering pinned on both engines). */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** CUBE grouping sets. */
+  def q14Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"), round(sum($"o_totalprice"), 4).as("total"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  /** Self-join via grouped max (greatest-per-group): priciest part(s) per
+    * brand. The per-brand max side is tiny → broadcast.
+    */
+  def q15MaxPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = Tables.part(spark, dir)
+    val mx = p.groupBy($"p_brand".as("b")).agg(max($"p_retailprice").as("max_price"))
+    p.join(broadcast(mx), $"p_brand" === $"b" && $"p_retailprice" === $"max_price")
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+      .orderBy($"p_brand", $"p_partkey")
+  }
+
+  /** Pivot (conditional aggregation surface): events per user by type.
+    * count() over the pivot cell is null-free 0 via coalesce on both
+    * engines.
+    */
+  def q16Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val pivoted = Tables
+      .events(spark, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types
+      .foldLeft(pivoted)((df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(t), lit(0L))).drop(t)
+      )
+      .orderBy($"user_id")
+  }
+
+  /** Semi-structured extraction: pull `k` out of the JSON props column.
+    * Regex-based so the same expression is portable to the oracle.
+    */
+  def q17JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .select(regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long").as("k"), $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"k")
+  }
+}
