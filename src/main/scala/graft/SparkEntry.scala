@@ -1,7 +1,12 @@
 package graft
 
-import graft.oracle.Oracles
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.oracle.{Oracles, PipelineOracles}
 import graft.queries.{Events, Reference, Relational}
+import graft.similarity.Similarity
+import graft.streaming.StreamingQueries
+import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -45,7 +50,27 @@ object SparkEntry {
     "q17_json_extract" -> ((s, d) => Relational.q17JsonExtract(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
-    "events_sessions" -> ((s, d) => Events.sessions(s, d))
+    "events_sessions" -> ((s, d) => Events.sessions(s, d)),
+    // Structured Streaming surface
+    "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
+    "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
+    // Deduplication (LLM-pipeline north star)
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    // Similarity search
+    "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
+    "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    // Text analysis
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // Multimodal binary-column plumbing
+    "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
+    "mm_extract" -> ((s, d) => Multimodal.extract(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (column names match the Spark side). */
@@ -71,6 +96,21 @@ object SparkEntry {
     "q16_pivot" -> Oracles.q16Pivot,
     "q17_json_extract" -> Oracles.q17JsonExtract,
     "events_tumbling" -> Oracles.eventsTumbling,
-    "events_sessions" -> Oracles.eventsSessions
+    "events_sessions" -> Oracles.eventsSessions,
+    "stream_tumbling" -> PipelineOracles.streamTumbling,
+    "stream_user_stats" -> PipelineOracles.streamUserStats,
+    "dedup_exact" -> PipelineOracles.dedupExact,
+    "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
+    "dedup_minhash" -> PipelineOracles.dedupMinhash,
+    "dedup_simhash" -> PipelineOracles.dedupSimhash,
+    "dedup_embedding" -> PipelineOracles.dedupEmbedding,
+    "sim_topk" -> PipelineOracles.simTopK,
+    "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
+    "text_langid" -> PipelineOracles.textLangId,
+    "text_quality" -> PipelineOracles.textQuality,
+    "text_tokens" -> PipelineOracles.textTokens,
+    "text_fingerprint" -> PipelineOracles.textFingerprint,
+    "mm_meta" -> PipelineOracles.mmMeta,
+    "mm_extract" -> PipelineOracles.mmExtract
   )
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable building blocks: every helper here has an exact DuckDB
+  * SQL twin (emitted by graft.oracle.PipelineOracles) producing
+  * bit-identical values, so approximate/algorithmic operators (minhash,
+  * simhash, LSH, cosine) can be oracle-checked EXACTLY rather than
+  * rows-only:
+  *
+  *  - hashes derive from md5 hex (both engines agree byte-for-byte);
+  *  - vector math accumulates doubles left-to-right (Spark `aggregate`
+  *    left-fold == DuckDB `list_reduce`), and float→double widening is
+  *    exact, so dot/norm/cosine come out bit-identical;
+  *  - all "random" constants (LSH hyperplanes) are deterministic Scala
+  *    values baked as literals into both sides.
+  */
+object Portable {
+
+  /** Tokens of a document: lowercase, split on space/tab, empties kept
+    * (reference word-count tokenizer, FIXTURES.md §A invariants).
+    */
+  def tokens(text: Column): Column = split(lower(text), "[ \t]", -1)
+
+  /** Distinct word w-shingles ("a b c" strings) of a token array. */
+  def shingles(toks: Column, w: Int = 3): Column =
+    array_distinct(
+      when(
+        size(toks) >= w,
+        transform(
+          sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)
+        )
+      ).otherwise(array().cast("array<string>"))
+    )
+
+  /** Unsigned 32-bit value from 8 hex chars of md5(s || "#" || seed),
+    * chunk ∈ [0,4). DuckDB twin: CAST('0x'||substr(md5(s||'#'||seed),
+    * 1+8*chunk, 8) AS BIGINT).
+    */
+  def md5Chunk(s: Column, seed: Int, chunk: Int): Column =
+    conv(substring(md5(concat(s, lit(s"#$seed"))), 1 + 8 * chunk, 8), 16, 10).cast("long")
+
+  /** Nibble value (0..15) at 1-based hex position `pos` of md5(s).
+    * DuckDB twin: CAST('0x'||substr(md5(s),pos,1) AS INT).
+    */
+  def md5Nibble(s: Column, pos: Int): Column =
+    conv(substring(md5(s), pos, 1), 16, 10).cast("int")
+
+  /** Left-fold dot product of two float arrays in double precision.
+    * DuckDB twin: list_reduce(list_prepend(CAST(0 AS DOUBLE),
+    * list_transform(generate_series(1,len(a)), i -> CAST(a[i] AS DOUBLE) *
+    * CAST(b[i] AS DOUBLE))), (acc,x) -> acc+x).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  /** Dot product against a constant vector (LSH hyperplane): fold the
+    * float array against double literals, same accumulation order as
+    * `dot`. DuckDB twin uses the same literal list.
+    */
+  def dotConst(a: Column, consts: Array[Double]): Column =
+    aggregate(
+      zip_with(
+        a,
+        array(consts.map(lit(_)): _*),
+        (x, y) => x.cast("double") * y
+      ),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Deterministic pseudo-random doubles in [-1, 1): splitmix64 over
+    * (plane, dim), quantized to k/2^20 so the decimal literal in the
+    * oracle SQL round-trips exactly.
+    */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      var z = seed + 0x9e3779b97f4a7c15L * (p.toLong * 1024 + d + 1)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      // 20-bit mantissa → exact decimal literal with 7 digits
+      ((z >>> 44).toDouble / (1 << 19).toDouble) - 1.0
+    }
+
+  /** LSH bit-signature of a float-array column against `planes`:
+    * bit p set iff dot(v, plane_p) > 0. Returns a long (supports up to 63
+    * planes).
+    */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (pl, i) => when(dotConst(v, pl) > 0.0, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+}

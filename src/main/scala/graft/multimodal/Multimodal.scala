@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in batched partition-local
+  * UDFs. The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked deterministic fake — but everything Spark-side is real
+  * and tested: the binary schema, the batched iterator shape (the Scala
+  * analog of a pandas-batch UDF), partition-local execution with no
+  * driver collection, and the typed output schema.
+  *
+  * At 100 TB: media bytes never shuffle — decode runs map-side on the
+  * scan partition; only extracted features (KBs per item) flow onward.
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + typed metadata. */
+  case class MediaItem(media_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+
+  /** Extracted features (what a real decoder would emit). */
+  case class MediaFeatures(
+      media_id: Long,
+      mime: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      feature: Array[Float]
+  )
+
+  val BatchSize = 64
+
+  /** Builds a binary media table from `documents` (payload = UTF-8 bytes
+    * of the text — an opaque stand-in for image/audio payloads).
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id".as("media_id"),
+        $"text".cast("binary").as("payload"),
+        concat(lit("application/x-fake-"), $"source").as("mime"),
+        octet_length($"text").cast("long").as("n_bytes")
+      )
+      .as[MediaItem]
+  }
+
+  /** STUB decoder — deterministic fake standing in for a real image/audio
+    * decode (`???` in spirit: the container ships no codecs). Derives
+    * "decoded" dimensions from the payload's md5 and a fixed-length fake
+    * feature vector from the first bytes. Swap this single function for a
+    * real decoder (JNI/ffmpeg/javacv) without touching the pipeline.
+    */
+  def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val h1 = java.lang.Integer.toUnsignedLong(
+      ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+    )
+    val h2 = java.lang.Integer.toUnsignedLong(
+      ((d(4) & 0xff) << 24) | ((d(5) & 0xff) << 16) | ((d(6) & 0xff) << 8) | (d(7) & 0xff)
+    )
+    val width = (1 + h1 % 1920).toInt
+    val height = (1 + h2 % 1080).toInt
+    val nFrames = 1 + (payload.length % 300)
+    val feature = Array.tabulate(8)(i => if (i < payload.length) (payload(i) & 0xff).toFloat / 255f else 0f)
+    (width, height, nFrames, feature)
+  }
+
+  /** Batched partition-local feature extraction — the Scala analog of
+    * `mapInPandas`: items are pulled in `BatchSize` groups (bounded
+    * memory per batch, codec amortization point) and decoded inside the
+    * executor.
+    */
+  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (w, h, f, feat) = decodeStub(m.payload)
+          MediaFeatures(m.media_id, m.mime, m.n_bytes, w, h, f, feat)
+        }
+      }
+    }
+  }
+
+  /** Oracle-checkable projection of the batched pipeline (the fake decode
+    * is md5-derived, so DuckDB can replay it bit-for-bit).
+    */
+  def extract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir)).toDF
+      .select($"media_id", $"mime", $"n_bytes", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"), $"n_frames".cast("long").as("n_frames"))
+      .orderBy($"media_id")
+  }
+
+  /** Pure-SQL metadata pass over the binary column (no decode): sizes and
+    * a payload head fingerprint — the cheap scan that routes media to the
+    * right decoder at scale.
+    */
+  def meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).toDF
+      .select(
+        $"media_id",
+        $"mime",
+        $"n_bytes",
+        lower(hex(substring($"payload", 1, 8))).as("head_hex"),
+        md5($"payload").as("payload_md5")
+      )
+      .orderBy($"media_id")
+  }
+}

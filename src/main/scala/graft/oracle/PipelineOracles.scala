@@ -1,0 +1,273 @@
+package graft.oracle
+
+import graft.dedup.Dedup
+import graft.functions.Portable
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** DuckDB oracle SQL for the LLM-pipeline operators. These are generated
+  * (not hand-written) so the constants — thresholds, stopword lists, LSH
+  * hyperplanes, band layouts — are read from the SAME Scala objects the
+  * Spark queries use; the oracle replays the identical algorithm, making
+  * even the approximate operators (minhash/simhash/LSH) EXACTLY
+  * checkable.
+  *
+  * Shared arithmetic conventions (bit-identical across engines):
+  *  - md5-derived hashes via CAST('0x'||substr(md5(..)..) AS BIGINT);
+  *  - dot products as left-fold double accumulation (list_reduce with a
+  *    prepended 0.0 == Spark aggregate(zip_with ..., 0.0, +));
+  *  - hyperplane constants emitted as CAST(k AS DOUBLE)/524288 - 1 (k the
+  *    20-bit splitmix output) — exact in both engines.
+  */
+object PipelineOracles {
+
+  // ---- shared fragments -------------------------------------------------
+
+  private val toks = """regexp_split_to_array(lower(text), '[ \t]')"""
+
+  private val shingleSets =
+    s"""toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |sets AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3
+       |    THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS shs
+       |  FROM toks),
+       |shx AS (SELECT doc_id, unnest(shs) AS sh FROM sets),
+       |sizes AS (SELECT doc_id, len(shs) AS n FROM sets),
+       |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardSelect(candTable: String, threshold: Double): String = {
+    val candJoin =
+      if (candTable == "common") ""
+      else s"\nJOIN common ON common.id_a = $candTable.id_a AND common.id_b = $candTable.id_b"
+    s"""SELECT $candTable.id_a, $candTable.id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+       |FROM $candTable$candJoin
+       |JOIN sizes sa ON sa.doc_id = $candTable.id_a
+       |JOIN sizes sb ON sb.doc_id = $candTable.id_b
+       |WHERE round(c / (sa.n + sb.n - c), 6) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Left-fold double dot product of two list columns (same accumulation
+    * order as Portable.dot).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** Chained-sum dot product against literal hyperplane constants — left
+    * association matches the fold in Portable.dotConst.
+    */
+  private def dotConstSql(vec: String, plane: Array[Double]): String = {
+    // recover the 20-bit k from the quantized value: v = k/2^19 - 1
+    plane.zipWithIndex
+      .map { case (v, i) =>
+        val k = Math.round((v + 1.0) * 524288.0)
+        s"CAST($vec[${i + 1}] AS DOUBLE)*(CAST($k AS DOUBLE)/524288-1)"
+      }
+      .mkString(" + ")
+  }
+
+  private def lshSigSql(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN ${dotConstSql(vec, p)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  private def stopList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(w, t -> list_contains(${stopList(words)}, t))) AS BIGINT)"
+
+  // ---- dedup ------------------------------------------------------------
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Candidates = pairs sharing ≥1 shingle ≡ pairs with common > 0, so the
+    * inverted-index query IS the exact all-pairs result.
+    */
+  val dedupNgramJaccard: String =
+    s"""WITH $shingleSets
+       |${jaccardSelect("common", Dedup.NgramThreshold)}""".stripMargin
+
+  /** Replays the minhash signatures (4 md5 seeds × 4 hex chunks) and the
+    * b=16/r=1 banding, then the same exact-Jaccard verification.
+    */
+  val dedupMinhash: String =
+    s"""WITH $shingleSets,
+       |mh AS (
+       |  SELECT doc_id, ss.s * 4 + cc.c AS band,
+       |    min(CAST('0x' || substr(md5(sh || '#' || CAST(ss.s AS VARCHAR)), 1 + 8 * cc.c, 8) AS BIGINT)) AS v
+       |  FROM shx, (SELECT unnest(generate_series(0, ${Dedup.MinhashSeeds - 1})) AS s) ss,
+       |       (SELECT unnest(generate_series(0, 3)) AS c) cc
+       |  GROUP BY doc_id, ss.s * 4 + cc.c),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mh a JOIN mh b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
+
+  /** Brute-force hamming pairs over replayed 32-bit simhash signatures
+    * (the Spark side's banding is exact by pigeonhole, so brute force is
+    * the same set).
+    */
+  val dedupSimhash: String = {
+    val nibbleCols = (1 to Dedup.SimhashBits / 4)
+      .map(p => s"CAST('0x' || substr(md5(t), $p, 1) AS INT) AS n$p")
+      .mkString(", ")
+    val sumCols = (0 until Dedup.SimhashBits)
+      .map(j => s"sum(CASE WHEN ((n${j / 4 + 1} >> ${j % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val sigExpr = (0 until Dedup.SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, list_distinct($toks) AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+       |nib AS (SELECT doc_id, $nibbleCols FROM tok),
+       |sums AS (SELECT doc_id, $sumCols FROM nib GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM sums)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val planes = Portable.hyperplanes(Dedup.EmbedPlanes, 64)
+
+  private val embNorms =
+    s"""norms AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)""".stripMargin
+
+  private def embBands(src: String): String =
+    s"""sig AS (SELECT vec_id, embedding, nrm, ${lshSigSql("embedding", planes)} AS s FROM $src),
+       |bands AS (SELECT vec_id, bb.b AS band, ((s >> (4 * bb.b)) & 15) AS bucket
+       |  FROM sig, (SELECT unnest(generate_series(0, ${Dedup.EmbedBands - 1})) AS b) bb)""".stripMargin
+
+  /** Replays hyperplane signatures, 4×4-bit banding, and exact cosine
+    * verification.
+    */
+  val dedupEmbedding: String =
+    s"""WITH $embNorms,
+       |${embBands("norms")},
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |    ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM cand JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b)
+       |SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored
+       |WHERE cosine >= ${Dedup.EmbedCosThreshold}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- similarity search ------------------------------------------------
+
+  val simTopK: String =
+    s"""WITH $embNorms,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < ${Similarity.NumQueries}),
+       |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cosine
+       |  FROM q, norms n WHERE n.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+
+  val simAnnLsh: String =
+    s"""WITH $embNorms,
+       |${embBands("norms")},
+       |qb AS (SELECT vec_id AS query_id, band, bucket FROM bands WHERE vec_id < ${Similarity.NumQueries}),
+       |cand AS (SELECT DISTINCT qb.query_id, bands.vec_id
+       |  FROM bands JOIN qb ON bands.band = qb.band AND bands.bucket = qb.bucket
+       |  WHERE bands.vec_id <> qb.query_id),
+       |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+       |  FROM cand JOIN norms q ON q.vec_id = cand.query_id JOIN norms e ON e.vec_id = cand.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // ---- text analysis ----------------------------------------------------
+
+  val textLangId: String =
+    s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |scores AS (SELECT doc_id,
+       |  ${hitsSql(TextAnalysis.StopEn)} AS en_hits,
+       |  ${hitsSql(TextAnalysis.StopDe)} AS de_hits,
+       |  ${hitsSql(TextAnalysis.StopFr)} AS fr_hits,
+       |  ${hitsSql(TextAnalysis.StopEs)} AS es_hits
+       |  FROM toks)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+       |  CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'und'
+       |       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM scores ORDER BY doc_id""".stripMargin
+
+  val textQuality: String =
+    s"""WITH toks AS (SELECT doc_id, text, $toks AS w FROM documents),
+       |base AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  ${hitsSql(TextAnalysis.StopEn)} AS stop_hits
+       |  FROM toks)
+       |SELECT doc_id, n_chars_obs, n_tokens, n_distinct, stop_hits,
+       |  round(n_distinct / n_tokens, 6) AS type_token_ratio,
+       |  round(stop_hits / n_tokens, 6) AS stop_ratio,
+       |  round(CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
+       |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens), 6) AS quality_score
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  val textTokens: String =
+    s"""SELECT doc_id,
+       |  CAST(len($toks) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t]')) AS BIGINT) AS bpe_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_obs,
+       |  round(CAST(length(text) AS BIGINT) / CAST(len($toks) AS BIGINT), 6) AS chars_per_ws_token
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  val textFingerprint: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN length(text) = 0 THEN 7
+       |    ELSE list_reduce(
+       |      list_prepend(CAST(7 AS BIGINT),
+       |        list_transform(generate_series(1, length(text)), i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % ${TextAnalysis.FingerprintMod})
+       |  END AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- multimodal -------------------------------------------------------
+
+  val mmMeta: String =
+    """SELECT doc_id AS media_id, 'application/x-fake-' || source AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  lower(hex(substr(text, 1, 8))) AS head_hex,
+      |  md5(text) AS payload_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Replays the deterministic fake decode (md5-derived dims). */
+  val mmExtract: String =
+    """SELECT doc_id AS media_id, 'application/x-fake-' || source AS mime,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  1 + CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 AS width,
+      |  1 + CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080 AS height,
+      |  CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---- streaming --------------------------------------------------------
+
+  val streamTumbling: String = Oracles.eventsTumbling
+
+  val streamUserStats: String =
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,93 @@
+package graft.similarity
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (Array[Float] column). Two paths:
+  *
+  *  - brute-force cosine top-k: the exact baseline. The query set is tiny
+  *    (broadcast) so the "cross join" is really a broadcast-map over the
+  *    corpus: one scan, no shuffle of the corpus, then a per-query top-k
+  *    (TakeOrdered-style) — this shape survives 100 TB corpora as long as
+  *    the query set stays broadcastable;
+  *  - LSH-bucketed ANN: random-hyperplane signatures, candidates from
+  *    shared 4-bit bands, exact cosine re-rank inside buckets. Corpus
+  *    side shuffles only (band, bucket, id) triples.
+  *
+  * Cosine values are bit-identical to the DuckDB oracle (left-fold double
+  * accumulation — see graft.functions.Portable).
+  */
+object Similarity {
+
+  val TopK = 5
+  val NumQueries = 10 // query set = vec_id < 10
+
+  private def corpusWithNorm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .embeddings(spark, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+  }
+
+  /** Exact top-k neighbors (cosine) for each query vector. */
+  def topKBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val queries = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val scored = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** LSH-bucketed ANN: candidates share ≥1 signature band with the query,
+    * then exact cosine re-rank, top-3 per query. Same hyperplane
+    * constants as Dedup.embeddingNearDup.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(Dedup.EmbedPlanes, 64)
+    val emb = corpusWithNorm(spark, dir)
+      .withColumn("sig", lshSignature($"embedding", planes))
+    val banded = emb.select(
+      $"vec_id",
+      posexplode(
+        array(
+          (0 until Dedup.EmbedBands).map(b => shiftright($"sig", b * 4).bitwiseAND(lit(15L))): _*
+        )
+      ).as(Seq("band", "bucket"))
+    )
+    val queryBands = banded
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"band", $"bucket")
+    val candIds = banded
+      .join(broadcast(queryBands), Seq("band", "bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .distinct()
+    val queryVecs = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    candIds
+      .join(broadcast(queryVecs), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+}
