@@ -1,0 +1,89 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the LLM-pipeline operators that the DuckDB oracle can't
+  * express: banding exactness (simhash), LSH-vs-brute-force containment,
+  * batched multimodal decode, streaming-vs-batch agreement.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "pipeline-spec")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("simhash banding is exact: bucket-join pairs == brute-force hamming<=3 pairs") {
+    import spark.implicits._
+    val sig = Dedup.simhashSignatures(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sig; (ib, sb) <- sig if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.SimhashMaxHamming
+    } yield (ia, ib, h.toLong)).toSet
+    val banded = Dedup.simhash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brute)
+  }
+
+  test("minhash LSH finds the planted high-jaccard near-duplicates found by exact ngram") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccard(spark, dir).filter($"jaccard" >= 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir).filter($"jaccard" >= 0.9)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-duplicates")
+    assert(lsh === exact)
+  }
+
+  test("exact dedup keeps one id per distinct text and covers all docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val out = Dedup.exact(spark, dir)
+    assert(out.agg(sum($"n_copies")).as[Long].head() === docs.count())
+    assert(out.select($"keep_id").distinct().count() === out.count())
+  }
+
+  test("ANN candidates are a subset of brute-force ranking universe; scores agree") {
+    import spark.implicits._
+    val brute = Similarity.topKBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ann = Similarity.annLsh(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+    // where ANN and brute force rank the same pair, the cosine is identical
+    ann.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      brute.get(k).foreach(b => assert(b === r.getDouble(2), s"cosine mismatch for $k"))
+    }
+  }
+
+  test("multimodal batched extraction: every item decoded, feature shape fixed") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length === media.count())
+    assert(rows.forall(_.feature.length === 8))
+    assert(rows.forall(f => f.width >= 1 && f.width <= 1920 && f.height >= 1 && f.height <= 1080))
+    // deterministic: same payload → same features
+    val twice = Multimodal.extractFeatures(media).collect().map(f => (f.media_id, f.width, f.height)).toSet
+    assert(twice === rows.map(f => (f.media_id, f.width, f.height)).toSet)
+  }
+
+  test("language-ID prediction is deterministic and total") {
+    import spark.implicits._
+    val out = TextAnalysis.langId(spark, dir)
+    assert(out.count() === Tables.documents(spark, dir).count())
+    val langs = out.select($"pred_lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("streaming tumbling equals batch tumbling") {
+    val batch = queries.Events.tumbling(spark, dir).collect().toSeq
+    val stream = streaming.StreamingQueries.tumbling(spark, dir).collect().toSeq
+    assert(stream === batch)
+  }
+}

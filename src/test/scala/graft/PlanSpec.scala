@@ -1,0 +1,69 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB design contracts (filters reach
+  * the parquet scan, projections prune columns, small dims broadcast,
+  * top-k never globally sorts). These are the properties that keep the
+  * plans scale-safe, checked mechanically so regressions fail CI.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "plan-spec")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scans(df: org.apache.spark.sql.DataFrame) = {
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan // AQE hides the tree pre-execution
+      case other                    => other
+    }
+    root.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+  }
+
+  test("q2 pushes filters and prunes columns at the parquet scan") {
+    val scan = scans(Relational.q2FilterPushdown(spark, dir)).head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(l_discount,0.05)"), pushed)
+    // pruned read schema: only the 6 referenced columns of 11
+    val cols = scan.requiredSchema.fieldNames.toSet
+    assert(cols.size === 6, cols)
+    assert(!cols.contains("l_returnflag") && !cols.contains("l_tax"), cols)
+  }
+
+  test("q3 plans a broadcast join for the small dimension (no shuffle of orders)") {
+    val plan = planString(Relational.q3SegmentRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q1 aggregates with map-side partial aggregation and prunes the scan") {
+    val plan = planString(Relational.q1PricingSummary(spark, dir))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial_sum"), plan) // map-side combine before the exchange
+    val scan = scans(Relational.q1PricingSummary(spark, dir)).head
+    assert(scan.requiredSchema.fieldNames.length === 6, scan.requiredSchema)
+  }
+
+  test("q8 top-k plans TakeOrderedAndProject, not a global sort") {
+    val plan = planString(Relational.q8TopK(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("+- Sort ["), plan)
+  }
+
+  test("wordcount shuffles pre-aggregated words (partial_count before the exchange)") {
+    val df = queries.Reference.wordcount(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("partial_count"), plan)
+  }
+}
