@@ -43,30 +43,49 @@ object Dedup {
       .orderBy($"keep_id")
   }
 
-  /** doc_id → distinct 3-shingle rows (the inverted-index edge list). */
+  /** doc_id → distinct 3-shingle rows (the inverted-index edge list).
+    * Uses the native one-pass WordShingles expression (same set semantics
+    * as Portable.shingles/the oracle; ~10× the declarative HOF chain).
+    */
   private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .documents(spark, dir)
-      .select($"doc_id", explode(shingles(tokens($"text"))).as("sh"))
+      .select($"doc_id", explode(graft.functions.TextExpressions.wordShingles(lower($"text"))).as("sh"))
   }
 
-  /** Exact pairwise Jaccard ≥ threshold for a pair set. `pairs` must have
-    * columns (id_a, id_b); shingle sets are joined in as arrays.
+  /** Pairwise intersection sizes via the inverted index: one shingle-key
+    * join + count aggregation — never materializes per-pair shingle
+    * arrays (the array_intersect formulation is ~20× slower at sf0.1).
+    * Output: (id_a, id_b, inter) for every pair sharing ≥1 shingle.
     */
-  private def verifyJaccard(spark: SparkSession, dir: String, pairs: DataFrame, threshold: Double): DataFrame = {
+  private def pairCommonCounts(sh: DataFrame): DataFrame =
+    sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+  /** Attach exact Jaccard to (id_a, id_b[, inter]) candidates and filter
+    * by threshold. Candidates lacking an `inter` column are inner-joined
+    * to the common-counts table (pairs with no shared shingle have J=0
+    * and drop out, matching the oracle).
+    */
+  private def jaccardFilter(
+      spark: SparkSession,
+      dir: String,
+      sh: DataFrame,
+      cand: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     import spark.implicits._
-    val sets = Tables
-      .documents(spark, dir)
-      .select($"doc_id", shingles(tokens($"text")).as("shs"))
-    pairs
-      .join(sets.select($"doc_id".as("id_a"), $"shs".as("sa")), "id_a")
-      .join(sets.select($"doc_id".as("id_b"), $"shs".as("sb")), "id_b")
-      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("long"))
-      .withColumn(
-        "jaccard",
-        round($"inter" / (size($"sa") + size($"sb") - $"inter").cast("long"), 6)
-      )
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val withInter =
+      if (cand.columns.contains("inter")) cand
+      else cand.join(pairCommonCounts(sh), Seq("id_a", "id_b"))
+    withInter
+      .join(broadcast(sizes.select($"doc_id".as("id_a"), $"n".as("na"))), "id_a")
+      .join(broadcast(sizes.select($"doc_id".as("id_b"), $"n".as("nb"))), "id_b")
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
@@ -74,18 +93,13 @@ object Dedup {
 
   /** Exact n-gram Jaccard dedup via inverted-index join: candidate pairs
     * are documents sharing ≥1 shingle (a superset of Jaccard > 0, so this
-    * is EXACT), then verified. Shuffle cost ∝ Σ df(shingle)² — bounded by
-    * stop-shingle capping at extreme scale.
+    * is EXACT), with intersection sizes falling out of the same join.
+    * Shuffle cost ∝ Σ df(shingle)² — bounded by stop-shingle capping at
+    * extreme scale.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val sh = shingleRows(spark, dir)
-    val cand = sh
-      .as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    verifyJaccard(spark, dir, cand, NgramThreshold)
+    jaccardFilter(spark, dir, sh, pairCommonCounts(sh), NgramThreshold)
   }
 
   /** MinHash signatures: 16 per document (min over shingles of four
@@ -94,9 +108,12 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
+    // one md5 per (shingle, seed); the 4 chunk extractions share the hex
+    val hexCols = col("doc_id") +:
+      (0 until MinhashSeeds).map(s => md5(concat($"sh", lit(s"#$s"))).as(s"hx$s"))
     val hashCols = for (s <- 0 until MinhashSeeds; c <- 0 until 4)
-      yield min(md5Chunk($"sh", s, c)).as(s"mh${s * 4 + c}")
-    sh.groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+      yield min(conv(substring(col(s"hx$s"), 1 + 8 * c, 8), 16, 10).cast("long")).as(s"mh${s * 4 + c}")
+    sh.select(hexCols: _*).groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
   /** MinHash + LSH dedup: b=16 bands of r=1 row — a candidate is any pair
@@ -108,6 +125,7 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val sh = shingleRows(spark, dir)
     val sig = minhashSignatures(spark, dir)
     val melted = sig.select(
       $"doc_id",
@@ -122,7 +140,7 @@ object Dedup {
       )
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    verifyJaccard(spark, dir, cand, JaccardThreshold)
+    jaccardFilter(spark, dir, sh, cand, JaccardThreshold)
   }
 
   /** 32-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where
@@ -132,8 +150,12 @@ object Dedup {
     import spark.implicits._
     val tok = Tables
       .documents(spark, dir)
-      .select($"doc_id", explode(array_distinct(tokens($"text"))).as("tok"))
-    val nibCols = col("doc_id") +: (1 to SimhashBits / 4).map(p => md5Nibble($"tok", p).as(s"nib$p"))
+      .select($"doc_id", explode(graft.functions.TextExpressions.distinctTokens(lower($"text"))).as("tok"))
+      // materialize the md5 hex once per token; the 8 nibble columns then
+      // substr one shared string instead of re-hashing 8×
+      .select($"doc_id", md5($"tok").as("h"))
+    val nibCols = col("doc_id") +:
+      (1 to SimhashBits / 4).map(p => conv(substring($"h", p, 1), 16, 10).cast("int").as(s"nib$p"))
     val nib = tok.select(nibCols: _*)
     val sumCols = (0 until SimhashBits).map { j =>
       val nibble = col(s"nib${j / 4 + 1}")

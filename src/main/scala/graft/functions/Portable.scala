@@ -48,32 +48,20 @@ object Portable {
   def md5Nibble(s: Column, pos: Int): Column =
     conv(substring(md5(s), pos, 1), 16, 10).cast("int")
 
-  /** Left-fold dot product of two float arrays in double precision.
+  /** Left-fold dot product of two float arrays in double precision —
+    * native codegen'd expression (graft.functions.FloatDotProduct).
     * DuckDB twin: list_reduce(list_prepend(CAST(0 AS DOUBLE),
     * list_transform(generate_series(1,len(a)), i -> CAST(a[i] AS DOUBLE) *
-    * CAST(b[i] AS DOUBLE))), (acc,x) -> acc+x).
+    * CAST(b[i] AS DOUBLE))), (acc,x) -> acc+x) — both are
+    * acc := acc + (double)a[i]·(double)b[i] ascending, so bit-identical.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+  def dot(a: Column, b: Column): Column = VectorExpressions.fdot(a, b)
 
-  /** Dot product against a constant vector (LSH hyperplane): fold the
-    * float array against double literals, same accumulation order as
-    * `dot`. DuckDB twin uses the same literal list.
+  /** Dot product against a constant vector (LSH hyperplane), same
+    * accumulation order as `dot`. DuckDB twin inlines the same literals.
     */
   def dotConst(a: Column, consts: Array[Double]): Column =
-    aggregate(
-      zip_with(
-        a,
-        array(consts.map(lit(_)): _*),
-        (x, y) => x.cast("double") * y
-      ),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    VectorExpressions.fdotConst(a, consts)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Native expressions for tokenize/shingle hot paths. The declarative
+  * `transform(sequence(...), concat_ws)` + `array_distinct` formulation
+  * is interpreted per element (lambda machinery) and array_distinct is
+  * O(n²) — ~12 s for 5k docs at sf0.1. These do one pass per ROW in
+  * plain Java collections (~100× fewer virtual calls); CodegenFallback
+  * is fine because cost-per-row dominates, not expression dispatch.
+  *
+  * Tokenization contract (must stay equal to the oracle's
+  * regexp_split_to_array(lower(text), '[ \t]')): split on ' ' or '\t',
+  * KEEP empty segments, input already lowercased by the caller.
+  */
+object TextSplit {
+  def splitWs(text: String): ArrayBuffer[String] = {
+    val parts = new ArrayBuffer[String](text.length / 5 + 1)
+    var start = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == ' ' || c == '\t') { parts += text.substring(start, i); start = i + 1 }
+      i += 1
+    }
+    parts += text.substring(start)
+    parts
+  }
+
+  private[functions] def toArrayData(it: java.util.LinkedHashSet[String]): GenericArrayData = {
+    val arr = new Array[Any](it.size)
+    val iter = it.iterator()
+    var i = 0
+    while (iter.hasNext) { arr(i) = UTF8String.fromString(iter.next()); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Distinct word w-shingles ("a b c") of a whitespace-tokenized string.
+  * Equal (as a set) to the declarative form in Portable.shingles and the
+  * DuckDB oracle's list_distinct(list_transform(...)).
+  */
+case class WordShingles(child: Expression, width: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextSplit.splitWs(v.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (toks.length >= width) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + width <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < width) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+    }
+    TextSplit.toArrayData(seen)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct whitespace tokens of a string (simhash's token universe). */
+case class DistinctTokens(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextSplit.splitWs(v.asInstanceOf[UTF8String].toString)
+    val seen = new java.util.LinkedHashSet[String]()
+    toks.foreach(seen.add)
+    TextSplit.toArrayData(seen)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial hash over the string's code points:
+  * h ← (h·31 + codepoint) mod `mod`, seeded with `seed`. Pure 64-bit
+  * integer arithmetic — exactly the DuckDB oracle's
+  * list_reduce(list_prepend(seed, list_transform(..ord..)), ...) fold.
+  */
+case class RollingHash(child: Expression, seed: Long, mod: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var h = seed
+    val it = s.codePoints().iterator()
+    while (it.hasNext) h = (h * 31 + it.next()) % mod
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def wordShingles(loweredText: Column, width: Int = 3): Column =
+    Bridge.column(WordShingles(Bridge.expression(loweredText), width))
+  def distinctTokens(loweredText: Column): Column =
+    Bridge.column(DistinctTokens(Bridge.expression(loweredText)))
+  def rollingHash(text: Column, seed: Long, mod: Long): Column =
+    Bridge.column(RollingHash(Bridge.expression(text), seed, mod))
+}

@@ -104,16 +104,13 @@ object TextAnalysis {
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val fp = aggregate(
-      transform(split($"text", ""), c => ascii(c).cast("long")),
-      lit(7L),
-      (h, c) => pmod(h * 31 + c, lit(FingerprintMod))
-    )
     Tables
       .documents(spark, dir)
       .select(
         $"doc_id",
-        when(length($"text") === 0, 7L).otherwise(fp).as("fingerprint")
+        graft.functions.TextExpressions
+          .rollingHash($"text", 7L, FingerprintMod)
+          .as("fingerprint")
       )
       .orderBy($"doc_id")
   }

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(Expression) constructor; the
+  * supported conversion lives in `classic.ExpressionUtils`, which is
+  * private[sql]. This bridge (compiled into the sql namespace, the
+  * standard technique for Catalyst extensions) re-exports the two
+  * conversions our custom expressions need.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
