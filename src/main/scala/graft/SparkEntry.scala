@@ -48,6 +48,10 @@ object SparkEntry {
     "q15_max_per_group" -> ((s, d) => Relational.q15MaxPerGroup(s, d)),
     "q16_pivot" -> ((s, d) => Relational.q16Pivot(s, d)),
     "q17_json_extract" -> ((s, d) => Relational.q17JsonExtract(s, d)),
+    "q18_collect_list" -> ((s, d) => Relational.q18CollectList(s, d)),
+    "q19_lag_lead" -> ((s, d) => Relational.q19LagLead(s, d)),
+    "q20_percentiles" -> ((s, d) => Relational.q20Percentiles(s, d)),
+    "q21_approx_sketches" -> ((s, d) => Relational.q21ApproxSketches(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sessions" -> ((s, d) => Events.sessions(s, d)),
@@ -95,6 +99,12 @@ object SparkEntry {
     "q15_max_per_group" -> Oracles.q15MaxPerGroup,
     "q16_pivot" -> Oracles.q16Pivot,
     "q17_json_extract" -> Oracles.q17JsonExtract,
+    "q18_collect_list" -> Oracles.q18CollectList,
+    "q19_lag_lead" -> Oracles.q19LagLead,
+    "q20_percentiles" -> Oracles.q20Percentiles,
+    // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
+    // internals are engine-specific (rows-only check; ApproxSpec bounds
+    // the error against exact counts instead).
     "events_tumbling" -> Oracles.eventsTumbling,
     "events_sessions" -> Oracles.eventsSessions,
     "stream_tumbling" -> PipelineOracles.streamTumbling,

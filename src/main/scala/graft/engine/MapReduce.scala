@@ -101,6 +101,17 @@ object MapReduce {
     spark.createDataset(reduced)
   }
 
+  /** Reference-style final sink (SURVEY.md §2a op #9): writes the job
+    * output as exactly `part-00000 … part-0000(R-1)` text files in
+    * `outputDir` — byte-compatible with the reference's layout
+    * (reference tests/test_worker_07.py:106-114 pins the names,
+    * test_integration_03.py:85 the file count). `run`'s output already
+    * has R internally-sorted partitions, and the RDD text sink names
+    * parts `part-NNNNN` natively.
+    */
+  def saveTextParts(output: Dataset[String], outputDir: String): Unit =
+    output.rdd.saveAsTextFile(outputDir)
+
   /** Same pipeline but returning typed (key, value) rows — convenient
     * when the reducer output is itself `key\tvalue` shaped and the caller
     * wants a DataFrame for SQL-surface verification.

@@ -146,6 +146,28 @@ object Oracles {
       |  count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  val q18CollectList: String =
+    """SELECT o_custkey,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+      |  count(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  val q19LagLead: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+      |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+      |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
+      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  val q20Percentiles: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  round(min(l_extendedprice), 4) AS min_price,
+      |  round(max(l_extendedprice), 4) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val eventsTumbling: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value

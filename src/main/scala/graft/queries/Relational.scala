@@ -273,4 +273,73 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
       .orderBy($"k")
   }
+
+  /** Array aggregation: per-customer sorted order-key list (CSV-joined so
+    * the oracle compare is a plain string — no float formatting).
+    */
+  def q18CollectList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        array_join(sort_array(collect_list($"o_orderkey")), ",").as("order_keys"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy($"o_custkey")
+  }
+
+  /** Window navigation: lag/lead/ntile over each customer's order
+    * history.
+    */
+  def q19LagLead(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables
+      .orders(spark, dir)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        round(lag($"o_totalprice", 1).over(w), 4).as("prev_price"),
+        round(lead($"o_totalprice", 1).over(w), 4).as("next_price"),
+        ntile(4).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long").as("price_quartile")
+      )
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Exact interpolated percentiles per group ((n-1)·p convention on both
+    * engines; results land on the half-cent grid so round-4 snaps
+    * identically).
+    */
+  def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(min($"l_extendedprice"), 4).as("min_price"),
+        round(max($"l_extendedprice"), 4).as("max_price")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** Approximate sketches: HLL distinct counts + approximate quantiles.
+    * Engine sketch internals differ, so this query has NO DuckDB oracle
+    * (driver records a rows-only check); ApproxSpec bounds the error
+    * against exact answers instead.
+    */
+  def q21ApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median")
+      )
+      .orderBy($"l_returnflag")
+  }
 }

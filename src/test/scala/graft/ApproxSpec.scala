@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Error bounds for the sketch-based operators (q21 has no DuckDB oracle
+  * because sketch internals are engine-specific; this spec is its
+  * correctness contract instead).
+  */
+class ApproxSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "approx-spec")
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact; approx median within 2% of exact") {
+    import spark.implicits._
+    val approx = Relational.q21ApproxSketches(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("p"),
+        countDistinct($"l_orderkey").as("o"),
+        expr("percentile(l_extendedprice, 0.5)").as("m")
+      )
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, (p, o, m)) =>
+      val (ap, ao, am) = approx(flag)
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$flag parts: $ap vs $p")
+      assert(math.abs(ao - o).toDouble / o < 0.05, s"$flag orders: $ao vs $o")
+      assert(math.abs(am - m) / m < 0.02, s"$flag median: $am vs $m")
+    }
+  }
+}
