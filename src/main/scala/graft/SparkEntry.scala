@@ -66,6 +66,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
+    "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "dedup_simhash" -> PipelineOracles.dedupSimhash,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
     "sim_topk" -> PipelineOracles.simTopK,
+    "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,

@@ -97,9 +97,27 @@ object Dedup {
     * Shuffle cost ∝ Σ df(shingle)² — bounded by stop-shingle capping at
     * extreme scale.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(spark, dir)
-    jaccardFilter(spark, dir, sh, pairCommonCounts(sh), NgramThreshold)
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, maxShingleDf = None)
+
+  /** `maxShingleDf` is the extreme-scale knob: dropping shingles whose
+    * document frequency exceeds the cap bounds the inverted-index join at
+    * Σ min(df,cap)² at the cost of missing pairs whose overlap is ONLY
+    * stop-shingles (a standard web-dedup tradeoff). The oracle-checked
+    * query runs uncapped; DedupScaleSpec pins the containment property.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, maxShingleDf: Option[Int]): DataFrame = {
+    import spark.implicits._
+    val sh0 = shingleRows(spark, dir)
+    val sh = maxShingleDf match {
+      case None => sh0
+      case Some(cap) =>
+        val keep = sh0.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= cap).select($"sh")
+        sh0.join(keep, "sh")
+    }
+    // sizes/verification still use the UNCAPPED sets so reported jaccard
+    // values stay true; only candidate generation is capped
+    jaccardFilter(spark, dir, sh0, pairCommonCounts(sh).select($"id_a", $"id_b"), NgramThreshold)
   }
 
   /** MinHash signatures: 16 per document (min over shingles of four

@@ -52,6 +52,38 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Exact top-k via the typed TopKByCosine Aggregator — identical output
+    * (and oracle) to topKBruteForce, but aggregation is map-side bounded:
+    * each partition ships only its local k best per query, the 100 TB
+    * shape (the window formulation shuffles every scored row).
+    */
+  def topKAggregated(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val queries = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val scored = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select(
+        $"query_id".as[Long],
+        struct(
+          $"vec_id".as("neighbor_id"),
+          (dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cosine")
+        ).as[Scored]
+      )
+    scored
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKByCosine(TopK).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, s.neighbor_id, i + 1, s.cosine) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
+      .select($"query_id", $"neighbor_id", $"rank".cast("int").as("rank"), round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** LSH-bucketed ANN: candidates share ≥1 signature band with the query,
     * then exact cosine re-rank, top-3 per query. Same hyperplane
     * constants as Dedup.embeddingNearDup.

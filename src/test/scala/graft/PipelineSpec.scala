@@ -38,6 +38,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("sim_topk_agg (typed map-side aggregator) equals the window formulation") {
+    val window = Similarity.topKBruteForce(spark, dir).collect().toSeq
+    val agg = Similarity.topKAggregated(spark, dir).collect().toSeq
+    assert(agg === window)
+  }
+
+  test("stop-shingle cap yields a subset of the uncapped near-dup pairs with true jaccard") {
+    import spark.implicits._
+    val full = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup
+      .ngramJaccard(spark, dir, maxShingleDf = Some(5))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(capped.subsetOf(full))
+  }
+
   test("exact dedup keeps one id per distinct text and covers all docs") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)

@@ -61,6 +61,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("+- Sort ["), plan)
   }
 
+  test("q4 multi-join: fact tables shuffle-join at scale, hinted dims still broadcast") {
+    // at sf0.001 every table fits the auto-broadcast threshold; disabling
+    // it simulates fact tables out-growing it at real scale — the
+    // explicit broadcast() hints on the dims must survive
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planString(Relational.q4RegionRevenue(spark, dir))
+      val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(broadcasts >= 2, s"expected >=2 hinted broadcast joins, plan:\n$plan")
+      assert(
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join for lineitem⋈orders, plan:\n$plan"
+      )
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("wordcount shuffles pre-aggregated words (partial_count before the exchange)") {
     val df = queries.Reference.wordcount(spark, dir)
     val plan = planString(df)
