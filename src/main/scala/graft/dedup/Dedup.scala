@@ -222,8 +222,10 @@ object Dedup {
         col("b.doc_id").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming")
       )
-      .distinct()
+      // filter BEFORE distinct: hamming ≤ 3 keeps ~1% of candidates, so
+      // the dedup shuffle sees thousands of rows instead of millions
       .filter($"hamming" <= SimhashMaxHamming)
+      .distinct()
       .orderBy($"id_a", $"id_b")
   }
 

@@ -3,13 +3,23 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupStateTimeout
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Typed state for StreamingQueries.userStats (top-level so Spark's
   * encoder codegen can instantiate it).
   */
 case class UserStat(n_events: Long, sum_value: Double)
+
+/** Open-session state for StreamingQueries.sessionize. */
+case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+
+/** A closed session emitted by the sessionizer. */
+case class ClosedSession(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    n_events: Long,
+    sum_value: Double
+)
 
 /** Structured Streaming surface: the same event-time aggregations as
   * graft.queries.Events, executed through readStream → writeStream with
@@ -49,6 +59,71 @@ object StreamingQueries {
     runToMemory(agg, s"stream_tumbling_${System.nanoTime()}", "complete")
       .select($"window.start".as("hour_start"), $"event_type", $"n_events", $"sum_value")
       .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Continuous sessionization via flatMapGroupsWithState with
+    * event-time timeout: per-user sessions (30-min gap) accumulate in
+    * typed state; a session is EMITTED when the watermark passes its
+    * gap-extended end (the no-data batch fires the timeout). This is the
+    * genuinely-streaming session operator — unbounded input, bounded
+    * state, append output — vs the batch session_window in
+    * queries.Events.sessions. StreamingSpec checks emitted sessions
+    * against the batch result.
+    */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+
+    val fn = (
+        userId: Long,
+        events: Iterator[(Long, java.sql.Timestamp, Double)],
+        state: GroupState[SessionState]
+    ) => {
+      val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+      def emit(s: SessionState): Unit =
+        closed += ClosedSession(userId, DateTimeUtils.toJavaTimestamp(s.start), s.n, s.sum)
+      if (state.hasTimedOut) {
+        emit(state.get)
+        state.remove()
+      } else {
+        // batch-local events may arrive unordered; sessionize in ts order
+        val sorted = events.toArray
+          .map { case (_, t, v) => (DateTimeUtils.fromJavaTimestamp(t), v) }
+          .sortBy(_._1)
+        var cur = state.getOption
+        sorted.foreach { case (ts, v) =>
+          cur match {
+            case Some(s) if ts - s.lastTs < gapUs =>
+              cur = Some(SessionState(s.start, math.max(s.lastTs, ts), s.n + 1, s.sum + v))
+            case Some(s) =>
+              emit(s)
+              cur = Some(SessionState(ts, ts, 1, v))
+            case None =>
+              cur = Some(SessionState(ts, ts, 1, v))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.lastTs + gapUs) / 1000) // ms epoch
+        }
+      }
+      closed.iterator
+    }
+
+    val agg = eventStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .select(
+        $"user_id".as[Long],
+        $"ts".as[java.sql.Timestamp], // keep the watermarked column itself
+        $"value".as[Double]
+      )
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+    runToMemory(agg.toDF, s"stream_sessions_${System.nanoTime()}", "append")
+      .select($"user_id", $"session_start", $"n_events", round($"sum_value", 4).as("sum_value"))
+      .orderBy($"user_id", $"session_start")
   }
 
   /** Arbitrary stateful aggregation via mapGroupsWithState: per-user

@@ -1,0 +1,89 @@
+package graft
+
+import graft.streaming.StreamingQueries
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Real streaming machinery beyond the complete-mode smoke queries:
+  * multi-batch watermark advancement with append output, and stateful
+  * sessionization with event-time timeouts.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "streaming-spec")
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Splits events into two single-file batches by time into a temp dir,
+    * returning (srcDir, cutover µs-timestamp).
+    */
+  private def twoBatchDir(): String = {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-stream-src").toString
+    val ev = Tables.events(spark, dir)
+    val cut = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-stage").toString
+      // stream schema expects raw nanos long for ts (Tables.events converts)
+      df.select($"event_id", unix_micros($"ts").*(1000L).as("ts"), $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(src, name))
+    }
+    writeOne(ev.filter(unix_micros($"ts") < cut), "batch0.parquet")
+    Thread.sleep(1100) // file-source orders batches by modification time
+    writeOne(ev.filter(unix_micros($"ts") >= cut), "batch1.parquet")
+    src
+  }
+
+  test("append-mode tumbling windows close as the watermark advances across batches") {
+    import spark.implicits._
+    val src = twoBatchDir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$src/batch0.parquet").schema
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val q = agg.writeStream.format("memory").queryName("wm_append").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("wm_append")
+      .select($"window.start".as("ws"), $"event_type", $"n_events")
+    // every emitted (closed) window must agree exactly with the batch result
+    val batch = Tables.events(spark, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".as("ws"), $"event_type", $"n_events")
+    assert(emitted.count() > 0, "watermark should have closed at least one window")
+    assert(emitted.except(batch).count() === 0, "closed windows must match batch counts exactly")
+    assert(emitted.count() < batch.count(), "windows beyond the watermark must be withheld")
+  }
+
+  test("streaming sessionization (flatMapGroupsWithState + event-time timeout) matches batch sessions") {
+    import spark.implicits._
+    val emitted = StreamingQueries.sessionize(spark, dir)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    val batch = queries.Events.sessions(spark, dir)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(emitted.nonEmpty, "event-time timeouts should have closed sessions")
+    // every emitted session must be exactly a batch session
+    emitted.foreach(s => assert(batch.contains(s), s"emitted session $s not in batch result"))
+  }
+}
