@@ -55,6 +55,7 @@ object SparkEntry {
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sessions" -> ((s, d) => Events.sessions(s, d)),
+    "events_asof" -> ((s, d) => Events.asofPurchase(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -108,6 +109,7 @@ object SparkEntry {
     // the error against exact counts instead).
     "events_tumbling" -> Oracles.eventsTumbling,
     "events_sessions" -> Oracles.eventsSessions,
+    "events_asof" -> Oracles.eventsAsof,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     "dedup_exact" -> PipelineOracles.dedupExact,

@@ -168,6 +168,13 @@ object Oracles {
       |  round(max(l_extendedprice), 4) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  val eventsAsof: String =
+    """SELECT c.event_id, c.user_id, p.ts AS purchase_ts, p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts
+      |ORDER BY c.event_id""".stripMargin
+
   val eventsTumbling: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  BindReferences,
+  Expression,
+  GenericInternalRow,
+  JoinedRow,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graft.Bridge
+
+/** AS-OF JOIN — an operator Spark lacks as a first-class node (SURVEY §7
+  * custom-operator ladder, rung (c): LogicalPlan + Strategy + SparkPlan).
+  *
+  * Semantics (= DuckDB `ASOF LEFT JOIN ... ON l.by = r.by AND l.on >=
+  * r.on`): for every left row, attach the right row with the same `by`
+  * key and the greatest `on` value ≤ the left row's `on`; null-extend
+  * when none exists.
+  *
+  * Scale shape: both sides hash-cluster on `by` and sort by (by, on) —
+  * declared via requiredChildDistribution/Ordering so EnsureRequirements
+  * plans the exchanges exactly like a sort-merge join — then a
+  * two-pointer merge streams each partition pair with O(1) state (one
+  * buffered right row). 100 TB events join like any SMJ: one shuffle per
+  * side, no buffering of groups.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Attribute,
+    rightBy: Attribute,
+    leftOn: Attribute,
+    rightOn: Attribute
+) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lBy, rBy, lOn, rOn) =>
+      AsOfJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Expression,
+    rightBy: Expression,
+    leftOn: Expression,
+    rightOn: Expression
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftBy)), ClusteredDistribution(Seq(rightBy)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
+      Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending))
+    )
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lByB = BindReferences.bindReference(leftBy, left.output)
+    val lOnB = BindReferences.bindReference(leftOn, left.output)
+    val rByB = BindReferences.bindReference(rightBy, right.output)
+    val rOnB = BindReferences.bindReference(rightOn, right.output)
+    val rightWidth = right.output.size
+    val allOutput = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val proj = UnsafeProjection.create(allOutput, left.output ++ right.output)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      // candidate = latest right row seen with (by == current left by,
+      // on <= current left on); reset when the by-key advances
+      var candBy: Long = 0L
+      var candSet = false
+      var cand: InternalRow = null
+
+      lIter.map { lRow =>
+        val lByV = lByB.eval(lRow)
+        if (lByV == null || lOnB.eval(lRow) == null) {
+          proj(joined(lRow, nullRight))
+        } else {
+          val lb = lByV.asInstanceOf[Long]
+          val lo = lOnB.eval(lRow).asInstanceOf[Long]
+          if (candSet && candBy != lb) { candSet = false; cand = null }
+          // advance the right side up to (lb, lo)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rByV = rByB.eval(head)
+            val rOnV = rOnB.eval(head)
+            if (rByV == null || rOnV == null) { rBuf.next() } // unmatched key rows
+            else {
+              val rb = rByV.asInstanceOf[Long]
+              val ro = rOnV.asInstanceOf[Long]
+              if (rb < lb || (rb == lb && ro <= lo)) {
+                if (rb == lb) { cand = rBuf.next().copy(); candBy = rb; candSet = true }
+                else rBuf.next()
+              } else advancing = false
+            }
+          }
+          if (candSet && candBy == lb) proj(joined(lRow, cand))
+          else proj(joined(lRow, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for the custom operator. */
+object AsOf {
+
+  /** As-of (backward) left join: both inputs must expose `by` (long) and
+    * `on` (timestamp/long) columns by name; right columns must not clash
+    * with left's (pre-rename them). Registers the planner strategy on the
+    * session lazily.
+    */
+  def joinAsOf(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftByCol: String,
+      rightByCol: String,
+      leftOnCol: String,
+      rightOnCol: String
+  ): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lp = leftDf.queryExecution.analyzed
+    val rp = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    Bridge.ofRows(
+      spark,
+      AsOfJoin(lp, rp, attr(lp, leftByCol), attr(rp, rightByCol), attr(lp, leftOnCol), attr(rp, rightOnCol))
+    )
+  }
+}

@@ -26,6 +26,25 @@ object Events {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** As-of join via the custom AsOfJoin operator (graft.plans): each
+    * click event picks up the user's most recent purchase at-or-before
+    * it. Oracle: DuckDB's native ASOF LEFT JOIN.
+    */
+  def asofPurchase(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val clicks = ev
+      .filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    graft.plans.AsOf
+      .joinAsOf(clicks, purchases, "user_id", "p_user", "ts", "purchase_ts")
+      .select($"event_id", $"user_id", $"purchase_ts", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
   /** Session windows with a 30-minute inactivity gap, per user.
     * session_window merges events whose gap to the previous event is
     * < 30 min; the oracle reproduces this with lag()+cumulative-sum
