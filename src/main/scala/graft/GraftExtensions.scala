@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fdot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.FloatDotProduct", "graft_fdot"),

@@ -56,6 +56,7 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sessions" -> ((s, d) => Events.sessions(s, d)),
     "events_asof" -> ((s, d) => Events.asofPurchase(s, d)),
+    "events_range_join" -> ((s, d) => Events.rangeJoinPairs(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -110,6 +111,7 @@ object SparkEntry {
     "events_tumbling" -> Oracles.eventsTumbling,
     "events_sessions" -> Oracles.eventsSessions,
     "events_asof" -> Oracles.eventsAsof,
+    "events_range_join" -> Oracles.eventsRangeJoin,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     "dedup_exact" -> PipelineOracles.dedupExact,

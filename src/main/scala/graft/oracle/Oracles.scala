@@ -175,6 +175,15 @@ object Oracles {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts
       |ORDER BY c.event_id""".stripMargin
 
+  val eventsRangeJoin: String =
+    """SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+      |  CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      | AND b.ts - a.ts <= INTERVAL 5 MINUTE
+      |ORDER BY id_a, id_b""".stripMargin
+
   val eventsTumbling: String =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value

@@ -45,6 +45,38 @@ object Events {
       .orderBy($"event_id")
   }
 
+  /** Binned range join (composition of built-ins — custom-operator ladder
+    * rung (a)): pairs of events by the same user within 5 minutes of each
+    * other. Naive formulation is an equi-join on user + |Δt| filter; at
+    * scale the standard technique is to ALSO bucket time into
+    * range-width bins and join on (user, bin)∪(user, bin+1), which keeps
+    * each join group O(events-per-bin) instead of O(events-per-user).
+    * Binning is candidate-complete for |Δt| ≤ width, so results are
+    * exact — the DuckDB oracle is the plain inequality join.
+    */
+  def rangeJoinPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val widthUs = 5L * 60 * 1000000
+    val ev = Tables
+      .events(spark, dir)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+    // orient pairs forward in time (ties by id): the later event then sits
+    // in bin or bin+1 of the earlier one — binning is candidate-complete
+    val a = ev.select($"event_id".as("id_a"), $"user_id", $"us".as("us_a"))
+      .withColumn("bin", expr(s"us_a div $widthUs"))
+    val b = ev.select($"event_id".as("id_b"), $"user_id".as("user_b"), $"us".as("us_b"))
+      .withColumn("bin_b", expr(s"us_b div $widthUs"))
+    a.withColumn("probe", explode(array($"bin", $"bin" + 1)))
+      .join(
+        b,
+        $"user_id" === $"user_b" && $"probe" === $"bin_b" &&
+          ($"us_a" < $"us_b" || ($"us_a" === $"us_b" && $"id_a" < $"id_b"))
+      )
+      .filter($"us_b" - $"us_a" <= widthUs)
+      .select($"id_a", $"id_b", $"user_id", ($"us_b" - $"us_a").as("dt_us"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** Session windows with a 30-minute inactivity gap, per user.
     * session_window merges events whose gap to the previous event is
     * < 30 min; the oracle reproduces this with lag()+cumulative-sum
