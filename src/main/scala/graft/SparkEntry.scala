@@ -6,7 +6,7 @@ import graft.oracle.{Oracles, PipelineOracles}
 import graft.queries.{Events, Reference, Relational}
 import graft.similarity.Similarity
 import graft.streaming.StreamingQueries
-import graft.text.TextAnalysis
+import graft.text.{Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -75,6 +75,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
+    "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Multimodal binary-column plumbing
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_extract" -> ((s, d) => Multimodal.extract(s, d))
@@ -126,6 +128,9 @@ object SparkEntry {
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,
     "text_fingerprint" -> PipelineOracles.textFingerprint,
+    "text_hash_split" -> PipelineOracles.textHashSplit,
+    // text_stratified_sample: engine-specific RNG, rows-only check;
+    // SamplingSpec pins determinism + stratum fractions.
     "mm_meta" -> PipelineOracles.mmMeta,
     "mm_extract" -> PipelineOracles.mmExtract
   )

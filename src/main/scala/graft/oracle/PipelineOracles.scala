@@ -245,6 +245,14 @@ object PipelineOracles {
        |  END AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  val textHashSplit: String =
+    """SELECT
+      |  CASE WHEN CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
   // ---- multimodal -------------------------------------------------------
 
   val mmMeta: String =
