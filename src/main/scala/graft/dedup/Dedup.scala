@@ -66,9 +66,15 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
 
   /** Attach exact Jaccard to (id_a, id_b[, inter]) candidates and filter
-    * by threshold. Candidates lacking an `inter` column are inner-joined
-    * to the common-counts table (pairs with no shared shingle have J=0
-    * and drop out, matching the oracle).
+    * by threshold. Candidates lacking an `inter` column get intersection
+    * counts computed FROM THE CANDIDATE SET: join the pairs to doc a's
+    * shingle rows, keep the rows doc b also has, count per pair. Cost is
+    * Σ over candidate pairs of |shingles(a)| — bounded by the candidate
+    * set, never by the full Σ df² inverted-index self-join (pairs with no
+    * shared shingle drop out of the inner join: J=0, matching the oracle).
+    * Doc-size joins are plain shuffle joins (sizes is one row per doc;
+    * an explicit broadcast would OOM the driver at corpus scale — AQE
+    * still broadcasts it when small).
     */
   private def jaccardFilter(
       spark: SparkSession,
@@ -81,10 +87,15 @@ object Dedup {
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val withInter =
       if (cand.columns.contains("inter")) cand
-      else cand.join(pairCommonCounts(sh), Seq("id_a", "id_b"))
+      else
+        cand
+          .join(sh.select($"doc_id".as("id_a"), $"sh"), "id_a")
+          .join(sh.select($"doc_id".as("id_b"), $"sh"), Seq("id_b", "sh"))
+          .groupBy($"id_a", $"id_b")
+          .agg(count(lit(1)).as("inter"))
     withInter
-      .join(broadcast(sizes.select($"doc_id".as("id_a"), $"n".as("na"))), "id_a")
-      .join(broadcast(sizes.select($"doc_id".as("id_b"), $"n".as("nb"))), "id_b")
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
@@ -109,15 +120,21 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, maxShingleDf: Option[Int]): DataFrame = {
     import spark.implicits._
     val sh0 = shingleRows(spark, dir)
-    val sh = maxShingleDf match {
-      case None => sh0
+    maxShingleDf match {
+      case None =>
+        // uncapped: the candidate join already produced exact intersection
+        // counts — keep `inter` so verification reuses it (dropping it
+        // would force a second, identical quadratic join)
+        jaccardFilter(spark, dir, sh0, pairCommonCounts(sh0), NgramThreshold)
       case Some(cap) =>
+        // capped candidates come from the pruned index, but sizes and
+        // verification use the UNCAPPED sets so reported jaccard values
+        // stay true; jaccardFilter recomputes `inter` scoped to the
+        // candidate pairs (NOT via the full uncapped self-join)
         val keep = sh0.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= cap).select($"sh")
-        sh0.join(keep, "sh")
+        val sh = sh0.join(keep, "sh")
+        jaccardFilter(spark, dir, sh0, pairCommonCounts(sh).select($"id_a", $"id_b"), NgramThreshold)
     }
-    // sizes/verification still use the UNCAPPED sets so reported jaccard
-    // values stay true; only candidate generation is capped
-    jaccardFilter(spark, dir, sh0, pairCommonCounts(sh).select($"id_a", $"id_b"), NgramThreshold)
   }
 
   /** MinHash signatures: 16 per document (min over shingles of four

@@ -83,4 +83,24 @@ class PlanSpec extends AnyFunSuite {
     val plan = planString(df)
     assert(plan.contains("partial_count"), plan)
   }
+
+  /** Joins whose condition is the Σ df² inverted-index self-join shape:
+    * shingle-equality plus a doc_id inequality (`a.sh = b.sh AND
+    * a.doc_id < b.doc_id`). The candidate-scoped verification join pairs
+    * shingle equality with doc-id EQUALITY instead, so it doesn't match.
+    */
+  private def shingleSelfJoins(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan
+      .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.toString).getOrElse("")
+      }
+      .count(c => "sh#\\d+L? = sh#\\d+".r.findFirstIn(c).isDefined && c.contains(" < "))
+
+  test("dedup_ngram_jaccard runs the inverted-index self-join exactly once (no double compute)") {
+    assert(shingleSelfJoins(graft.dedup.Dedup.ngramJaccard(spark, dir)) === 1)
+  }
+
+  test("dedup_minhash verification is candidate-scoped (no full shingle self-join)") {
+    assert(shingleSelfJoins(graft.dedup.Dedup.minhashLsh(spark, dir)) === 0)
+  }
 }
