@@ -24,11 +24,13 @@ object Dedup {
   val MinhashK = 16
   val JaccardThreshold = 0.5
   val NgramThreshold = 0.5
-  val SimhashBits = 32
+  val SimhashBits = 64
   val SimhashMaxHamming = 3
-  val SimhashBands = 4 // 4 bands × 8 bits; hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)
-  val EmbedPlanes = 16
-  val EmbedBands = 4 // 4 bands × 4 bits
+  val SimhashBands = 4 // hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)
+  val SimhashBandBits = 16 // 65 536 buckets/band — candidate pairs O(n²/65536) per band
+  val EmbedPlanes = 64
+  val EmbedBands = 8 // 8 bands × 8 bits: 256 buckets/band, OR-amplified recall
+  val EmbedBandBits = 8
   val EmbedCosThreshold = 0.4
 
   /** Exact dedup: group by md5(text); keeper = min doc_id per hash. One
@@ -178,8 +180,8 @@ object Dedup {
     jaccardFilter(spark, dir, sh, cand, JaccardThreshold)
   }
 
-  /** 32-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where
-    * the sign comes from bit j of the token's md5 (nibbles 1..8).
+  /** 64-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where
+    * the sign comes from bit j of the token's md5 (nibbles 1..16).
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -208,10 +210,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, found EXACTLY via
-    * 4×8-bit band buckets: ≤3 differing bits cannot touch all 4 bands, so
+    * 4×16-bit band buckets: ≤3 differing bits cannot touch all 4 bands, so
     * every qualifying pair collides in ≥1 band (pigeonhole — no
     * probabilistic recall loss). Bucket join + bit_count filter; at
-    * 100 TB only (band, 8-bit value, doc_id) triples shuffle.
+    * 100 TB only (band, 16-bit value, doc_id) triples shuffle, and the
+    * 65 536-way bucket space keeps per-band candidates at O(n²/65536)
+    * (an 8-bit band space would collapse to 256 buckets — quadratic in
+    * practice at web scale).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -222,7 +227,8 @@ object Dedup {
       posexplode(
         array(
           (0 until SimhashBands).map(b =>
-            shiftright($"simhash", b * 8).bitwiseAND(lit(255L))
+            shiftright($"simhash", b * SimhashBandBits)
+              .bitwiseAND(lit((1L << SimhashBandBits) - 1))
           ): _*
         )
       ).as(Seq("band", "bucket"))
@@ -246,9 +252,23 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Embedding near-dup: 16 random-hyperplane LSH bits, 4×4-bit bands for
+  /** Band buckets of a hyperplane-LSH signature: EmbedBands values of
+    * EmbedBandBits bits each. Shared by embeddingNearDup, Similarity
+    * .annLsh, and the oracle generator so the band layout can't drift.
+    */
+  private[graft] def embedBandBuckets(sig: Column): Column =
+    array(
+      (0 until EmbedBands).map(b =>
+        shiftright(sig, b * EmbedBandBits).bitwiseAND(lit((1L << EmbedBandBits) - 1))
+      ): _*
+    )
+
+  /** Embedding near-dup: 64 random-hyperplane LSH bits, 8×8-bit bands for
     * candidates, exact cosine verification ≥ 0.4. Approximate recall by
-    * design (documented LSH tradeoff); the oracle replays the identical
+    * design (documented LSH tradeoff — 256 buckets/band bounds candidate
+    * pairs at O(n²/256) per band, and the 8-way band OR keeps recall for
+    * true near-dups: at cosine ≥ 0.9 a band collides w.p. (1-θ/π)⁸ ≈ 0.29,
+    * so ≥1-of-8 collides w.p. ≈ 0.94); the oracle replays the identical
     * algorithm so the check is still exact. At scale: signatures are one
     * long per vector; candidates shuffle within buckets only.
     */
@@ -265,11 +285,7 @@ object Dedup {
       )
     val banded = emb.select(
       $"vec_id",
-      posexplode(
-        array(
-          (0 until EmbedBands).map(b => shiftright($"sig", b * 4).bitwiseAND(lit(15L))): _*
-        )
-      ).as(Seq("band", "bucket"))
+      posexplode(embedBandBuckets($"sig")).as(Seq("band", "bucket"))
     )
     val cand = banded
       .as("a")

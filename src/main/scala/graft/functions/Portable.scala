@@ -80,8 +80,10 @@ object Portable {
     }
 
   /** LSH bit-signature of a float-array column against `planes`:
-    * bit p set iff dot(v, plane_p) > 0. Returns a long (supports up to 63
-    * planes).
+    * bit p set iff dot(v, plane_p) > 0. Returns a long (supports up to 64
+    * planes — the 64th lands on the sign bit; summing distinct powers of
+    * two never carries, so the chain is equivalent to bitwise OR on both
+    * engines).
     */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex

@@ -70,11 +70,18 @@ object PipelineOracles {
       .mkString(" + ")
   }
 
+  /** Integer sum of distinct powers of two — association-free, so the
+    * per-plane terms are grouped in chunks of 8 to stay under DuckDB's
+    * 128-deep expression binder limit (the inner float dot chains MUST
+    * stay left-associated for parity and are depth-64 on their own).
+    */
   private def lshSigSql(vec: String, planes: Array[Array[Double]]): String =
     planes.zipWithIndex
       .map { case (p, i) =>
         s"(CASE WHEN ${dotConstSql(vec, p)} > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
       }
+      .grouped(8)
+      .map(_.mkString("(", " + ", ")"))
       .mkString(" + ")
 
   private def stopList(words: Seq[String]): String =
@@ -145,10 +152,12 @@ object PipelineOracles {
 
   private def embBands(src: String): String =
     s"""sig AS (SELECT vec_id, embedding, nrm, ${lshSigSql("embedding", planes)} AS s FROM $src),
-       |bands AS (SELECT vec_id, bb.b AS band, ((s >> (4 * bb.b)) & 15) AS bucket
+       |bands AS (SELECT vec_id, bb.b AS band,
+       |    ((s >> (${Dedup.EmbedBandBits} * bb.b)) & ${(1L << Dedup.EmbedBandBits) - 1}) AS bucket
        |  FROM sig, (SELECT unnest(generate_series(0, ${Dedup.EmbedBands - 1})) AS b) bb)""".stripMargin
 
-  /** Replays hyperplane signatures, 4×4-bit banding, and exact cosine
+  /** Replays hyperplane signatures, the shared band layout
+    * (Dedup.EmbedBands × Dedup.EmbedBandBits), and exact cosine
     * verification.
     */
   val dedupEmbedding: String =

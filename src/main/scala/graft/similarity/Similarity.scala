@@ -86,7 +86,8 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share ≥1 signature band with the query,
     * then exact cosine re-rank, top-3 per query. Same hyperplane
-    * constants as Dedup.embeddingNearDup.
+    * constants and band layout as Dedup.embeddingNearDup (shared
+    * embedBandBuckets helper).
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -95,11 +96,7 @@ object Similarity {
       .withColumn("sig", lshSignature($"embedding", planes))
     val banded = emb.select(
       $"vec_id",
-      posexplode(
-        array(
-          (0 until Dedup.EmbedBands).map(b => shiftright($"sig", b * 4).bitwiseAND(lit(15L))): _*
-        )
-      ).as(Seq("band", "bucket"))
+      posexplode(Dedup.embedBandBuckets($"sig")).as(Seq("band", "bucket"))
     )
     val queryBands = banded
       .filter($"vec_id" < NumQueries)
