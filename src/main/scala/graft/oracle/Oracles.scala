@@ -153,11 +153,16 @@ object Oracles {
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
   val q19LagLead: String =
-    """SELECT o_custkey, o_orderkey,
+    """WITH cuts AS (SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+      |  quantile_cont(o_totalprice, 0.50) AS c2,
+      |  quantile_cont(o_totalprice, 0.75) AS c3 FROM orders)
+      |SELECT o_custkey, o_orderkey,
       |  round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
       |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
-      |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS price_quartile
-      |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |  CAST(1 + (CASE WHEN o_totalprice > c1 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN o_totalprice > c2 THEN 1 ELSE 0 END)
+      |         + (CASE WHEN o_totalprice > c3 THEN 1 ELSE 0 END) AS BIGINT) AS price_quartile
+      |FROM orders, cuts WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
   val q20Percentiles: String =

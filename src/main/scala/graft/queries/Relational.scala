@@ -295,14 +295,31 @@ object Relational {
   def q19LagLead(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-    Tables
-      .orders(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    // Value-based quartile from three exact percentile cutoffs instead of
+    // a global ntile: an empty-partition window funnels the whole table
+    // through one task, while the cutoffs are a 1-row aggregate broadcast
+    // back over the data (partition-parallel at any scale). Comparison
+    // parity with the oracle is exact: cutoffs at duplicate-heavy
+    // positions are data values in both engines, and interpolated cutoffs
+    // fall strictly between adjacent distinct values, so an ULP of
+    // engine difference can never flip a row's bucket.
+    val cuts = orders.agg(
+      expr("percentile(o_totalprice, 0.25)").as("c1"),
+      expr("percentile(o_totalprice, 0.50)").as("c2"),
+      expr("percentile(o_totalprice, 0.75)").as("c3")
+    )
+    orders
+      .crossJoin(broadcast(cuts))
       .select(
         $"o_custkey",
         $"o_orderkey",
         round(lag($"o_totalprice", 1).over(w), 4).as("prev_price"),
         round(lead($"o_totalprice", 1).over(w), 4).as("next_price"),
-        ntile(4).over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long").as("price_quartile")
+        (lit(1L)
+          + when($"o_totalprice" > $"c1", 1L).otherwise(0L)
+          + when($"o_totalprice" > $"c2", 1L).otherwise(0L)
+          + when($"o_totalprice" > $"c3", 1L).otherwise(0L)).as("price_quartile")
       )
       .orderBy($"o_custkey", $"o_orderkey")
   }

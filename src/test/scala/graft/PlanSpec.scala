@@ -103,4 +103,14 @@ class PlanSpec extends AnyFunSuite {
   test("dedup_minhash verification is candidate-scoped (no full shingle self-join)") {
     assert(shingleSelfJoins(graft.dedup.Dedup.minhashLsh(spark, dir)) === 0)
   }
+
+  test("q19 has no empty-partition window (no single-task global funnel)") {
+    val windows = Relational
+      .q19LagLead(spark, dir)
+      .queryExecution
+      .optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
 }
