@@ -60,6 +60,7 @@ object SparkEntry {
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
+    "stream_sessions" -> ((s, d) => StreamingQueries.sessionizeComplete(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -116,6 +117,8 @@ object SparkEntry {
     "events_range_join" -> Oracles.eventsRangeJoin,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
+    // the drained streaming sessionizer equals the batch session_window
+    "stream_sessions" -> Oracles.eventsSessions,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     "dedup_minhash" -> PipelineOracles.dedupMinhash,

@@ -30,12 +30,16 @@ case class ClosedSession(
   */
 object StreamingQueries {
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+  private def eventStream(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "events.parquet" // source dirs hold one file per table
+  ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet") // source dirs hold one file per table
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -70,7 +74,12 @@ object StreamingQueries {
     * queries.Events.sessions. StreamingSpec checks emitted sessions
     * against the batch result.
     */
-  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  def sessionize(
+      spark: SparkSession,
+      dir: String,
+      gapMinutes: Int = 30,
+      glob: String = "events.parquet"
+  ): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
@@ -112,7 +121,7 @@ object StreamingQueries {
       closed.iterator
     }
 
-    val agg = eventStream(spark, dir)
+    val agg = eventStream(spark, dir, glob)
       .withWatermark("ts", "10 minutes")
       .select(
         $"user_id".as[Long],
@@ -124,6 +133,36 @@ object StreamingQueries {
     runToMemory(agg.toDF, s"stream_sessions_${System.nanoTime()}", "append")
       .select($"user_id", $"session_start", $"n_events", round($"sum_value", 4).as("sum_value"))
       .orderBy($"user_id", $"session_start")
+  }
+
+  /** sessionize with a COMPLETE emitted set: the event file is staged to
+    * a temp directory together with ONE far-future sentinel event whose
+    * timestamp pushes the final watermark past every real session's
+    * gap-extended end, so every event-time timeout fires and the emitted
+    * sessions equal the batch session_window result (checked against the
+    * same DuckDB oracle). This is the standard end-of-stream drain a
+    * production pipeline performs (a max-watermark heartbeat record) —
+    * the operator itself stays unbounded-input/bounded-state.
+    */
+  def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
+    val stage =
+      java.nio.file.Files.createTempDirectory("graft_sessions_").toString
+    raw.write.mode("overwrite").parquet(stage)
+    val maxTs = raw.agg(max($"ts")).head.getLong(0)
+    // sentinel lands (gap + watermark-delay + 1h) past the last event —
+    // strictly beyond every session's timeout timestamp
+    val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
+    raw
+      .limit(1)
+      .withColumn("ts", lit(flushTs))
+      .withColumn("user_id", lit(-1L))
+      .write
+      .mode("append")
+      .parquet(stage)
+    sessionize(spark, stage, gapMinutes, glob = "*.parquet").filter($"user_id" >= 0)
   }
 
   /** Arbitrary stateful aggregation via mapGroupsWithState: per-user

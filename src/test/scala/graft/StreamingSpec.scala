@@ -86,4 +86,19 @@ class StreamingSpec extends AnyFunSuite {
     // every emitted session must be exactly a batch session
     emitted.foreach(s => assert(batch.contains(s), s"emitted session $s not in batch result"))
   }
+
+  test("drained streaming sessionization (sentinel watermark push) EQUALS batch sessions") {
+    import spark.implicits._
+    val emitted = StreamingQueries.sessionizeComplete(spark, dir)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = queries.Events.sessions(spark, dir)
+      .select($"user_id", $"session_start", $"n_events", $"sum_value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(emitted === batch)
+  }
 }
