@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   UnsafeProjection
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graft.Bridge
@@ -40,7 +41,8 @@ case class AsOfJoin(
     leftBy: Attribute,
     rightBy: Attribute,
     leftOn: Attribute,
-    rightOn: Attribute
+    rightOn: Attribute,
+    rightTie: Option[Attribute]
 ) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
@@ -49,19 +51,29 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lBy, rBy, lOn, rOn) =>
-      AsOfJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn) :: Nil
+    case AsOfJoin(l, r, lBy, rBy, lOn, rOn, tie) =>
+      AsOfJoinExec(planLater(l), planLater(r), lBy, rBy, lOn, rOn, tie) :: Nil
     case _ => Nil
   }
 }
 
+/** Physical as-of join. Key types are generic: comparisons go through the
+  * interpreted orderings of the key data types (any ordered type — long,
+  * timestamp, string, decimal — works; no casts).
+  *
+  * Tie rule: among right rows sharing the same (by, on) pair the row
+  * sorting LAST under `rightTie` ascending wins — deterministic across
+  * runs when a tie key is supplied (without one, ties fall back to
+  * whatever order the sort produced, which Spark does not pin).
+  */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftBy: Expression,
     rightBy: Expression,
     leftOn: Expression,
-    rightOn: Expression
+    rightOn: Expression,
+    rightTie: Option[Expression]
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
@@ -73,7 +85,8 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(
       Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
-      Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending))
+      Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending)) ++
+        rightTie.map(SortOrder(_, Ascending))
     )
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -81,30 +94,38 @@ case class AsOfJoinExec(
     val lOnB = BindReferences.bindReference(leftOn, left.output)
     val rByB = BindReferences.bindReference(rightBy, right.output)
     val rOnB = BindReferences.bindReference(rightOn, right.output)
+    val byOrd = TypeUtils.getInterpretedOrdering(leftBy.dataType)
+    val onOrd = TypeUtils.getInterpretedOrdering(leftOn.dataType)
     val rightWidth = right.output.size
     val allOutput = output
 
+    // the projection's input schema must mark right columns nullable even
+    // when the child declares them non-nullable — null-extension writes
+    // nulls into those slots, and a non-nullable BoundReference would
+    // read them as 0/false instead of null
+    val projInput = left.output ++ right.output.map(_.withNullability(true))
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val proj = UnsafeProjection.create(allOutput, left.output ++ right.output)
+      val proj = UnsafeProjection.create(allOutput, projInput)
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
 
       // candidate = latest right row seen with (by == current left by,
-      // on <= current left on); reset when the by-key advances
-      var candBy: Long = 0L
-      var candSet = false
+      // on <= current left on); reset when the by-key advances. candBy is
+      // re-evaluated from the COPIED row so it never aliases the mutable
+      // scan buffer.
+      var candBy: Any = null
       var cand: InternalRow = null
 
       lIter.map { lRow =>
         val lByV = lByB.eval(lRow)
-        if (lByV == null || lOnB.eval(lRow) == null) {
+        val lOnV = lOnB.eval(lRow)
+        if (lByV == null || lOnV == null) {
           proj(joined(lRow, nullRight))
         } else {
-          val lb = lByV.asInstanceOf[Long]
-          val lo = lOnB.eval(lRow).asInstanceOf[Long]
-          if (candSet && candBy != lb) { candSet = false; cand = null }
-          // advance the right side up to (lb, lo)
+          if (cand != null && byOrd.compare(candBy, lByV) != 0) { cand = null; candBy = null }
+          // advance the right side up to (lByV, lOnV)
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val head = rBuf.head
@@ -112,15 +133,15 @@ case class AsOfJoinExec(
             val rOnV = rOnB.eval(head)
             if (rByV == null || rOnV == null) { rBuf.next() } // unmatched key rows
             else {
-              val rb = rByV.asInstanceOf[Long]
-              val ro = rOnV.asInstanceOf[Long]
-              if (rb < lb || (rb == lb && ro <= lo)) {
-                if (rb == lb) { cand = rBuf.next().copy(); candBy = rb; candSet = true }
-                else rBuf.next()
+              val byCmp = byOrd.compare(rByV, lByV)
+              if (byCmp < 0) rBuf.next()
+              else if (byCmp == 0 && onOrd.compare(rOnV, lOnV) <= 0) {
+                cand = rBuf.next().copy()
+                candBy = rByB.eval(cand)
               } else advancing = false
             }
           }
-          if (candSet && candBy == lb) proj(joined(lRow, cand))
+          if (cand != null) proj(joined(lRow, cand))
           else proj(joined(lRow, nullRight))
         }
       }
@@ -134,10 +155,12 @@ case class AsOfJoinExec(
 /** Column-API surface for the custom operator. */
 object AsOf {
 
-  /** As-of (backward) left join: both inputs must expose `by` (long) and
-    * `on` (timestamp/long) columns by name; right columns must not clash
-    * with left's (pre-rename them). Registers the planner strategy on the
-    * session lazily.
+  /** As-of (backward) left join: both inputs must expose `by` and `on`
+    * columns by name (any ordered data type); right columns must not
+    * clash with left's (pre-rename them). `rightTieCol`, when given,
+    * makes the pick among right rows with identical (by, on) keys
+    * deterministic (the row with the greatest tie value wins). Registers
+    * the planner strategy on the session lazily.
     */
   def joinAsOf(
       leftDf: DataFrame,
@@ -145,7 +168,8 @@ object AsOf {
       leftByCol: String,
       rightByCol: String,
       leftOnCol: String,
-      rightOnCol: String
+      rightOnCol: String,
+      rightTieCol: Option[String] = None
   ): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
@@ -157,7 +181,15 @@ object AsOf {
       p.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(s"no column $name"))
     Bridge.ofRows(
       spark,
-      AsOfJoin(lp, rp, attr(lp, leftByCol), attr(rp, rightByCol), attr(lp, leftOnCol), attr(rp, rightOnCol))
+      AsOfJoin(
+        lp,
+        rp,
+        attr(lp, leftByCol),
+        attr(rp, rightByCol),
+        attr(lp, leftOnCol),
+        attr(rp, rightOnCol),
+        rightTieCol.map(attr(rp, _))
+      )
     )
   }
 }

@@ -38,9 +38,14 @@ object Events {
       .select($"event_id", $"user_id", $"ts")
     val purchases = ev
       .filter($"event_type" === "purchase")
-      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+      .select(
+        $"event_id".as("p_event"),
+        $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"),
+        $"value".as("purchase_value")
+      )
     graft.plans.AsOf
-      .joinAsOf(clicks, purchases, "user_id", "p_user", "ts", "purchase_ts")
+      .joinAsOf(clicks, purchases, "user_id", "p_user", "ts", "purchase_ts", Some("p_event"))
       .select($"event_id", $"user_id", $"purchase_ts", $"purchase_value")
       .orderBy($"event_id")
   }

@@ -50,4 +50,54 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning"), plan)
     assert(plan.contains("Sort ["), plan)
   }
+
+  test("string by-keys and string on-keys join via interpreted orderings (no Long casts)") {
+    import spark.implicits._
+    val quotes = Seq(
+      ("aapl", "09:00", 10.0),
+      ("aapl", "09:30", 11.0),
+      ("msft", "09:10", 20.0)
+    ).toDF("q_sym", "q_time", "px")
+    val trades = Seq(
+      ("aapl", "09:15", 1L),
+      ("aapl", "09:45", 2L),
+      ("msft", "09:05", 3L),
+      ("goog", "09:20", 4L)
+    ).toDF("sym", "time", "trade_id")
+    val out = AsOf
+      .joinAsOf(trades, quotes, "sym", "q_sym", "time", "q_time")
+      .select($"trade_id", $"px")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1))))
+      .toMap
+    assert(out === Map(1L -> Some(10.0), 2L -> Some(11.0), 3L -> None, 4L -> None))
+  }
+
+  test("empty right side null-extends every left row") {
+    import spark.implicits._
+    val left = Seq((1L, 5L), (2L, 6L)).toDF("k", "t")
+    val right = Seq
+      .empty[(Long, Long, Double)]
+      .toDF("rk", "rt", "v")
+    val out = AsOf.joinAsOf(left, right, "k", "rk", "t", "rt").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(4)))
+  }
+
+  test("equal (by, on) right rows resolve deterministically to the greatest tie key") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 100L, 7L, "first"),
+      (1L, 100L, 9L, "last"),
+      (1L, 100L, 8L, "middle")
+    ).toDF("rk", "rt", "tie", "tag")
+    (1 to 3).foreach { _ =>
+      val out = AsOf
+        .joinAsOf(left, right.repartition(3), "k", "rk", "t", "rt", Some("tie"))
+        .select($"tag")
+        .collect()
+      assert(out.map(_.getString(0)).toSeq === Seq("last"))
+    }
+  }
 }
