@@ -19,19 +19,27 @@ object Bench {
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // min of 2 runs per query: damps host CPU variance without hiding
-    // systematic cost (standard steady-state methodology)
+    // systematic cost (standard steady-state methodology). A query whose
+    // run throws reports the sentinel -1 (and lands in "failed") instead
+    // of silently contributing its fast failure time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -264,10 +264,15 @@ object PipelineOracles {
 
   // ---- multimodal -------------------------------------------------------
 
+  /** head_hex slices BYTES on both sides: Spark hexes the first 8 bytes
+    * of the binary payload, so the oracle takes the first 16 hex chars of
+    * the whole encoded payload (char-based substr(text,1,8) would
+    * diverge on any multi-byte UTF-8 document).
+    */
   val mmMeta: String =
     """SELECT doc_id AS media_id, 'application/x-fake-' || source AS mime,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  lower(hex(substr(text, 1, 8))) AS head_hex,
+      |  lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY media_id""".stripMargin
 
