@@ -52,6 +52,7 @@ object SparkEntry {
     "q19_lag_lead" -> ((s, d) => Relational.q19LagLead(s, d)),
     "q20_percentiles" -> ((s, d) => Relational.q20Percentiles(s, d)),
     "q21_approx_sketches" -> ((s, d) => Relational.q21ApproxSketches(s, d)),
+    "q22_bucketed_join" -> ((s, d) => Relational.q22BucketedJoin(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_sessions" -> ((s, d) => Events.sessions(s, d)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q18_collect_list" -> Oracles.q18CollectList,
     "q19_lag_lead" -> Oracles.q19LagLead,
     "q20_percentiles" -> Oracles.q20Percentiles,
+    "q22_bucketed_join" -> Oracles.q22BucketedJoin,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).

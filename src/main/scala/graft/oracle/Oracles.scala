@@ -165,6 +165,14 @@ object Oracles {
       |FROM orders, cuts WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** The bucketed layout changes the physical plan, not the result — the
+    * oracle is the plain join over the source tables.
+    */
+  val q22BucketedJoin: String =
+    """SELECT o_orderpriority, count(*) AS n_items, round(sum(l_extendedprice), 4) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q20Percentiles: String =
     """SELECT l_returnflag,
       |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,

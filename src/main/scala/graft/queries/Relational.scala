@@ -359,4 +359,48 @@ object Relational {
       )
       .orderBy($"l_returnflag")
   }
+
+  /** Bucketed-table co-located join (SCALING.md's >1 PB playbook): both
+    * fact tables are written ONCE per session bucketed by orderkey into
+    * the same bucket count, so the orderkey join plans with ZERO shuffle
+    * exchanges — each task reads matching bucket files from both sides
+    * (PlanSpec pins this). The merge hint keeps the plan a sort-merge
+    * join even at tiny test scale where broadcast would hide the
+    * property; at real scale neither side is broadcastable and the
+    * avoided exchange is the whole cost of the join. Bucket writes land
+    * in a scale-tagged /tmp path (amortized like any production bucketed
+    * layout — bench's min-of-2 times the join, not the one-time write).
+    */
+  def q22BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ordersT = s"graft_orders_bucketed$tag"
+    val lineitemT = s"graft_lineitem_bucketed$tag"
+    if (!spark.catalog.tableExists(ordersT)) {
+      Tables
+        .orders(spark, dir)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", s"/tmp/graft_bucketed/$ordersT")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ordersT)
+      Tables
+        .lineitem(spark, dir)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .option("path", s"/tmp/graft_bucketed/$lineitemT")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lineitemT)
+    }
+    spark
+      .table(lineitemT)
+      .join(spark.table(ordersT).hint("merge"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 4).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
 }

@@ -104,6 +104,21 @@ class PlanSpec extends AnyFunSuite {
     assert(shingleSelfJoins(graft.dedup.Dedup.minhashLsh(spark, dir)) === 0)
   }
 
+  test("q22 bucketed join plans sort-merge with ZERO shuffle exchanges") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val root = Relational.q22BucketedJoin(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    val smjs = root.collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, root.toString)
+    // co-located bucket reads: no exchange anywhere under the join
+    smjs.foreach { smj =>
+      val exchanges = smj.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, smj.toString)
+    }
+  }
+
   test("q19 has no empty-partition window (no single-task global funnel)") {
     val windows = Relational
       .q19LagLead(spark, dir)
