@@ -27,8 +27,27 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/documents.parquet")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/embeddings.parquet")
+  /** Fans a sub-cores-split scan out to every core. The driver's test
+    * files are single-split (<128 MB), which would serialize the
+    * md5/shingle/vector-heavy map chains of the pipeline operators onto
+    * one task; a real corpus has ≥ cores input splits and takes the
+    * no-op branch, so no shuffle is ever added at scale. The shuffled
+    * payload in the fan-out branch is by definition smaller than one
+    * split.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
+  /** documents/embeddings feed per-row-heavy operators (shingling,
+    * minhashing, tokenization, hyperplane projections) — always served
+    * fanned out.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark.read.parquet(s"$dir/documents.parquet"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark.read.parquet(s"$dir/embeddings.parquet"))
 }
 
 /** Local session factory used by Bench and the test suites. Local-mode

@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  val MinhashSeeds = 4 // 4 md5 evaluations × 4 chunks = 16 minhashes
-  val MinhashK = 16
+  val MinhashSeeds = 8 // 8 md5 evaluations × 4 chunks = 32 minhashes
+  val MinhashK = 32
+  val MinhashBandRows = 2 // b=16 bands × r=2 rows (threshold (1/16)^(1/2) = 0.25)
   val JaccardThreshold = 0.5
   val NgramThreshold = 0.5
   val SimhashBits = 64
@@ -139,7 +140,7 @@ object Dedup {
     }
   }
 
-  /** MinHash signatures: 16 per document (min over shingles of four
+  /** MinHash signatures: 32 per document (min over shingles of eight
     * md5-derived 32-bit hashes × four chunks).
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
@@ -153,26 +154,38 @@ object Dedup {
     sh.select(hexCols: _*).groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
-  /** MinHash + LSH dedup: b=16 bands of r=1 row — a candidate is any pair
-    * agreeing on ≥1 of the 16 minhashes (for true Jaccard J the miss
-    * probability is (1-J)^16 ≤ 1.5e-5 at J=0.5, ~1e-27 for the planted
-    * 0.98 near-dups) — then exact-Jaccard verification removes all false
-    * positives. At 100 TB only signatures shuffle (16 longs/doc), never
-    * text.
+  /** MinHash + LSH dedup: b=16 bands of r=2 minhashes — a candidate is
+    * any pair agreeing on BOTH hashes of ≥1 band. The (b, r) pair sets
+    * the collision threshold (1/b)^(1/r) = 0.25: at the J=0.5 decision
+    * boundary recall is 1-(1-J²)^16 ≈ 0.99 (≈1-1e-11 for planted 0.9+
+    * near-dups), while background pairs (J ≈ 0.05) collide w.p. ≈ 0.6%,
+    * so the candidate set — and with it the exact-Jaccard verification
+    * join — stays a small multiple of the true near-dup count. r=1
+    * single-hash bands would admit ~half of all shingle-sharing pairs as
+    * candidates (quadratic at web scale); r=2 is what keeps the
+    * verification cost candidate-bounded at 100 TB. Only signatures
+    * shuffle (32 longs/doc), never text.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
     val sig = minhashSignatures(spark, dir)
-    val melted = sig.select(
+    // band key packs the r=2 member hashes (each < 2^32) into one long
+    val banded = sig.select(
       $"doc_id",
-      posexplode(array((0 until MinhashK).map(i => col(s"mh$i")): _*)).as(Seq("band", "mh"))
+      posexplode(
+        array(
+          (0 until MinhashK / MinhashBandRows).map(b =>
+            shiftleft(col(s"mh${2 * b}"), 32).bitwiseOR(col(s"mh${2 * b + 1}"))
+          ): _*
+        )
+      ).as(Seq("band", "bv"))
     )
-    val cand = melted
+    val cand = banded
       .as("a")
       .join(
-        melted.as("b"),
-        col("a.band") === col("b.band") && col("a.mh") === col("b.mh") &&
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id")
       )
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

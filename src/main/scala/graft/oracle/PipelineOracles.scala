@@ -103,19 +103,24 @@ object PipelineOracles {
     s"""WITH $shingleSets
        |${jaccardSelect("common", Dedup.NgramThreshold)}""".stripMargin
 
-  /** Replays the minhash signatures (4 md5 seeds × 4 hex chunks) and the
-    * b=16/r=1 banding, then the same exact-Jaccard verification.
+  /** Replays the minhash signatures (8 md5 seeds × 4 hex chunks = 32
+    * hashes) and the b=16/r=2 banding (a band matches when BOTH of its
+    * two member hashes agree), then the same exact-Jaccard verification.
     */
   val dedupMinhash: String =
     s"""WITH $shingleSets,
        |mh AS (
-       |  SELECT doc_id, ss.s * 4 + cc.c AS band,
+       |  SELECT doc_id, ss.s * 4 + cc.c AS i,
        |    min(CAST('0x' || substr(md5(sh || '#' || CAST(ss.s AS VARCHAR)), 1 + 8 * cc.c, 8) AS BIGINT)) AS v
        |  FROM shx, (SELECT unnest(generate_series(0, ${Dedup.MinhashSeeds - 1})) AS s) ss,
        |       (SELECT unnest(generate_series(0, 3)) AS c) cc
        |  GROUP BY doc_id, ss.s * 4 + cc.c),
+       |bands AS (SELECT e.doc_id, e.i // 2 AS band, e.v AS v1, o.v AS v2
+       |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.i = e.i + 1
+       |  WHERE e.i % 2 = 0),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM mh a JOIN mh b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
        |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
 
   /** Brute-force hamming pairs over replayed 32-bit simhash signatures

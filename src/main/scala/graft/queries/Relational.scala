@@ -330,8 +330,10 @@ object Relational {
     */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // exact percentile buffers every group value in the partial
+    // aggregation — fan the scan out so that work isn't single-split
     Tables
-      .lineitem(spark, dir)
+      .fanOut(Tables.lineitem(spark, dir))
       .groupBy($"l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
