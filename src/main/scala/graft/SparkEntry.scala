@@ -72,6 +72,7 @@ object SparkEntry {
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
+    "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
+    "sim_ann_ivf" -> PipelineOracles.simAnnIvf,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

@@ -207,6 +207,35 @@ object PipelineOracles {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Replays the IVF pipeline: sampled centroids, nearest-cell
+    * assignment (ties to the lowest centroid id — same rule as the Spark
+    * argmax), nprobe nearest cells per query, exact cosine re-rank.
+    */
+  val simAnnIvf: String =
+    s"""WITH $embNorms,
+       |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+       |  FROM norms WHERE vec_id % ${Similarity.IvfStride} = 0),
+       |scored_cells AS (SELECT n.vec_id, cents.cid,
+       |    ${dotSql("n.embedding", "cents.ce")} / (n.nrm * cents.cn) AS ccos
+       |  FROM norms n, cents),
+       |cell_rank AS (SELECT vec_id, cid, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |  FROM scored_cells),
+       |cell AS (SELECT vec_id, cid FROM cell_rank WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
+       |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
+       |cand AS (SELECT DISTINCT qprobe.query_id, cell.vec_id
+       |  FROM cell JOIN qprobe ON cell.cid = qprobe.cid
+       |  WHERE cell.vec_id <> qprobe.query_id),
+       |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+       |  FROM cand JOIN norms q ON q.vec_id = cand.query_id JOIN norms e ON e.vec_id = cand.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ---- text analysis ----------------------------------------------------
 
   val textLangId: String =

@@ -26,6 +26,8 @@ object Similarity {
 
   val TopK = 5
   val NumQueries = 10 // query set = vec_id < 10
+  val IvfStride = 50 // centroids = every 50th vector (deterministic quantizer)
+  val IvfProbes = 2 // query probes its 2 nearest cells
 
   private def corpusWithNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -81,6 +83,61 @@ object Similarity {
       }
       .toDF("query_id", "neighbor_id", "rank", "cosine")
       .select($"query_id", $"neighbor_id", $"rank".cast("int").as("rank"), round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF (inverted-file) ANN — the clustering-based scale path beside the
+    * LSH one: a coarse quantizer partitions the corpus into cells, each
+    * vector joins the inverted list of its nearest centroid, and a query
+    * scans only its `IvfProbes` nearest cells before the exact cosine
+    * re-rank. The quantizer here is a deterministic sample (every
+    * `IvfStride`-th vector) so the DuckDB oracle can replay assignment
+    * exactly; production would train k-means centroids — the plumbing
+    * (assign → invert → probe → re-rank) is identical.
+    *
+    * Scale shape: centroids broadcast (corpus/stride rows); assignment is
+    * one map pass with a map-side argmax aggregation (one row per vector
+    * shuffles); the probe is an equi-join on cell id, so per-query work
+    * is O(corpus × probes / cells), never a full scan. Ties in the
+    * argmax break to the lowest centroid id on both engines.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val cents = emb
+      .filter($"vec_id" % IvfStride === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val scoredCells = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+    // nearest cell per vector: max(struct) aggregates map-side — at scale
+    // one row per vector shuffles, not one per (vector, centroid)
+    val cell = scoredCells
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val qprobe = scoredCells
+      .filter($"vec_id" < NumQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= IvfProbes)
+      .select($"vec_id".as("query_id"), $"cid")
+    val cand = cell
+      .join(broadcast(qprobe), "cid")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .distinct()
+    val queryVecs = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    cand
+      .join(broadcast(queryVecs), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 

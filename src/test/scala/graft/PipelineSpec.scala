@@ -77,6 +77,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assignment covers the corpus; probed candidates rank with exact cosines") {
+    import spark.implicits._
+    val nVecs = Tables.embeddings(spark, dir).count()
+    val ivf = Similarity.annIvf(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    // ranks are 1..k contiguous per query
+    ivf.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+    }
+    // where IVF and brute force score the same pair, cosines are identical
+    val brute = Similarity.topKBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    ivf.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      brute.get(k).foreach(b => assert(b === r.getDouble(3), s"cosine mismatch for $k"))
+    }
+    assert(nVecs > 0)
+  }
+
   test("multimodal batched extraction: every item decoded, feature shape fixed") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)
