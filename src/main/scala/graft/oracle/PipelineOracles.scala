@@ -296,6 +296,49 @@ object PipelineOracles {
       |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Replays the composed curation flow from the same fragments the
+    * individual oracles use: language filter ∧ quality floor ∧
+    * exact-dedup keeper ∧ hash split.
+    */
+  val pipelineCurate: String = {
+    val splitBucket =
+      """CAST('0x' || substr(md5('split#' || CAST(lang.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"""
+    s"""WITH toks AS (SELECT doc_id, text, $toks AS w FROM documents),
+       |scores AS (SELECT doc_id,
+       |  ${hitsSql(TextAnalysis.StopEn)} AS en_hits,
+       |  ${hitsSql(TextAnalysis.StopDe)} AS de_hits,
+       |  ${hitsSql(TextAnalysis.StopFr)} AS fr_hits,
+       |  ${hitsSql(TextAnalysis.StopEs)} AS es_hits
+       |  FROM toks),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN en_hits + de_hits + fr_hits + es_hits = 0 THEN 'und'
+       |       WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+       |       WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+       |       WHEN fr_hits >= es_hits THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |  FROM scores),
+       |base AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  ${hitsSql(TextAnalysis.StopEn)} AS stop_hits
+       |  FROM toks),
+       |qual AS (SELECT doc_id,
+       |  round(CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
+       |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+       |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens), 6) AS quality_score
+       |  FROM base),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT lang.doc_id, pred_lang, quality_score,
+       |  CASE WHEN $splitBucket < 80 THEN 'train'
+       |       WHEN $splitBucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lang
+       |JOIN qual ON qual.doc_id = lang.doc_id
+       |JOIN keepers ON keepers.doc_id = lang.doc_id
+       |WHERE pred_lang = 'en' AND quality_score >= ${graft.text.Curation.QualityMin}
+       |ORDER BY lang.doc_id""".stripMargin
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   /** head_hex slices BYTES on both sides: Spark hexes the first 8 bytes

@@ -1,0 +1,38 @@
+package graft.text
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the composed flow a pretraining
+  * pipeline runs over a raw crawl: language filter ∧ quality floor ∧
+  * exact-dedup keeper, then the deterministic train/val/test assignment.
+  * Expressed as joins of the individual oracle-checked operators, so
+  * each stage shuffles exactly what that operator shuffles (doc_id-keyed
+  * rows, never text past its own scan) and the whole composition remains
+  * hash-checkable against one DuckDB oracle.
+  */
+object Curation {
+
+  val QualityMin = 0.35
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")
+    val qual = TextAnalysis.quality(spark, dir).select($"doc_id", $"quality_score")
+    val keepers = Dedup.exact(spark, dir).select($"keep_id".as("doc_id"))
+    val bucket = conv(substring(md5(concat(lit("split#"), $"doc_id")), 1, 8), 16, 10)
+      .cast("long") % 100
+    lang
+      .filter($"pred_lang" === "en")
+      .join(qual.filter($"quality_score" >= QualityMin), "doc_id")
+      .join(keepers, "doc_id")
+      .select(
+        $"doc_id",
+        $"pred_lang",
+        $"quality_score",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
+      )
+      .orderBy($"doc_id")
+  }
+}
