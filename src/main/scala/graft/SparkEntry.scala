@@ -62,6 +62,7 @@ object SparkEntry {
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
     "stream_sessions" -> ((s, d) => StreamingQueries.sessionizeComplete(s, d)),
+    "stream_interval_join" -> ((s, d) => StreamingQueries.intervalJoin(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window
     "stream_sessions" -> Oracles.eventsSessions,
+    "stream_interval_join" -> PipelineOracles.streamIntervalJoin,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     "dedup_minhash" -> PipelineOracles.dedupMinhash,

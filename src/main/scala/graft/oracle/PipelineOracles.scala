@@ -369,4 +369,14 @@ object PipelineOracles {
   val streamUserStats: String =
     """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Batch equivalent of the drained stream-stream interval join. */
+  val streamIntervalJoin: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+      |  round(p.value, 4) AS purchase_value
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts - INTERVAL 60 MINUTE AND p.ts <= c.ts
+      |ORDER BY click_id, purchase_id""".stripMargin
 }

@@ -175,6 +175,41 @@ object StreamingQueries {
     sessionize(spark, stage, gapMinutes, glob = "*.parquet").filter($"user_id" >= 0)
   }
 
+  /** Watermarked stream-stream interval join: each click joins the same
+    * user's purchases from the preceding hour. Both sides carry
+    * watermarks, so the join state is bounded — Spark evicts buffered
+    * rows once the watermark passes the interval bound (the unbounded-
+    * input, bounded-state contract of a production stream-stream join).
+    * Inner-join matches emit as soon as both sides arrive, so the
+    * drained result equals the batch interval join and the same oracle
+    * applies.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clicks = eventStream(spark, dir)
+      .filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = eventStream(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id".as("purchase_id"),
+        $"user_id".as("p_user"),
+        $"ts".as("purchase_ts"),
+        $"value"
+      )
+      .withWatermark("purchase_ts", "10 minutes")
+    val joined = clicks.join(
+      purchases,
+      $"user_id" === $"p_user" &&
+        $"purchase_ts" >= $"click_ts" - expr("INTERVAL 60 minutes") &&
+        $"purchase_ts" <= $"click_ts"
+    )
+    runToMemory(joined, s"stream_interval_join_${System.nanoTime()}", "append")
+      .select($"click_id", $"purchase_id", $"user_id", round($"value", 4).as("purchase_value"))
+      .orderBy($"click_id", $"purchase_id")
+  }
+
   /** Arbitrary stateful aggregation via mapGroupsWithState: per-user
     * running totals held in typed GroupState. With the whole batch in one
     * trigger this equals the batch groupBy — oracle-checkable — while
