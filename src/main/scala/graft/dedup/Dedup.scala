@@ -195,31 +195,19 @@ object Dedup {
 
   /** 64-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where
     * the sign comes from bit j of the token's md5 (nibbles 1..16).
+    * Computed by the one-pass SimhashAgg imperative aggregate (same bit
+    * indexing as the oracle's declarative formulation; 64 counters per
+    * doc map-side-combine instead of 64 separate sum columns).
     */
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables
       .documents(spark, dir)
       .select($"doc_id", explode(graft.functions.TextExpressions.distinctTokens(lower($"text"))).as("tok"))
-      // materialize the md5 hex once per token; the 8 nibble columns then
-      // substr one shared string instead of re-hashing 8×
       .select($"doc_id", md5($"tok").as("h"))
-    val nibCols = col("doc_id") +:
-      (1 to SimhashBits / 4).map(p => conv(substring($"h", p, 1), 16, 10).cast("int").as(s"nib$p"))
-    val nib = tok.select(nibCols: _*)
-    val sumCols = (0 until SimhashBits).map { j =>
-      val nibble = col(s"nib${j / 4 + 1}")
-      val bit = shiftright(nibble, j % 4).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val sums = nib.groupBy($"doc_id").agg(sumCols.head, sumCols.tail: _*)
-    sums.select(
-      $"doc_id",
-      (0 until SimhashBits)
-        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-        .reduce(_ + _)
-        .as("simhash")
-    )
+    tok
+      .groupBy($"doc_id")
+      .agg(graft.functions.SimhashAgg.simhash64($"h").as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, found EXACTLY via
