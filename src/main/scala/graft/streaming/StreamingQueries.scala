@@ -44,11 +44,24 @@ object StreamingQueries {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Drives a streaming query to completion against the memory sink.
+    * Streaming state-store count = shuffle partitions at query start;
+    * per-batch store open/commit overhead dwarfs compute at test scale
+    * (a stream-stream join keeps four stores per partition), so the
+    * stream runs with a small fixed state partitioning — a production
+    * job sizes this to key throughput, and batch queries are untouched
+    * (the previous session value is restored).
+    */
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Streaming tumbling-window counts (complete mode): same result —
