@@ -80,13 +80,12 @@ object Portable {
     }
 
   /** LSH bit-signature of a float-array column against `planes`:
-    * bit p set iff dot(v, plane_p) > 0. Returns a long (supports up to 64
-    * planes — the 64th lands on the sign bit; summing distinct powers of
-    * two never carries, so the chain is equivalent to bitwise OR on both
-    * engines).
+    * bit p set iff dot(v, plane_p) > 0 (per-plane dots are the same
+    * left-fold as `dotConst`). Returns a long (supports up to 64 planes —
+    * the 64th lands on the sign bit). Native single expression
+    * (VectorExpressions.LshSignature): one codegen loop instead of a
+    * 64-term CASE chain that would fall out of whole-stage codegen.
     */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (pl, i) => when(dotConst(v, pl) > 0.0, lit(1L << i)).otherwise(lit(0L)) }
-      .reduce(_ + _)
+    VectorExpressions.lshSig(v, planes)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the vector hot path. The higher-order
   * `aggregate(zip_with(...))` formulation is semantically identical but
@@ -84,9 +84,67 @@ case class FloatDotConst(child: Expression, consts: Array[Double]) extends Unary
     copy(child = newChild)
 }
 
+/** Whole LSH bit-signature in ONE expression: bit p of the result is set
+  * iff dot(v, planes(p)) > 0, with the dot accumulating doubles in
+  * ascending index order — identical per-plane arithmetic to
+  * FloatDotConst, so results match the oracle's replay exactly. One
+  * compact codegen loop replaces a 64-term chain of per-plane CASE
+  * expressions (which grows the generated method past JIT limits and
+  * falls out of whole-stage codegen).
+  */
+case class LshSignature(child: Expression, planes: Array[Array[Double]]) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val n = math.min(x.numElements(), pl.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * pl(i); i += 1 }
+      if (acc > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("graftPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val sig = ctx.freshName("sig")
+      val pl = ctx.freshName("pl")
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $mat.length; $p++) {
+         |  double[] $pl = $mat[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $pl.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.getFloat($i)) * $pl[$i];
+         |  }
+         |  if ($acc > 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def fdot(a: Column, b: Column): Column =
     Bridge.column(FloatDotProduct(Bridge.expression(a), Bridge.expression(b)))
   def fdotConst(a: Column, consts: Array[Double]): Column =
     Bridge.column(FloatDotConst(Bridge.expression(a), consts))
+  def lshSig(a: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(LshSignature(Bridge.expression(a), planes))
 }
