@@ -66,6 +66,7 @@ object SparkEntry {
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccard(s, d, maxShingleDf = Some(Dedup.NgramDfCap))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
@@ -127,6 +128,8 @@ object SparkEntry {
     "stream_interval_join" -> PipelineOracles.streamIntervalJoin,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
+    // the extreme-scale stop-shingle-capped path, verified uncapped
+    "dedup_ngram_capped" -> PipelineOracles.dedupNgramCapped(Dedup.NgramDfCap),
     "dedup_minhash" -> PipelineOracles.dedupMinhash,
     "dedup_simhash" -> PipelineOracles.dedupSimhash,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,

@@ -25,6 +25,7 @@ object Dedup {
   val MinhashBandRows = 2 // b=16 bands × r=2 rows (threshold (1/16)^(1/2) = 0.25)
   val JaccardThreshold = 0.5
   val NgramThreshold = 0.5
+  val NgramDfCap = 20 // stop-shingle cap for the registered capped variant
   val SimhashBits = 64
   val SimhashMaxHamming = 3
   val SimhashBands = 4 // hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)

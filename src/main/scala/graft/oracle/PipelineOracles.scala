@@ -103,6 +103,19 @@ object PipelineOracles {
     s"""WITH $shingleSets
        |${jaccardSelect("common", Dedup.NgramThreshold)}""".stripMargin
 
+  /** Replays the stop-shingle-capped candidate generation (shingles with
+    * document frequency above the cap are dropped BEFORE the self-join)
+    * with verification against the UNCAPPED sets, mirroring
+    * Dedup.ngramJaccard(maxShingleDf = Some(cap)).
+    */
+  def dedupNgramCapped(cap: Int): String =
+    s"""WITH $shingleSets,
+       |dfreq AS (SELECT sh, count(*) AS df FROM shx GROUP BY sh),
+       |shc AS (SELECT shx.doc_id, shx.sh FROM shx JOIN dfreq USING (sh) WHERE df <= $cap),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |${jaccardSelect("cand", Dedup.NgramThreshold)}""".stripMargin
+
   /** Replays the minhash signatures (8 md5 seeds × 4 hex chunks = 32
     * hashes) and the b=16/r=2 banding (a band matches when BOTH of its
     * two member hashes agree), then the same exact-Jaccard verification.
