@@ -85,7 +85,8 @@ object SparkEntry {
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Multimodal binary-column plumbing
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
-    "mm_extract" -> ((s, d) => Multimodal.extract(s, d))
+    "mm_extract" -> ((s, d) => Multimodal.extract(s, d)),
+    "mm_frames" -> ((s, d) => Multimodal.frameSample(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (column names match the Spark side). */
@@ -146,6 +147,7 @@ object SparkEntry {
     // text_stratified_sample: engine-specific RNG, rows-only check;
     // SamplingSpec pins determinism + stratum fractions.
     "mm_meta" -> PipelineOracles.mmMeta,
-    "mm_extract" -> PipelineOracles.mmExtract
+    "mm_extract" -> PipelineOracles.mmExtract,
+    "mm_frames" -> PipelineOracles.mmFrames
   )
 }

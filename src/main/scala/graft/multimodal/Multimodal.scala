@@ -99,6 +99,37 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  val MaxSampledFrames = 8L
+
+  /** Deterministic video-frame sampling: up to MaxSampledFrames frame
+    * indices spread evenly over each item's n_frames (the standard
+    * pre-training step that turns a video into a bounded set of frame
+    * images). The "decoded frame" stands in as an md5 fingerprint of
+    * (payload, frame index) — swap for a real ffmpeg frame grab without
+    * touching the sampling/explode plumbing. All map-side: frame rows
+    * (≤ MaxSampledFrames per item, KBs) flow on; payload bytes never
+    * shuffle.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).toDF
+      .select(
+        $"media_id",
+        md5($"payload").as("pm"),
+        (lit(1L) + pmod($"n_bytes", lit(300L))).as("n_frames")
+      )
+      .withColumn("k", least($"n_frames", lit(MaxSampledFrames)))
+      .select($"media_id", $"pm", $"n_frames", $"k", explode(sequence(lit(0L), $"k" - 1)).as("i"))
+      .withColumn("frame_idx", expr("(i * n_frames) div k"))
+      .select(
+        $"media_id",
+        $"frame_idx",
+        md5(concat($"pm", lit("#"), $"frame_idx")).as("frame_md5"),
+        $"n_frames"
+      )
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   /** Pure-SQL metadata pass over the binary column (no decode): sizes and
     * a payload head fingerprint — the cheap scan that routes media to the
     * right decoder at scale.

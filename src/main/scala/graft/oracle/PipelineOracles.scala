@@ -2,6 +2,7 @@ package graft.oracle
 
 import graft.dedup.Dedup
 import graft.functions.Portable
+import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 
@@ -374,6 +375,22 @@ object PipelineOracles {
       |  1 + CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080 AS height,
       |  CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Replays the deterministic frame sampling (same integer arithmetic:
+    * k = least(n_frames, max), frame i → (i·n_frames) div k).
+    */
+  val mmFrames: String =
+    s"""WITH m AS (SELECT doc_id AS media_id, md5(text) AS pm,
+       |    CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames
+       |  FROM documents),
+       |ks AS (SELECT media_id, pm, n_frames,
+       |    least(n_frames, ${Multimodal.MaxSampledFrames}) AS k FROM m),
+       |f AS (SELECT media_id, pm, n_frames, k,
+       |    unnest(generate_series(0, k - 1)) AS i FROM ks)
+       |SELECT media_id, (i * n_frames) // k AS frame_idx,
+       |  md5(pm || '#' || CAST((i * n_frames) // k AS VARCHAR)) AS frame_md5,
+       |  n_frames
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
   // ---- streaming --------------------------------------------------------
 
