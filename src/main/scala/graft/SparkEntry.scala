@@ -55,6 +55,7 @@ object SparkEntry {
     "q22_bucketed_join" -> ((s, d) => Relational.q22BucketedJoin(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
+    "events_hopping" -> ((s, d) => Events.hopping(s, d)),
     "events_sessions" -> ((s, d) => Events.sessions(s, d)),
     "events_asof" -> ((s, d) => Events.asofPurchase(s, d)),
     "events_range_join" -> ((s, d) => Events.rangeJoinPairs(s, d)),
@@ -119,6 +120,7 @@ object SparkEntry {
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).
     "events_tumbling" -> Oracles.eventsTumbling,
+    "events_hopping" -> Oracles.eventsHopping,
     "events_sessions" -> Oracles.eventsSessions,
     "events_asof" -> Oracles.eventsAsof,
     "events_range_join" -> Oracles.eventsRangeJoin,

@@ -206,6 +206,16 @@ object Oracles {
     * the same user is >= 30 min (matches Spark session_window, whose
     * window end is last_ts + gap, exclusive).
     */
+  /** Each event expands to its two containing 30-min-aligned hour
+    * windows (k = 0, 1), matching Spark's window(ts, 1h, 30m) exactly.
+    */
+  val eventsHopping: String =
+    """WITH h AS (SELECT event_type, value,
+      |    make_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800000000) AS hop_start
+      |  FROM events, (SELECT unnest(generate_series(0, 1)) AS k) k)
+      |SELECT hop_start, event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val eventsSessions: String =
     """WITH ordered AS (
       |  SELECT user_id, ts, value,

@@ -26,6 +26,21 @@ object Events {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly width/slide = 2 windows. The oracle expands
+    * the same two epoch-aligned window starts per event; Spark's
+    * `window(ts, width, slide)` generates the identical set.
+    */
+  def hopping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .select($"window.start".as("hop_start"), $"event_type", $"n_events", $"sum_value")
+      .orderBy($"hop_start", $"event_type")
+  }
+
   /** As-of join via the custom AsOfJoin operator (graft.plans): each
     * click event picks up the user's most recent purchase at-or-before
     * it. Oracle: DuckDB's native ASOF LEFT JOIN.
