@@ -39,5 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.RollingHash", "graft_rolling_hash"),
        one(RollingHash(_, 7L, 1000000007L)))
     )
+    // aggregate: 64-bit simhash over a group of md5-hex strings
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"),
+       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.SimhashAgg", "graft_simhash64"),
+       one(graft.functions.SimhashAgg(_).toAggregateExpression()))
+    )
   }
 }

@@ -30,6 +30,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r === 4.0)
   }
 
+  test("graft_simhash64 is a SQL-callable aggregate matching the engine's signature") {
+    val sql = spark
+      .sql("""SELECT graft_simhash64(md5(t)) FROM VALUES ('alpha'), ('beta'), ('gamma') AS v(t)""")
+      .head()
+      .getLong(0)
+    // independently computed: sum of ±1 per bit over the three md5 hexes
+    val sums = new Array[Int](64)
+    Seq("alpha", "beta", "gamma").foreach { t =>
+      val hex = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+      for (p <- 0 until 16; b <- 0 until 4) {
+        val nib = Integer.parseInt(hex.charAt(p).toString, 16)
+        sums(p * 4 + b) += (((nib >> b) & 1) << 1) - 1
+      }
+    }
+    val expected = (0 until 64).map(j => if (sums(j) > 0) 1L << j else 0L).reduce(_ | _)
+    assert(sql === expected)
+  }
+
   test("graft_word_shingles and graft_distinct_tokens are SQL-callable") {
     val sh = spark
       .sql("SELECT graft_word_shingles('a b c d a b c d')")
