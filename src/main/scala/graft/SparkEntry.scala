@@ -83,6 +83,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
+    "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Multimodal binary-column plumbing
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
@@ -146,6 +147,7 @@ object SparkEntry {
     "text_fingerprint" -> PipelineOracles.textFingerprint,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
+    "text_pack_blocks" -> PipelineOracles.textPackBlocks,
     // text_stratified_sample: engine-specific RNG, rows-only check;
     // SamplingSpec pins determinism + stratum fractions.
     "mm_meta" -> PipelineOracles.mmMeta,

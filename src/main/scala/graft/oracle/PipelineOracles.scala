@@ -353,6 +353,22 @@ object PipelineOracles {
        |ORDER BY lang.doc_id""".stripMargin
   }
 
+  /** Replays the shard-parallel concat-and-chunk packing: same running
+    * token offset per shard, same integer block arithmetic.
+    */
+  val textPackBlocks: String = {
+    import graft.text.Sampling
+    s"""WITH t AS (SELECT doc_id, doc_id % ${Sampling.PackShards} AS shard,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  (cum - n_tokens) // ${Sampling.PackBlockTokens} AS start_block,
+       |  (cum - 1) // ${Sampling.PackBlockTokens} AS end_block
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   // ---- multimodal -------------------------------------------------------
 
   /** head_hex slices BYTES on both sides: Spark hexes the first 8 bytes

@@ -27,6 +27,43 @@ object Sampling {
       .orderBy($"split")
   }
 
+  val PackShards = 32 // parallelism knob: shards pack independently
+  val PackBlockTokens = 256L
+
+  /** Concat-and-chunk sequence packing — the standard pretraining step
+    * that concatenates documents and slices the token stream into
+    * fixed-size training blocks. Documents are sharded (doc_id mod
+    * PackShards) and packed independently per shard: a running token
+    * offset within the shard gives each document its start/end block
+    * (documents may span blocks, exactly like production packing).
+    * Per-shard packing is inherently sequential, so the shard count is
+    * the scale knob — at 100 TB you size shards to the cluster and each
+    * shard's window stays a modest, spillable sorted run.
+    */
+  def packBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard")
+      .orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        ($"doc_id" % PackShards).as("shard"),
+        size(graft.functions.Portable.tokens($"text")).cast("long").as("n_tokens")
+      )
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .select(
+        $"doc_id",
+        $"shard",
+        $"n_tokens",
+        expr(s"(cum - n_tokens) div $PackBlockTokens").as("start_block"),
+        expr(s"(cum - 1) div $PackBlockTokens").as("end_block")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** Seeded stratified sample by language (sampleBy): deterministic for a
     * fixed seed but engine-specific RNG, so no DuckDB oracle — the spec
     * checks determinism and per-stratum fraction tolerance instead.

@@ -97,6 +97,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(nVecs > 0)
   }
 
+  test("sequence packing: per-shard blocks are contiguous and start at zero") {
+    import spark.implicits._
+    val rows = text.Sampling
+      .packBlocks(spark, dir)
+      .select($"shard", $"doc_id", $"n_tokens", $"start_block", $"end_block")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { shard =>
+      val inOrder = shard.sortBy(_._2)
+      assert(inOrder.head._4 === 0L) // first doc starts in block 0
+      inOrder.foreach { case (_, _, n, s, e) =>
+        assert(s <= e && n >= 1)
+      }
+      // token stream is contiguous: next doc starts where the previous
+      // one ended (same block or the immediately following one)
+      inOrder.sliding(2).foreach {
+        case Array((_, _, _, _, e1), (_, _, _, s2, _)) => assert(s2 === e1 || s2 === e1 + 1)
+        case _                                         =>
+      }
+    }
+  }
+
   test("multimodal batched extraction: every item decoded, feature shape fixed") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir)
