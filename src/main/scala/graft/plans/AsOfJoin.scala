@@ -79,6 +79,10 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // the merge streams left rows in order, so the left sort survives —
+  // declaring it lets downstream sorts on (by, on) be elided
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(Seq(leftBy)), ClusteredDistribution(Seq(rightBy)))
 
