@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinPushdown)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_fdot"),
        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.FloatDotProduct", "graft_fdot"),

@@ -49,6 +49,32 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom operator (the Rule rung of the
+  * custom-operator ladder): a Filter above an AsOfJoin whose predicates
+  * only reference LEFT columns commutes with the join — every output row
+  * corresponds to exactly one left row — so those conjuncts push below
+  * the join and can reach the left scan (Catalyst's built-in pushdown
+  * rules don't know the node). Right-side/mixed conjuncts stay above
+  * (right columns are null-extended, so they do not commute).
+  */
+object AsOfJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin) =>
+      val (push, keep) =
+        splitConjunctivePredicates(cond).partition(_.references.subsetOf(j.left.outputSet))
+      if (push.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(push.reduce(And), j.left))
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lBy, rBy, lOn, rOn, tie) =>
@@ -178,6 +204,10 @@ object AsOf {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(AsOfJoinPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfJoinPushdown
     }
     val lp = leftDf.queryExecution.analyzed
     val rp = rightDf.queryExecution.analyzed

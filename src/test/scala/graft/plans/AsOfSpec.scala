@@ -84,6 +84,28 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.forall(_.isNullAt(4)))
   }
 
+  test("left-only filters push below the as-of join; right-referencing filters stay above") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val left = Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("k", "t")
+    val right = Seq((1L, 4L, 10.0), (3L, 5L, 30.0)).toDF("rk", "rt", "v")
+    val joined = AsOf.joinAsOf(left, right, "k", "rk", "t", "rt")
+
+    val pushedPlan = joined.filter($"k" <= 2).queryExecution.optimizedPlan
+    val joinNode = pushedPlan.collectFirst { case j: AsOfJoin => j }.get
+    // the k<=2 predicate sits INSIDE the join's left subtree (or reached
+    // the scan), never above the join
+    assert(pushedPlan.collectFirst { case f: Filter => f }.forall(_.find(_.isInstanceOf[AsOfJoin]).isEmpty))
+    assert(joinNode.left.toString.contains("2") || joinNode.left.collectFirst { case f: Filter => f }.nonEmpty)
+    assert(joined.filter($"k" <= 2).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+
+    // a predicate on the null-extended right side must NOT push
+    val abovePlan = joined.filter($"v" > 20.0).queryExecution.optimizedPlan
+    val above = abovePlan.collectFirst { case f: Filter => f }
+    assert(above.exists(_.find(_.isInstanceOf[AsOfJoin]).nonEmpty))
+    assert(joined.filter($"v" > 20.0).collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("equal (by, on) right rows resolve deterministically to the greatest tie key") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "t")
