@@ -117,9 +117,16 @@ object Dedup {
 
   /** `maxShingleDf` is the extreme-scale knob: dropping shingles whose
     * document frequency exceeds the cap bounds the inverted-index join at
-    * Σ min(df,cap)² at the cost of missing pairs whose overlap is ONLY
-    * stop-shingles (a standard web-dedup tradeoff). The oracle-checked
-    * query runs uncapped; DedupScaleSpec pins the containment property.
+    * Σ min(df,cap)². The capped variant is CONSERVATIVE: intersection
+    * counts come from the pruned index while sizes stay uncapped, so the
+    * reported jaccard is a lower bound of the true value and every
+    * reported pair is a true near-dup candidate under a slightly stricter
+    * bar (pairs whose overlap is only stop-shingles score 0 — the
+    * standard web-dedup tradeoff). Everything stays one single-pass
+    * join: re-verifying against the full sets would reintroduce exactly
+    * the Σ df² cost the cap exists to avoid. PipelineSpec pins the
+    * containment (capped pair set ⊆ uncapped) and the per-pair
+    * lower-bound property.
     */
   def ngramJaccard(spark: SparkSession, dir: String, maxShingleDf: Option[Int]): DataFrame = {
     import spark.implicits._
@@ -131,13 +138,11 @@ object Dedup {
         // would force a second, identical quadratic join)
         jaccardFilter(spark, dir, sh0, pairCommonCounts(sh0), NgramThreshold)
       case Some(cap) =>
-        // capped candidates come from the pruned index, but sizes and
-        // verification use the UNCAPPED sets so reported jaccard values
-        // stay true; jaccardFilter recomputes `inter` scoped to the
-        // candidate pairs (NOT via the full uncapped self-join)
         val keep = sh0.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= cap).select($"sh")
         val sh = sh0.join(keep, "sh")
-        jaccardFilter(spark, dir, sh0, pairCommonCounts(sh).select($"id_a", $"id_b"), NgramThreshold)
+        // intersections over the pruned index (inter kept from the single
+        // join); sizes over the full sets (cheap per-doc counts)
+        jaccardFilter(spark, dir, sh0, pairCommonCounts(sh), NgramThreshold)
     }
   }
 

@@ -104,18 +104,24 @@ object PipelineOracles {
     s"""WITH $shingleSets
        |${jaccardSelect("common", Dedup.NgramThreshold)}""".stripMargin
 
-  /** Replays the stop-shingle-capped candidate generation (shingles with
-    * document frequency above the cap are dropped BEFORE the self-join)
-    * with verification against the UNCAPPED sets, mirroring
+  /** Replays the stop-shingle-capped variant: intersection counts over
+    * the pruned index (shingles with document frequency above the cap
+    * dropped before the self-join), sizes over the full sets —
+    * conservative lower-bound jaccard, mirroring
     * Dedup.ngramJaccard(maxShingleDf = Some(cap)).
     */
   def dedupNgramCapped(cap: Int): String =
     s"""WITH $shingleSets,
        |dfreq AS (SELECT sh, count(*) AS df FROM shx GROUP BY sh),
        |shc AS (SELECT shx.doc_id, shx.sh FROM shx JOIN dfreq USING (sh) WHERE df <= $cap),
-       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |candc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-       |${jaccardSelect("cand", Dedup.NgramThreshold)}""".stripMargin
+       |SELECT candc.id_a, candc.id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+       |FROM candc
+       |JOIN sizes sa ON sa.doc_id = candc.id_a
+       |JOIN sizes sb ON sb.doc_id = candc.id_b
+       |WHERE round(c / (sa.n + sb.n - c), 6) >= ${Dedup.NgramThreshold}
+       |ORDER BY 1, 2""".stripMargin
 
   /** Replays the minhash signatures (8 md5 seeds × 4 hex chunks = 32
     * hashes) and the b=16/r=2 banding (a band matches when BOTH of its

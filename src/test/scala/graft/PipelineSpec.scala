@@ -44,15 +44,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(agg === window)
   }
 
-  test("stop-shingle cap yields a subset of the uncapped near-dup pairs with true jaccard") {
+  test("stop-shingle cap: conservative — capped pairs ⊆ uncapped, capped jaccard ≤ true jaccard") {
     import spark.implicits._
-    val full = Dedup.ngramJaccard(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup
+      .ngramJaccard(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
     val capped = Dedup
       .ngramJaccard(spark, dir, maxShingleDf = Some(5))
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet
-    assert(capped.subsetOf(full))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    capped.foreach { case (pair, j) =>
+      assert(full.contains(pair), s"capped pair $pair not in uncapped result")
+      assert(j <= full(pair) + 1e-9, s"capped jaccard $j exceeds true ${full(pair)} for $pair")
+    }
   }
 
   test("exact dedup keeps one id per distinct text and covers all docs") {
