@@ -33,21 +33,33 @@ object Tables {
     * one task; a real corpus has ≥ cores input splits and takes the
     * no-op branch, so no shuffle is ever added at scale. The shuffled
     * payload in the fan-out branch is by definition smaller than one
-    * split.
+    * split. The split count is probed once per path (the probe plans the
+    * query; every documents()/embeddings() call repaying it would add a
+    * full planning pass per query construction).
     */
-  def fanOut(df: DataFrame): DataFrame = {
+  private val splitCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def fanOut(df: DataFrame, cacheKey: String = ""): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    val parts =
+      if (cacheKey.isEmpty) df.rdd.getNumPartitions
+      else splitCounts.computeIfAbsent(cacheKey, _ => df.rdd.getNumPartitions).intValue()
+    if (parts < cores) df.repartition(cores) else df
   }
 
   /** documents/embeddings feed per-row-heavy operators (shingling,
     * minhashing, tokenization, hyperplane projections) — always served
     * fanned out.
     */
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    fanOut(spark.read.parquet(s"$dir/documents.parquet"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    fanOut(spark.read.parquet(s"$dir/embeddings.parquet"))
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    fanOut(spark.read.parquet(path), path)
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/embeddings.parquet"
+    fanOut(spark.read.parquet(path), path)
+  }
+
 }
 
 /** Local session factory used by Bench and the test suites. Local-mode

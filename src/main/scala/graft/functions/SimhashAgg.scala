@@ -37,10 +37,18 @@ case class SimhashAgg(
     val v = child.eval(input)
     if (v != null) {
       val hex = v.asInstanceOf[UTF8String].toString
+      // robust against arbitrary SQL input: accept either hex case and
+      // treat missing/invalid nibbles as 0 (engine callers always pass
+      // 32-char lowercase md5 hex, which takes the fast path)
+      val n = math.min(Bits / 4, hex.length)
       var p = 0
-      while (p < Bits / 4) {
+      while (p < n) {
         val c = hex.charAt(p)
-        val nib = if (c <= '9') c - '0' else c - 'a' + 10
+        val nib =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else 0
         var b = 0
         while (b < 4) {
           val j = p * 4 + b
@@ -49,6 +57,9 @@ case class SimhashAgg(
         }
         p += 1
       }
+      // absent nibbles contribute -1 per bit (same as an all-zero nibble)
+      var j = n * 4
+      while (j < Bits) { buffer(j) -= 1; j += 1 }
     }
     buffer
   }

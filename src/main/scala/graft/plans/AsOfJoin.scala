@@ -65,8 +65,10 @@ object AsOfJoinPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoin) =>
-      val (push, keep) =
-        splitConjunctivePredicates(cond).partition(_.references.subsetOf(j.left.outputSet))
+      // only deterministic conjuncts commute (a pushed rand()/
+      // input_file_name() would evaluate over a different row stream)
+      val (push, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
       if (push.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))

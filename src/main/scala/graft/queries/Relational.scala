@@ -333,7 +333,7 @@ object Relational {
     // exact percentile buffers every group value in the partial
     // aggregation — fan the scan out so that work isn't single-split
     Tables
-      .fanOut(Tables.lineitem(spark, dir))
+      .fanOut(Tables.lineitem(spark, dir), s"$dir/lineitem.parquet")
       .groupBy($"l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
@@ -372,6 +372,10 @@ object Relational {
     * avoided exchange is the whole cost of the join. Bucket writes land
     * in a scale-tagged /tmp path (amortized like any production bucketed
     * layout — bench's min-of-2 times the join, not the one-time write).
+    * The per-session tableExists guard assumes the source dir is
+    * immutable for the session's lifetime (true for the driver's test
+    * data); regenerating data at the same path mid-session requires a
+    * new session (or dropping the graft_*_bucketed tables).
     */
   def q22BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -52,15 +52,24 @@ object StreamingQueries {
     * job sizes this to key throughput, and batch queries are untouched
     * (the previous session value is restored).
     */
-  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+  // last memory-sink view per query family — dropped when the family
+  // runs again, so repeated Verify/Bench invocations don't accumulate
+  // drained results in driver memory
+  private val lastView = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def runToMemory(df: DataFrame, base: String, mode: String): DataFrame = {
     val spark = df.sparkSession
+    val name = s"${base}_${System.nanoTime()}"
+    Option(lastView.put(base, name)).foreach(spark.catalog.dropTempView(_))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      q.stop() // always stop — a leaked active query pins state stores
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     spark.table(name)
   }
 
@@ -73,7 +82,7 @@ object StreamingQueries {
     val agg = eventStream(spark, dir)
       .groupBy(window($"ts", "1 hour"), $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
-    runToMemory(agg, s"stream_tumbling_${System.nanoTime()}", "complete")
+    runToMemory(agg, "stream_tumbling", "complete")
       .select($"window.start".as("hour_start"), $"event_type", $"n_events", $"sum_value")
       .orderBy($"hour_start", $"event_type")
   }
@@ -143,7 +152,7 @@ object StreamingQueries {
       )
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
-    runToMemory(agg.toDF, s"stream_sessions_${System.nanoTime()}", "append")
+    runToMemory(agg.toDF, "stream_sessions", "append")
       .select($"user_id", $"session_start", $"n_events", round($"sum_value", 4).as("sum_value"))
       .orderBy($"user_id", $"session_start")
   }
@@ -171,17 +180,20 @@ object StreamingQueries {
         val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
         val path = java.nio.file.Files.createTempDirectory("graft_sessions_").toString
         raw.write.mode("overwrite").parquet(path)
-        val maxTs = raw.agg(max($"ts")).head.getLong(0)
-        // sentinel lands (gap + watermark-delay + 1h) past the last event —
-        // strictly beyond every session's timeout timestamp
-        val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
-        raw
-          .limit(1)
-          .withColumn("ts", lit(flushTs))
-          .withColumn("user_id", lit(-1L))
-          .write
-          .mode("append")
-          .parquet(path)
+        // max(ts) is null on an empty table — no sessions exist, so no
+        // sentinel is needed
+        Option(raw.agg(max($"ts")).head.get(0)).map(_.asInstanceOf[Long]).foreach { maxTs =>
+          // sentinel lands (gap + watermark-delay + 1h) past the last
+          // event — strictly beyond every session's timeout timestamp
+          val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
+          raw
+            .limit(1)
+            .withColumn("ts", lit(flushTs))
+            .withColumn("user_id", lit(-1L))
+            .write
+            .mode("append")
+            .parquet(path)
+        }
         path
       }
     )
@@ -218,7 +230,7 @@ object StreamingQueries {
         $"purchase_ts" >= $"click_ts" - expr("INTERVAL 60 minutes") &&
         $"purchase_ts" <= $"click_ts"
     )
-    runToMemory(joined, s"stream_interval_join_${System.nanoTime()}", "append")
+    runToMemory(joined, "stream_interval_join", "append")
       .select($"click_id", $"purchase_id", $"user_id", round($"value", 4).as("purchase_value"))
       .orderBy($"click_id", $"purchase_id")
   }
@@ -244,7 +256,7 @@ object StreamingQueries {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
       .toDF("user_id", "n_events", "sum_raw")
-    runToMemory(agg, s"stream_user_stats_${System.nanoTime()}", "update")
+    runToMemory(agg, "stream_user_stats", "update")
       .select($"user_id", $"n_events", round($"sum_raw", 4).as("sum_value"))
       .orderBy($"user_id")
   }

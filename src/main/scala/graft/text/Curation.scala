@@ -21,8 +21,6 @@ object Curation {
     val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")
     val qual = TextAnalysis.quality(spark, dir).select($"doc_id", $"quality_score")
     val keepers = Dedup.exact(spark, dir).select($"keep_id".as("doc_id"))
-    val bucket = conv(substring(md5(concat(lit("split#"), $"doc_id")), 1, 8), 16, 10)
-      .cast("long") % 100
     lang
       .filter($"pred_lang" === "en")
       .join(qual.filter($"quality_score" >= QualityMin), "doc_id")
@@ -31,7 +29,7 @@ object Curation {
         $"doc_id",
         $"pred_lang",
         $"quality_score",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
+        Sampling.splitColumn($"doc_id").as("split")
       )
       .orderBy($"doc_id")
   }

@@ -7,6 +7,16 @@ import org.apache.spark.sql.functions._
 /** Dataset-splitting operators for training pipelines. */
 object Sampling {
 
+  /** The train/val/test assignment expression — ONE definition shared by
+    * hashSplit, Curation.curate, and (via the same constants) the oracle
+    * SQL, so the split scheme cannot desynchronize between operators.
+    */
+  def splitColumn(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = conv(substring(md5(concat(lit("split#"), docId)), 1, 8), 16, 10)
+      .cast("long") % 100
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+  }
+
   /** Deterministic hash-based train/val/test split (80/10/10): the
     * assignment is a pure function of doc_id (md5-derived), so it is
     * stable across runs, machines, and engines — the property a training
@@ -14,14 +24,9 @@ object Sampling {
     */
   def hashSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val bucket = conv(substring(md5(concat(lit("split#"), $"doc_id")), 1, 8), 16, 10)
-      .cast("long") % 100
     Tables
       .documents(spark, dir)
-      .select(
-        $"doc_id",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split")
-      )
+      .select($"doc_id", splitColumn($"doc_id").as("split"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
       .orderBy($"split")
