@@ -64,6 +64,7 @@ object SparkEntry {
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
     "stream_sessions" -> ((s, d) => StreamingQueries.sessionizeComplete(s, d)),
     "stream_interval_join" -> ((s, d) => StreamingQueries.intervalJoin(s, d)),
+    "stream_dedup" -> ((s, d) => StreamingQueries.dedupStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -130,6 +131,7 @@ object SparkEntry {
     // the drained streaming sessionizer equals the batch session_window
     "stream_sessions" -> Oracles.eventsSessions,
     "stream_interval_join" -> PipelineOracles.streamIntervalJoin,
+    "stream_dedup" -> PipelineOracles.streamDedup,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     // the extreme-scale stop-shingle-capped path, verified uncapped

@@ -422,6 +422,13 @@ object PipelineOracles {
     """SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** The doubled-then-deduplicated stream aggregates to the plain batch
+    * per-type stats.
+    */
+  val streamDedup: String =
+    """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Batch equivalent of the drained stream-stream interval join. */
   val streamIntervalJoin: String =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

@@ -200,6 +200,25 @@ object StreamingQueries {
     sessionize(spark, stage, gapMinutes, glob = "*.parquet").filter($"user_id" >= 0)
   }
 
+  /** Watermarked streaming deduplication: the event stream is unioned
+    * with a second source reading the same file — every event arrives
+    * twice — and `dropDuplicates(event_id)` under a watermark emits each
+    * exactly once (state for keys older than the watermark is evicted,
+    * the bounded-state streaming dedup contract). The drained result
+    * aggregates to exactly the batch per-type stats, which is the
+    * oracle: any lost or doubly-emitted event would shift a count.
+    */
+  def dedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def src = eventStream(spark, dir).select($"event_id", $"event_type", $"value", $"ts")
+    val doubled = src.union(src)
+    val dd = doubled.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+    runToMemory(dd, "stream_dedup", "append")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   /** Watermarked stream-stream interval join: each click joins the same
     * user's purchases from the preceding hour. Both sides carry
     * watermarks, so the join state is bounded — Spark evicts buffered
