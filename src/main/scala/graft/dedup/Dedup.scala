@@ -147,17 +147,16 @@ object Dedup {
   }
 
   /** MinHash signatures: 32 per document (min over shingles of eight
-    * md5-derived 32-bit hashes × four chunks).
+    * md5-derived 32-bit hashes × four chunks), computed by the one-pass
+    * MinhashAgg imperative aggregate (byte-level md5, value-identical to
+    * the hex formulation the oracle replays). Output: (doc_id, mh) with
+    * mh an array of 32 longs.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(spark, dir)
-    // one md5 per (shingle, seed); the 4 chunk extractions share the hex
-    val hexCols = col("doc_id") +:
-      (0 until MinhashSeeds).map(s => md5(concat($"sh", lit(s"#$s"))).as(s"hx$s"))
-    val hashCols = for (s <- 0 until MinhashSeeds; c <- 0 until 4)
-      yield min(conv(substring(col(s"hx$s"), 1 + 8 * c, 8), 16, 10).cast("long")).as(s"mh${s * 4 + c}")
-    sh.select(hexCols: _*).groupBy($"doc_id").agg(hashCols.head, hashCols.tail: _*)
+    shingleRows(spark, dir)
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
   }
 
   /** MinHash + LSH dedup: b=16 bands of r=2 minhashes — a candidate is
@@ -182,7 +181,8 @@ object Dedup {
       posexplode(
         array(
           (0 until MinhashK / MinhashBandRows).map(b =>
-            shiftleft(col(s"mh${2 * b}"), 32).bitwiseOR(col(s"mh${2 * b + 1}"))
+            shiftleft(element_at($"mh", 2 * b + 1), 32)
+              .bitwiseOR(element_at($"mh", 2 * b + 2))
           ): _*
         )
       ).as(Seq("band", "bv"))
