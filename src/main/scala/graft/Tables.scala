@@ -41,10 +41,24 @@ object Tables {
 
   def fanOut(df: DataFrame, cacheKey: String = ""): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
+    // split planning depends on session parallelism, so the cache key
+    // includes it (a later session with different cores re-probes);
+    // test-data paths are immutable for a JVM's lifetime by contract
     val parts =
       if (cacheKey.isEmpty) df.rdd.getNumPartitions
-      else splitCounts.computeIfAbsent(cacheKey, _ => df.rdd.getNumPartitions).intValue()
+      else
+        splitCounts
+          .computeIfAbsent(s"$cacheKey#$cores", _ => df.rdd.getNumPartitions)
+          .intValue()
     if (parts < cores) df.repartition(cores) else df
+  }
+
+  /** lineitem with the same conditional fan-out as documents/embeddings
+    * (for per-group-heavy aggregations like exact percentiles).
+    */
+  def lineitemFanned(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/lineitem.parquet"
+    fanOut(spark.read.parquet(path), path)
   }
 
   /** documents/embeddings feed per-row-heavy operators (shingling,

@@ -65,10 +65,13 @@ object AsOfJoinPushdown
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, j: AsOfJoin) =>
-      // only deterministic conjuncts commute (a pushed rand()/
-      // input_file_name() would evaluate over a different row stream)
-      val (push, keep) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      // only the deterministic PREFIX may move (same span convention as
+      // Catalyst's PushPredicateThroughJoin): pushing a deterministic
+      // conjunct written after a rand() would change how many rows the
+      // rand() evaluates over
+      val (candidates, rest) = splitConjunctivePredicates(cond).span(_.deterministic)
+      val (push, keepRefs) = candidates.partition(_.references.subsetOf(j.left.outputSet))
+      val keep = keepRefs ++ rest
       if (push.isEmpty) f
       else {
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))

@@ -333,7 +333,7 @@ object Relational {
     // exact percentile buffers every group value in the partial
     // aggregation — fan the scan out so that work isn't single-split
     Tables
-      .fanOut(Tables.lineitem(spark, dir), s"$dir/lineitem.parquet")
+      .lineitemFanned(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),

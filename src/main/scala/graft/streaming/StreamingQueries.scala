@@ -63,13 +63,13 @@ object StreamingQueries {
     Option(lastView.put(base, name)).foreach(spark.catalog.dropTempView(_))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try {
-      q.processAllAvailable()
-    } finally {
-      q.stop() // always stop — a leaked active query pins state stores
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-    }
+      // start() itself can throw (unsupported-operation checks), so it
+      // sits inside the conf-restoring try
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable()
+      finally q.stop() // always stop — a leaked active query pins state stores
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
@@ -202,17 +202,21 @@ object StreamingQueries {
 
   /** Watermarked streaming deduplication: the event stream is unioned
     * with a second source reading the same file — every event arrives
-    * twice — and `dropDuplicates(event_id)` under a watermark emits each
-    * exactly once (state for keys older than the watermark is evicted,
-    * the bounded-state streaming dedup contract). The drained result
-    * aggregates to exactly the batch per-type stats, which is the
-    * oracle: any lost or doubly-emitted event would shift a count.
+    * twice — and `dropDuplicatesWithinWatermark(event_id)` emits each
+    * exactly once. WithinWatermark is the variant whose key state is
+    * actually EVICTED as the watermark passes (plain dropDuplicates on
+    * non-event-time keys keeps state forever); dedup is guaranteed for
+    * duplicates arriving within the watermark delay of each other, which
+    * is the production contract for at-least-once upstream delivery.
+    * The drained result aggregates to exactly the batch per-type stats,
+    * which is the oracle: any lost or doubly-emitted event shifts a
+    * count.
     */
   def dedupStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def src = eventStream(spark, dir).select($"event_id", $"event_type", $"value", $"ts")
     val doubled = src.union(src)
-    val dd = doubled.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+    val dd = doubled.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
     runToMemory(dd, "stream_dedup", "append")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
