@@ -89,7 +89,8 @@ object SparkEntry {
     // Multimodal binary-column plumbing
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_extract" -> ((s, d) => Multimodal.extract(s, d)),
-    "mm_frames" -> ((s, d) => Multimodal.frameSample(s, d))
+    "mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d))
   )
 
   /** DuckDB-equivalent SQL per query (column names match the Spark side). */
@@ -154,6 +155,7 @@ object SparkEntry {
     // SamplingSpec pins determinism + stratum fractions.
     "mm_meta" -> PipelineOracles.mmMeta,
     "mm_extract" -> PipelineOracles.mmExtract,
-    "mm_frames" -> PipelineOracles.mmFrames
+    "mm_frames" -> PipelineOracles.mmFrames,
+    "mm_resize" -> PipelineOracles.mmResize
   )
 }

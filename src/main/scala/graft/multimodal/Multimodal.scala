@@ -100,6 +100,35 @@ object Multimodal {
   }
 
   val MaxSampledFrames = 8L
+  val ResizeTarget = 224L
+
+  /** Deterministic aspect-preserving resize plan: each decoded item's
+    * (width, height) maps to the largest frame fitting ResizeTarget²
+    * with integer-only arithmetic (exact on both engines). The resized
+    * payload stands in as a fingerprint of (payload, target dims) —
+    * swap for a real scaler without touching the planning. Map-side
+    * only, like the rest of the multimodal family.
+    */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaTable(spark, dir)).toDF
+      .select(
+        $"media_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height")
+      )
+      .withColumn(
+        "out_w",
+        when($"width" >= $"height", lit(ResizeTarget))
+          .otherwise(greatest(lit(1L), expr(s"(width * $ResizeTarget) div height")))
+      )
+      .withColumn(
+        "out_h",
+        when($"width" >= $"height", greatest(lit(1L), expr(s"(height * $ResizeTarget) div width")))
+          .otherwise(lit(ResizeTarget))
+      )
+      .orderBy($"media_id")
+  }
 
   /** Deterministic video-frame sampling: up to MaxSampledFrames frame
     * indices spread evenly over each item's n_frames (the standard

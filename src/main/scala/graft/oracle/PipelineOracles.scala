@@ -398,6 +398,21 @@ object PipelineOracles {
       |  CAST(1 + octet_length(encode(text)) % 300 AS BIGINT) AS n_frames
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Replays the resize planning over the replayed decode dims — pure
+    * integer arithmetic, exact on both engines.
+    */
+  val mmResize: String = {
+    val t = Multimodal.ResizeTarget
+    """WITH dims AS (SELECT doc_id AS media_id,
+      |  1 + CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1920 AS width,
+      |  1 + CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1080 AS height
+      |FROM documents)
+      |SELECT media_id, width, height,
+      |  CASE WHEN width >= height THEN TARGET ELSE greatest(1, (width * TARGET) // height) END AS out_w,
+      |  CASE WHEN width >= height THEN greatest(1, (height * TARGET) // width) ELSE TARGET END AS out_h
+      |FROM dims ORDER BY media_id""".stripMargin.replace("TARGET", t.toString)
+  }
+
   /** Replays the deterministic frame sampling (same integer arithmetic:
     * k = least(n_frames, max), frame i → (i·n_frames) div k).
     */
