@@ -61,15 +61,27 @@ object Tables {
     fanOut(spark.read.parquet(path), path)
   }
 
-  /** documents/embeddings feed per-row-heavy operators (shingling,
-    * minhashing, tokenization, hyperplane projections) — always served
-    * fanned out.
+  /** Plain scans: cheap map-only queries (grep, exact dedup, metadata
+    * extraction, scan-side text scoring) keep their natural input splits —
+    * adding a repartition would shuffle the full text column for work the
+    * scan task does in-place.
     */
-  def documents(spark: SparkSession, dir: String): DataFrame = {
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Fanned variants for per-row-heavy operators (shingling, minhashing,
+    * hyperplane projections): those map chains dominate the cost of one
+    * extra shuffle of a sub-cores-split file, and serializing them onto a
+    * single task is the local bottleneck the fan-out removes. At scale the
+    * file has ≥ cores splits and fanOut is a no-op.
+    */
+  def documentsFanned(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
     fanOut(spark.read.parquet(path), path)
   }
-  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingsFanned(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/embeddings.parquet"
     fanOut(spark.read.parquet(path), path)
   }

@@ -54,7 +54,7 @@ object Dedup {
   private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select($"doc_id", explode(graft.functions.TextExpressions.wordShingles(lower($"text"))).as("sh"))
   }
 
@@ -208,7 +208,7 @@ object Dedup {
   def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select($"doc_id", explode(graft.functions.TextExpressions.distinctTokens(lower($"text"))).as("tok"))
       .select($"doc_id", md5($"tok").as("h"))
     tok
@@ -283,7 +283,7 @@ object Dedup {
     import spark.implicits._
     val planes = hyperplanes(EmbedPlanes, 64)
     val emb = Tables
-      .embeddings(spark, dir)
+      .embeddingsFanned(spark, dir)
       .select(
         $"vec_id",
         $"embedding",

@@ -367,7 +367,7 @@ object PipelineOracles {
     s"""WITH t AS (SELECT doc_id, doc_id % ${Sampling.PackShards} AS shard,
        |    CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
        |c AS (SELECT doc_id, shard, n_tokens,
-       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
        |  FROM t)
        |SELECT doc_id, shard, n_tokens,
        |  (cum - n_tokens) // ${Sampling.PackBlockTokens} AS start_block,

@@ -32,7 +32,7 @@ object Similarity {
   private def corpusWithNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
-      .embeddings(spark, dir)
+      .embeddingsFanned(spark, dir)
       .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
   }
 
