@@ -112,6 +112,76 @@ object MapReduce {
   def saveTextParts(output: Dataset[String], outputDir: String): Unit =
     output.rdd.saveAsTextFile(outputDir)
 
+  /** Job-descriptor entry point — the reference's single user-facing API
+    * (reference mapreduce/submit.py:59-78: a job is `{input_directory,
+    * output_directory, mapper_executable, reducer_executable, num_mappers,
+    * num_reducers}`). Reads the text directory, runs the map→shuffle→
+    * sort→reduce pipeline with `numMappers` map tasks, and leaves EXACTLY
+    * `numReducers` files named `part-00000 … part-0000(R-1)` in
+    * `outputDir` (reference tests/test_integration_03.py:85 pins the
+    * exact file count; :67-75 the descriptor shape).
+    *
+    * `numMappers` mirrors the reference's fixed M map tasks: the input is
+    * repartitioned to M splits when the scan planned a different count.
+    * At scale, pass the scan's natural split count (or 0 = "let Spark
+    * plan") to skip that exchange — the reference's round-robin
+    * file-to-mapper assignment is what Spark split planning already does.
+    */
+  def runJob(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      mapper: String => IterableOnce[(String, String)],
+      reducer: (String, Iterator[String]) => IterableOnce[String],
+      numMappers: Int,
+      numReducers: Int
+  ): Unit = {
+    val lines = spark.read.textFile(inputDir)
+    val split =
+      if (numMappers > 0 && lines.rdd.getNumPartitions != numMappers) lines.repartition(numMappers)
+      else lines
+    saveTextParts(run(split, mapper, reducer, numReducers), outputDir)
+    keepOnlyParts(spark, outputDir)
+  }
+
+  /** `runJob` with *external executables* as mapper/reducer — the literal
+    * reference descriptor (`mapper_executable`/`reducer_executable` are
+    * paths to programs speaking the stdin/stdout text protocol, e.g.
+    * reference tests/testdata/exec/wc_map.sh).
+    */
+  def runExecJob(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      mapperCmd: String,
+      reducerCmd: String,
+      numMappers: Int,
+      numReducers: Int
+  ): Unit = {
+    val out =
+      Pipe.pipeJob(spark, spark.read.textFile(inputDir), mapperCmd, reducerCmd, numMappers, numReducers)
+    saveTextParts(out, outputDir)
+    keepOnlyParts(spark, outputDir)
+  }
+
+  /** Leaves only `part-NNNNN` files in `dir`: drops the committer's
+    * `_SUCCESS` marker and (on checksummed local filesystems) the hidden
+    * `.part-NNNNN.crc` siblings, so the directory listing is
+    * byte-compatible with the reference layout. Uses the RAW filesystem —
+    * `ChecksumFileSystem.listStatus` hides the very .crc files we need to
+    * remove.
+    */
+  private def keepOnlyParts(spark: SparkSession, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f                                          => f
+    }
+    fs.listStatus(path).foreach { st =>
+      if (!st.getPath.getName.matches("part-\\d{5}")) fs.delete(st.getPath, false)
+    }
+  }
+
   /** Same pipeline but returning typed (key, value) rows — convenient
     * when the reducer output is itself `key\tvalue` shaped and the caller
     * wants a DataFrame for SQL-surface verification.
