@@ -47,30 +47,47 @@ object StreamingQueries {
   /** Drives a streaming query to completion against the memory sink.
     * Streaming state-store count = shuffle partitions at query start;
     * per-batch store open/commit overhead dwarfs compute at test scale
-    * (a stream-stream join keeps four stores per partition), so the
-    * stream runs with a small fixed state partitioning — a production
-    * job sizes this to key throughput, and batch queries are untouched
-    * (the previous session value is restored).
+    * (a stream-stream join keeps four stores per partition), so streams
+    * run in an ISOLATED-conf session (`newSession`: shared SparkContext,
+    * own SQLConf) pinned to a small state partitioning — the caller's
+    * session conf is never touched, so concurrent batch queries keep
+    * their own partitioning. A production job sizes this to key
+    * throughput.
     */
+  // one isolated streaming session per root session (sessions are cheap
+  // but carry a catalog; no need for one per query)
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def streamSession(root: SparkSession): SparkSession =
+    streamSessions.computeIfAbsent(
+      root,
+      { r =>
+        val s = r.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // runtime-set read options the transplanted plans rely on
+        // (newSession starts from builder defaults, not runtime conf)
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        s
+      }
+    )
+
   // last memory-sink view per query family — dropped when the family
   // runs again, so repeated Verify/Bench invocations don't accumulate
   // drained results in driver memory
   private val lastView = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def runToMemory(df: DataFrame, base: String, mode: String): DataFrame = {
-    val spark = df.sparkSession
+    val scoped = streamSession(df.sparkSession)
     val name = s"${base}_${System.nanoTime()}"
-    Option(lastView.put(base, name)).foreach(spark.catalog.dropTempView(_))
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      // start() itself can throw (unsupported-operation checks), so it
-      // sits inside the conf-restoring try
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try q.processAllAvailable()
-      finally q.stop() // always stop — a leaked active query pins state stores
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    Option(lastView.put(base, name)).foreach(scoped.catalog.dropTempView(_))
+    // re-root the plan in the scoped session; the memory-sink view and
+    // the returned result live there too (callers only project/sort it)
+    val sdf = org.apache.spark.sql.graft.Bridge.ofRows(scoped, df.queryExecution.logical)
+    val q = sdf.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable()
+    finally q.stop() // always stop — a leaked active query pins state stores
+    scoped.table(name)
   }
 
   /** Streaming tumbling-window counts (complete mode): same result —
@@ -101,6 +118,17 @@ object StreamingQueries {
       dir: String,
       gapMinutes: Int = 30,
       glob: String = "events.parquet"
+  ): DataFrame =
+    sessionizeStream(spark, eventStream(spark, dir, glob), gapMinutes)
+
+  /** The sessionizer over an already-constructed event stream (any
+    * composition of sources — sessionizeComplete unions the real
+    * directory with a one-row sentinel side-dir).
+    */
+  private def sessionizeStream(
+      spark: SparkSession,
+      stream: DataFrame,
+      gapMinutes: Int
   ): DataFrame = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
@@ -143,7 +171,7 @@ object StreamingQueries {
       closed.iterator
     }
 
-    val agg = eventStream(spark, dir, glob)
+    val agg = stream
       .withWatermark("ts", "10 minutes")
       .select(
         $"user_id".as[Long],
@@ -157,47 +185,52 @@ object StreamingQueries {
       .orderBy($"user_id", $"session_start")
   }
 
-  /** sessionize with a COMPLETE emitted set: the event file is staged to
-    * a temp directory together with ONE far-future sentinel event whose
-    * timestamp pushes the final watermark past every real session's
-    * gap-extended end, so every event-time timeout fires and the emitted
-    * sessions equal the batch session_window result (checked against the
-    * same DuckDB oracle). This is the standard end-of-stream drain a
-    * production pipeline performs (a max-watermark heartbeat record) —
-    * the operator itself stays unbounded-input/bounded-state.
+  /** sessionize with a COMPLETE emitted set: the real event directory is
+    * streamed as-is, unioned with a SIDE directory holding ONE far-future
+    * sentinel event whose timestamp pushes the final watermark past every
+    * real session's gap-extended end, so every event-time timeout fires
+    * and the emitted sessions equal the batch session_window result
+    * (checked against the same DuckDB oracle). This is the standard
+    * end-of-stream drain a production pipeline performs (a max-watermark
+    * heartbeat record) — the operator itself stays unbounded-input/
+    * bounded-state, and the input data is NEVER copied: the only write is
+    * the one-row sentinel parquet.
     */
-  // staged (events + sentinel) dirs, one per (source dir, gap) — staging
-  // is a one-time ingest step, not part of the per-run streaming cost
-  private val stageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+  // sentinel side-dirs, one per (source dir, gap) — building one costs a
+  // max(ts) scan (parquet footer stats at scale) plus a one-row write
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[String]]()
 
   def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    val stage = stageCache.computeIfAbsent(
+    val sentinelDir = sentinelCache.computeIfAbsent(
       (dir, gapMinutes),
       { _ =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
-        val path = java.nio.file.Files.createTempDirectory("graft_sessions_").toString
-        raw.write.mode("overwrite").parquet(path)
+        val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
         // max(ts) is null on an empty table — no sessions exist, so no
-        // sentinel is needed
-        Option(raw.agg(max($"ts")).head.get(0)).map(_.asInstanceOf[Long]).foreach { maxTs =>
+        // sentinel (or side source) is needed
+        Option(raw.agg(max($"ts")).head.get(0)).map(_.asInstanceOf[Long]).map { maxTs =>
           // sentinel lands (gap + watermark-delay + 1h) past the last
           // event — strictly beyond every session's timeout timestamp
           val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
+          val path = java.nio.file.Files.createTempDirectory("graft_sentinel_").toString
           raw
             .limit(1)
             .withColumn("ts", lit(flushTs))
             .withColumn("user_id", lit(-1L))
+            .coalesce(1)
             .write
-            .mode("append")
+            .mode("overwrite")
             .parquet(path)
+          path
         }
-        path
       }
     )
-    sessionize(spark, stage, gapMinutes, glob = "*.parquet").filter($"user_id" >= 0)
+    val stream = sentinelDir.foldLeft(eventStream(spark, dir)) { (real, side) =>
+      real.union(eventStream(spark, side, glob = "*.parquet"))
+    }
+    sessionizeStream(spark, stream, gapMinutes).filter($"user_id" >= 0)
   }
 
   /** Watermarked streaming deduplication: the event stream is unioned
