@@ -43,7 +43,9 @@ object Reference {
     */
   def mrWordcount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lines = Tables.documents(spark, dir).select(lower($"text")).as[String]
+    // per-row Scala lambda mapper chain → fanned scan so the map stage
+    // parallelizes on sub-cores-split test files (no-op at scale)
+    val lines = Tables.documentsFanned(spark, dir).select(lower($"text")).as[String]
     MapReduce
       .runKV(
         lines,

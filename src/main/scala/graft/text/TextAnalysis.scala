@@ -27,8 +27,10 @@ object TextAnalysis {
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // per-token higher-order stopword scoring is per-row-heavy → fanned
+    // scan (no-op at scale, parallelizes the sub-cores-split test files)
     Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select($"doc_id", tokens($"text").as("toks"))
       .select(
         $"doc_id",
@@ -54,8 +56,9 @@ object TextAnalysis {
     */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // array_distinct + stopword filter per row → fanned scan (see langId)
     Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select($"doc_id", $"text", tokens($"text").as("toks"))
       .select(
         $"doc_id",

@@ -20,7 +20,7 @@ object Probe {
       println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir) // match the production dedup scan
     t("tokens+shingles explode")(
       docs.select($"doc_id", explode(shingles(tokens($"text"))).as("sh")).count()
     )
