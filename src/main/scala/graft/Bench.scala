@@ -19,9 +19,11 @@ object Bench {
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // min of 2 runs per query: damps host CPU variance without hiding
-    // systematic cost (standard steady-state methodology). A query whose
-    // run throws reports the sentinel -1 (and lands in "failed") instead
-    // of silently contributing its fast failure time.
+    // systematic cost (standard steady-state methodology). The max is
+    // reported alongside ("queries_max") so the min↔max spread separates
+    // host noise from real regressions mechanically. A query whose run
+    // throws reports the sentinel -1 (and lands in "failed") instead of
+    // silently contributing its fast failure time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -32,13 +34,17 @@ object Bench {
           }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
+      val times = runs.map(_._2)
+      (name, if (runs.forall(_._1)) times.min else -1.0, if (runs.forall(_._1)) times.max else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    def obj(f: ((String, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+    val qs = obj(_._2)
+    val qmax = obj(_._3)
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$failed,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
