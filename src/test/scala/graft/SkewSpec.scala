@@ -54,6 +54,63 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("stop-shingle cap bounds every join in the pruned-index dedup plan at Σ min(df,cap)²") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+
+    // hot-shingle corpus: two shingles appear in ALL n docs (the web-scale
+    // boilerplate case); every other shingle is unique to its doc
+    val n = 200
+    val cap = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotshingle-").toString
+    spark
+      .range(n)
+      .select(
+        $"id".as("doc_id"),
+        concat(
+          lit("common hot shingle here unique"),
+          $"id",
+          lit(" token"),
+          $"id",
+          lit(" word"),
+          $"id"
+        ).as("text")
+      )
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    // the declared contract: shuffle work of the capped variant is bounded
+    // by Σ_sh min(df(sh), cap)² — here 2·cap² + 3n·1
+    val bound = 2L * cap * cap + 3L * n
+
+    def maxJoinRows(df: org.apache.spark.sql.DataFrame): (Long, Seq[Long]) = {
+      df.collect()
+      val joins = df.queryExecution.executedPlan.collect { case j: BaseJoinExec => j }
+      assert(joins.nonEmpty, "expected join nodes in the dedup plan")
+      val rows = joins.map(_.metrics("numOutputRows").value)
+      (rows.max, rows)
+    }
+
+    // AQE off so the executed plan is a plain tree whose join metrics are
+    // directly collectible (AQE wraps stages in leaf nodes)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (cappedMax, cappedAll) = maxJoinRows(Dedup.ngramJaccard(spark, dir, Some(cap)))
+      assert(
+        cappedAll.forall(_ <= bound),
+        s"a join in the capped plan exceeded Σ min(df,cap)² = $bound: $cappedAll"
+      )
+      // and the cap is load-bearing: the uncapped inverted-index self-join
+      // pays the hot shingles' full df² ≈ 2·C(n,2) pair rows
+      val (uncappedMax, _) = maxJoinRows(Dedup.ngramJaccard(spark, dir, None))
+      assert(uncappedMax > bound, s"uncapped max join rows $uncappedMax should exceed $bound")
+      assert(uncappedMax >= n.toLong * (n - 1) / 2, s"hot shingle should drive ~C(n,2) pair rows")
+      assert(cappedMax <= bound)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("salted two-phase aggregation equals direct aggregation on a hot key") {
     import spark.implicits._
     val words = spark

@@ -36,6 +36,61 @@ class JobQueueSpec extends AnyFunSuite {
     assert(grepJob.collect().toSeq === Seq("keep this", "keep too"))
   }
 
+  test("two queued jobs get isolated per-job output dirs, completed in submission order (test_manager_01)") {
+    // the reference manager gives each queued job its own numbered
+    // directory tree (tests/test_manager_01.py:25-28 waits for tmp/job-0)
+    // and a later job never disturbs an earlier job's finished output
+    import java.io.File
+    import scala.io.Source
+    def readAll(f: File): List[String] = {
+      val src = Source.fromFile(f, "UTF-8")
+      try src.getLines().toList
+      finally src.close()
+    }
+    def golden(name: String): List[String] = {
+      val src = Source.fromFile(getClass.getResource(s"/refcorpus/correct/$name").getPath, "UTF-8")
+      try src.getLines().toList
+      finally src.close()
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-jobqueue-").toFile
+    val input = getClass.getResource("/refcorpus/input").getPath
+    val out0 = new File(base, "job-0/output")
+    val out1 = new File(base, "job-1/output")
+
+    // job-0: word count
+    MapReduce.runJob(
+      spark,
+      input,
+      out0.getPath,
+      mapper = line => line.toLowerCase.split("[ \t]", -1).iterator.map(w => (w, "1")),
+      reducer = (word, ones) => Iterator.single(s"$word\t${ones.size}"),
+      numMappers = 2,
+      numReducers = 1
+    )
+    // job-0 finished (FIFO: it ran to completion) before job-1 existed
+    assert(new File(out0, "part-00000").isFile)
+    assert(!new File(base, "job-1").exists)
+    val job0Snapshot = readAll(new File(out0, "part-00000"))
+    assert(job0Snapshot.sorted === golden("word_count_correct.txt").sorted)
+
+    // job-1: grep, own directory tree
+    MapReduce.runJob(
+      spark,
+      input,
+      out1.getPath,
+      mapper = line =>
+        if (line.trim.nonEmpty && line.toLowerCase.contains("product")) Iterator.single(("1", line))
+        else Iterator.empty,
+      reducer = (_, lines) => lines,
+      numMappers = 2,
+      numReducers = 1
+    )
+    assert(readAll(new File(out1, "part-00000")) === golden("grep_correct.txt"))
+    // isolation: job-1 left job-0's output byte-identical
+    assert(readAll(new File(out0, "part-00000")) === job0Snapshot)
+    assert(out0.list().toList === List("part-00000"))
+  }
+
   test("concurrently-submitted jobs share the FIFO scheduler and all complete correctly") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
