@@ -369,26 +369,45 @@ object Relational {
     * (PlanSpec pins this). The merge hint keeps the plan a sort-merge
     * join even at tiny test scale where broadcast would hide the
     * property; at real scale neither side is broadcastable and the
-    * avoided exchange is the whole cost of the join. Bucket writes land
-    * in a scale-tagged /tmp path (amortized like any production bucketed
-    * layout — bench's min-of-2 times the join, not the one-time write).
-    * The per-session tableExists guard assumes the source dir is
-    * immutable for the session's lifetime (true for the driver's test
-    * data); regenerating data at the same path mid-session requires a
-    * new session (or dropping the graft_*_bucketed tables).
+    * avoided exchange is the whole cost of the join. Bucket tables are
+    * MANAGED — they live under the session's spark.sql.warehouse.dir,
+    * never a world-shared /tmp path — and their names carry a content
+    * fingerprint (source file lengths + mtimes), so regenerated source
+    * data yields a different table name: stale reuse is impossible by
+    * construction. The one-time write is amortized like any production
+    * bucketed layout — bench's min-of-2 times the join, not the write.
     */
+  /** Hex digest of the source files' (path, length, mtime) triples —
+    * cheap (metadata-only) and changes whenever the data is regenerated.
+    */
+  private def sourceFingerprint(spark: SparkSession, paths: String*): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(hp, true)
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    }
+    md.digest().take(6).map("%02x".format(_)).mkString
+  }
+
   def q22BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val ordersT = s"graft_orders_bucketed$tag"
-    val lineitemT = s"graft_lineitem_bucketed$tag"
+    val fp = sourceFingerprint(spark, s"$dir/orders.parquet", s"$dir/lineitem.parquet")
+    val ordersT = s"graft_orders_bucketed_$fp"
+    val lineitemT = s"graft_lineitem_bucketed_$fp"
     if (!spark.catalog.tableExists(ordersT)) {
       Tables
         .orders(spark, dir)
         .write
         .mode("overwrite")
         .format("parquet")
-        .option("path", s"/tmp/graft_bucketed/$ordersT")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .saveAsTable(ordersT)
@@ -397,7 +416,6 @@ object Relational {
         .write
         .mode("overwrite")
         .format("parquet")
-        .option("path", s"/tmp/graft_bucketed/$lineitemT")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .saveAsTable(lineitemT)
