@@ -50,10 +50,36 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (`???` in spirit: the container ships no codecs). Derives
-    * "decoded" dimensions from the payload's md5 and a fixed-length fake
-    * feature vector from the first bytes. Swap this single function for a
+  /** Real header parse: PNG IHDR or JPEG SOF0/1/2 frame dimensions when
+    * the payload carries one (pure byte arithmetic — no codec needed).
+    * The synthetic corpus payloads are text bytes, which never match a
+    * magic number, so the oracle replays only the fallback path.
+    */
+  private[multimodal] def headerDims(p: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int) = (u16(i).toLong << 16) | u16(i + 2)
+    if (p.length >= 24 && u32(0) == 0x89504e47L && u32(4) == 0x0d0a1a0aL &&
+      u32(12) == 0x49484452L) // "IHDR"
+      Some((u32(16).toInt, u32(20).toInt))
+    else if (p.length >= 10 && u16(0) == 0xffd8) {
+      // walk JPEG segments to the first frame header: FF Cx len(2)
+      // precision(1) height(2) width(2); C4/C8/CC are not frame markers
+      var i = 2
+      while (i + 9 <= p.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          return Some((u16(i + 7), u16(i + 5)))
+        i += 2 + u16(i + 2)
+      }
+      None
+    } else None
+  }
+
+  /** Decoder — parses real dimensions out of a PNG/JPEG header when the
+    * payload carries one; otherwise a deterministic md5-derived fake
+    * stands in for a full decode (the container ships no codecs). The
+    * feature vector is always payload-derived. Swap the fallback for a
     * real decoder (JNI/ffmpeg/javacv) without touching the pipeline.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
@@ -64,8 +90,9 @@ object Multimodal {
     val h2 = java.lang.Integer.toUnsignedLong(
       ((d(4) & 0xff) << 24) | ((d(5) & 0xff) << 16) | ((d(6) & 0xff) << 8) | (d(7) & 0xff)
     )
-    val width = (1 + h1 % 1920).toInt
-    val height = (1 + h2 % 1080).toInt
+    val (width, height) = headerDims(payload).getOrElse(
+      ((1 + h1 % 1920).toInt, (1 + h2 % 1080).toInt)
+    )
     val nFrames = 1 + (payload.length % 300)
     val feature = Array.tabulate(8)(i => if (i < payload.length) (payload(i) & 0xff).toFloat / 255f else 0f)
     (width, height, nFrames, feature)

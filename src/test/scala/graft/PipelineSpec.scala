@@ -61,6 +61,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decode parses real PNG/JPEG header dimensions; text payloads take the deterministic fallback") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // minimal PNG: signature + IHDR chunk declaring 640×480
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val (w, h, _, _) = Multimodal.decodeStub(png)
+    assert((w, h) === (640, 480))
+    // minimal JPEG: SOI, APP0 (skipped), SOF0 declaring 480 high × 640 wide
+    val jpeg = Array[Byte](
+      0xff.toByte, 0xd8.toByte, // SOI
+      0xff.toByte, 0xe0.toByte, 0, 4, 0, 0, // APP0, len 4 (2 payload bytes)
+      0xff.toByte, 0xc0.toByte, 0, 17, 8, // SOF0, len, precision
+      0x01, 0xe0.toByte, // height 480
+      0x02, 0x80.toByte, // width 640
+      3, 0, 0, 0
+    )
+    val (w2, h2, _, _) = Multimodal.decodeStub(jpeg)
+    assert((w2, h2) === (640, 480))
+    // text payload: no magic number — md5-derived fake, oracle-replayable
+    val (w3, h3, _, _) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert(w3 >= 1 && w3 <= 1920 && h3 >= 1 && h3 <= 1080)
+  }
+
   test("exact dedup keeps one id per distinct text and covers all docs") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
