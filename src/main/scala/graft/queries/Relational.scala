@@ -403,6 +403,16 @@ object Relational {
     val ordersT = s"graft_orders_bucketed_$fp"
     val lineitemT = s"graft_lineitem_bucketed_$fp"
     if (!spark.catalog.tableExists(ordersT)) {
+      // a previous JVM may have left files at the managed location (the
+      // in-memory catalog doesn't persist); drop them rather than trust
+      // them — a crashed mid-write leaves incomplete buckets, and the
+      // rewrite costs the same as the join's one-time staging anyway
+      val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(ordersT, lineitemT).foreach { t =>
+        val loc = new org.apache.hadoop.fs.Path(warehouse, t)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       Tables
         .orders(spark, dir)
         .write
