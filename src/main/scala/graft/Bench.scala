@@ -37,14 +37,22 @@ object Bench {
       val times = runs.map(_._2)
       (name, if (runs.forall(_._1)) times.min else -1.0, if (runs.forall(_._1)) times.max else -1.0)
     }
+    // The driver captures only the last ~2000 chars of output, so the final
+    // line must stay compact: 3-decimal times, contract keys only. The full
+    // min/max detail (noise-vs-regression evidence) goes to BENCH_DETAIL.json.
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def obj(f: ((String, Double, Double)) => Double): String =
-      results.map { r => "\"" + r._1 + "\":" + f(r) }.mkString("{", ",", "}")
+      results.map { r => "\"" + r._1 + "\":" + fmt(f(r)) }.mkString("{", ",", "}")
     val qs = obj(_._2)
     val qmax = obj(_._3)
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$failed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -30,8 +30,13 @@ object Pipe {
       numReducers: Int
   ): Dataset[String] = {
     import spark.implicits._
-    val mapped = input.rdd
-      .repartition(numMappers)
+    // numMappers <= 0 means "keep the scan's natural splits" — the same
+    // convention MapReduce.runJob documents for its M parameter
+    val raw = input.rdd
+    val split =
+      if (numMappers > 0 && raw.getNumPartitions != numMappers) raw.repartition(numMappers)
+      else raw
+    val mapped = split
       .pipe(Seq("/bin/sh", "-c", mapperCmd))
       .map { line =>
         val i = line.indexOf('\t')

@@ -67,10 +67,17 @@ object Multimodal {
       // precision(1) height(2) width(2); C4/C8/CC are not frame markers
       var i = 2
       while (i + 9 <= p.length && u8(i) == 0xff) {
+        // 0xFF fill bytes may pad between segments: the marker byte is
+        // the first non-0xFF after the run
+        while (i + 9 <= p.length && u8(i + 1) == 0xff) i += 1
+        if (i + 9 > p.length) return None
         val marker = u8(i + 1)
         if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
           return Some((u16(i + 7), u16(i + 5)))
-        i += 2 + u16(i + 2)
+        // TEM (0x01) and RSTn/SOI/EOI (0xD0-0xD9) are standalone — no
+        // 2-byte length follows; reading one would skip arbitrary bytes
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+        else i += 2 + u16(i + 2)
       }
       None
     } else None

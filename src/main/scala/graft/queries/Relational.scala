@@ -397,38 +397,54 @@ object Relational {
     md.digest().take(6).map("%02x".format(_)).mkString
   }
 
+  // serializes bucket-table builds: two first callers racing on the same
+  // fingerprint would otherwise interleave delete + saveAsTable
+  private val bucketBuildLock = new Object
+
   def q22BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fp = sourceFingerprint(spark, s"$dir/orders.parquet", s"$dir/lineitem.parquet")
     val ordersT = s"graft_orders_bucketed_$fp"
     val lineitemT = s"graft_lineitem_bucketed_$fp"
-    if (!spark.catalog.tableExists(ordersT)) {
-      // a previous JVM may have left files at the managed location (the
-      // in-memory catalog doesn't persist); drop them rather than trust
-      // them — a crashed mid-write leaves incomplete buckets, and the
-      // rewrite costs the same as the join's one-time staging anyway
-      val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(ordersT, lineitemT).foreach { t =>
-        val loc = new org.apache.hadoop.fs.Path(warehouse, t)
-        if (fs.exists(loc)) fs.delete(loc, true)
+    // guard on BOTH tables: a prior attempt that created orders but threw
+    // before the lineitem save must not short-circuit the rebuild
+    if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) bucketBuildLock.synchronized {
+      if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) {
+        // a previous JVM may have left files at the managed location (the
+        // in-memory catalog doesn't persist); drop them rather than trust
+        // them — a crashed mid-write leaves incomplete buckets, and the
+        // rewrite costs the same as the join's one-time staging anyway.
+        // Sibling fingerprints (stale regenerated source data) are swept
+        // too, so the warehouse doesn't grow without bound across rounds.
+        val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(warehouse)) {
+          val stale = fs.listStatus(warehouse).filter { st =>
+            val n = st.getPath.getName
+            n.startsWith("graft_orders_bucketed_") || n.startsWith("graft_lineitem_bucketed_")
+          }
+          stale.foreach(st => fs.delete(st.getPath, true))
+        }
+        Seq(ordersT, lineitemT).foreach { t =>
+          if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+        }
+        Tables
+          .orders(spark, dir)
+          .write
+          .mode("overwrite")
+          .format("parquet")
+          .bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey")
+          .saveAsTable(ordersT)
+        Tables
+          .lineitem(spark, dir)
+          .write
+          .mode("overwrite")
+          .format("parquet")
+          .bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey")
+          .saveAsTable(lineitemT)
       }
-      Tables
-        .orders(spark, dir)
-        .write
-        .mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable(ordersT)
-      Tables
-        .lineitem(spark, dir)
-        .write
-        .mode("overwrite")
-        .format("parquet")
-        .bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable(lineitemT)
     }
     spark
       .table(lineitemT)

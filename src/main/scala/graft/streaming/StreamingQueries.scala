@@ -59,7 +59,11 @@ object StreamingQueries {
   private val streamSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
-  private def streamSession(root: SparkSession): SparkSession =
+  private def streamSession(root: SparkSession): SparkSession = {
+    // evict entries whose root context is stopped — the map holds strong
+    // references, so a host that churns sessions (fresh session per test
+    // suite) would otherwise pin every stopped session for the JVM's life
+    streamSessions.keySet.removeIf(k => k.sparkContext.isStopped)
     streamSessions.computeIfAbsent(
       root,
       { r =>
@@ -71,6 +75,7 @@ object StreamingQueries {
         s
       }
     )
+  }
 
   // last memory-sink view per query family — dropped when the family
   // runs again, so repeated Verify/Bench invocations don't accumulate
