@@ -72,16 +72,20 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
@@ -140,14 +144,18 @@ object SparkEntry {
     "dedup_minhash" -> PipelineOracles.dedupMinhash,
     "dedup_simhash" -> PipelineOracles.dedupSimhash,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
+    "dedup_clusters" -> PipelineOracles.dedupClusters,
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
     "sim_ann_ivf" -> PipelineOracles.simAnnIvf,
+    "sim_knn_graph" -> PipelineOracles.simKnnGraph,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,
     "text_fingerprint" -> PipelineOracles.textFingerprint,
+    "text_repetition" -> PipelineOracles.textRepetition,
+    "text_vocab" -> PipelineOracles.textVocab,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,

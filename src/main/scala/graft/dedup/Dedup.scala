@@ -199,6 +199,67 @@ object Dedup {
     jaccardFilter(spark, dir, sh, cand, JaccardThreshold)
   }
 
+  /** Duplicate-cluster assignment — the step after near-dup detection in
+    * a training pipeline: connected components over the MinHash-LSH
+    * verified pair set, keeper = min doc_id per component (keep-one-per-
+    * cluster, the SemDeDup-style policy). Distributed min-label
+    * propagation over the pair edge list: each round every node takes the
+    * min label in its closed neighborhood. Labels are monotonically
+    * non-increasing, so the Σlabel fixpoint test is an exact convergence
+    * check (sum unchanged ⇒ no label changed). Rounds = component
+    * eccentricity — near-dup clusters are shallow stars in practice; the
+    * published alternating large-star/small-star algorithm (Kiveris et
+    * al., MapReduce CC) drops worst-case chains to O(log n) rounds with
+    * the same per-round join shape if ever needed.
+    *
+    * Scale: only the PAIR set (orders of magnitude smaller than the
+    * corpus) re-shuffles per round; the corpus joins exactly once at the
+    * end to pick up singleton clusters. localCheckpoint truncates the
+    * iterative lineage (use reliable checkpoint on a real cluster).
+    * Output: one row per document with its cluster id, cluster size, and
+    * keeper flag — filtering `is_keeper = 1` IS the deduplicated corpus.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashLsh(spark, dir).select($"id_a", $"id_b")
+    val edges = pairs
+      .union(pairs.select($"id_b", $"id_a"))
+      .toDF("u", "v")
+      .localCheckpoint()
+    var labels = edges.select($"u").distinct().withColumn("lbl", $"u").localCheckpoint()
+    var lblSum = labels.agg(coalesce(sum($"lbl"), lit(0L))).as[Long].head()
+    var converged = false
+    while (!converged) {
+      // every edge-list node has ≥1 neighbor, so the inner join keeps all
+      val next = edges
+        .join(labels.select($"u".as("v"), $"lbl"), "v")
+        .groupBy($"u")
+        .agg(min($"lbl").as("nbr"))
+        .join(labels, "u")
+        .select($"u", least($"lbl", $"nbr").as("lbl"))
+        .localCheckpoint()
+      val nextSum = next.agg(coalesce(sum($"lbl"), lit(0L))).as[Long].head()
+      converged = nextSum == lblSum
+      lblSum = nextSum
+      labels = next
+    }
+    val assigned = Tables
+      .documents(spark, dir)
+      .select($"doc_id")
+      .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+    val sizes = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned
+      .join(sizes, "cluster_id")
+      .select(
+        $"doc_id",
+        $"cluster_id",
+        $"cluster_size",
+        when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("is_keeper")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** 64-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where
     * the sign comes from bit j of the token's md5 (nibbles 1..16).
     * Computed by the one-pass SimhashAgg imperative aggregate (same bit

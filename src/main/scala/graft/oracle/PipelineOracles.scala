@@ -38,7 +38,7 @@ object PipelineOracles {
        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
-  private def jaccardSelect(candTable: String, threshold: Double): String = {
+  private def jaccardSelect(candTable: String, threshold: Double, ordered: Boolean = true): String = {
     val candJoin =
       if (candTable == "common") ""
       else s"\nJOIN common ON common.id_a = $candTable.id_a AND common.id_b = $candTable.id_b"
@@ -46,8 +46,7 @@ object PipelineOracles {
        |FROM $candTable$candJoin
        |JOIN sizes sa ON sa.doc_id = $candTable.id_a
        |JOIN sizes sb ON sb.doc_id = $candTable.id_b
-       |WHERE round(c / (sa.n + sb.n - c), 6) >= $threshold
-       |ORDER BY 1, 2""".stripMargin
+       |WHERE round(c / (sa.n + sb.n - c), 6) >= $threshold${if (ordered) "\nORDER BY 1, 2" else ""}""".stripMargin
   }
 
   /** Left-fold double dot product of two list columns (same accumulation
@@ -127,8 +126,10 @@ object PipelineOracles {
     * hashes) and the b=16/r=2 banding (a band matches when BOTH of its
     * two member hashes agree), then the same exact-Jaccard verification.
     */
-  val dedupMinhash: String =
-    s"""WITH $shingleSets,
+  // CTE chain shared by dedupMinhash and dedupClusters (clusters runs
+  // connected components over the same verified pair set)
+  private val minhashCtes: String =
+    s"""$shingleSets,
        |mh AS (
        |  SELECT doc_id, ss.s * 4 + cc.c AS i,
        |    min(CAST('0x' || substr(md5(sh || '#' || CAST(ss.s AS VARCHAR)), 1 + 8 * cc.c, 8) AS BIGINT)) AS v
@@ -140,8 +141,33 @@ object PipelineOracles {
        |  WHERE e.i % 2 = 0),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)""".stripMargin
+
+  val dedupMinhash: String =
+    s"""WITH $minhashCtes
        |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
+
+  /** Connected components over the minhash-LSH pair set via a recursive
+    * min-reachable-label CTE: `reach` accumulates, for every doc, every
+    * label reachable over pair edges (seeded with the doc's own id);
+    * min(reachable) is the component minimum — the same fixpoint the
+    * engine's label propagation converges to. Singletons (docs in no
+    * pair) keep their own id through the seed row.
+    */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)}),
+       |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
+       |reach(u, lbl) AS (
+       |  SELECT doc_id AS u, doc_id AS lbl FROM documents
+       |  UNION
+       |  SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+       |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+       |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size,
+       |  CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM cc JOIN cs USING (cluster_id)
+       |ORDER BY cc.doc_id""".stripMargin
 
   /** Brute-force hamming pairs over replayed 32-bit simhash signatures
     * (the Spark side's banding is exact by pigeonhole, so brute force is
@@ -227,6 +253,25 @@ object PipelineOracles {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Replays the corpus-wide kNN graph: symmetric band-bucket candidates
+    * (both directions of every collision), exact cosine re-rank, top
+    * GraphK per source vector.
+    */
+  val simKnnGraph: String =
+    s"""WITH $embNorms,
+       |${embBands("norms")},
+       |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+       |scored AS (SELECT cand.src_id, cand.dst_id,
+       |    ${dotSql("s.embedding", "d.embedding")} / (s.nrm * d.nrm) AS cosine
+       |  FROM cand JOIN norms s ON s.vec_id = cand.src_id JOIN norms d ON d.vec_id = cand.dst_id),
+       |ranked AS (SELECT src_id, dst_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT src_id, dst_id, rank, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= ${Similarity.GraphK} ORDER BY src_id, rank""".stripMargin
+
   /** Replays the IVF pipeline: sampled centroids, nearest-cell
     * assignment (ties to the lowest centroid id — same rule as the Spark
     * argmax), nprobe nearest cells per query, exact cosine re-rank.
@@ -307,6 +352,56 @@ object PipelineOracles {
        |      (h, c) -> (h * 31 + c) % ${TextAnalysis.FingerprintMod})
        |  END AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // bigram multiset of the token array (counting twin of the distinct
+  // 3-shingle used by dedup); shared by textRepetition and textVocab
+  private val bigramsCte =
+    s"""toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |base AS (SELECT doc_id, w,
+       |  CASE WHEN len(w) >= 2
+       |    THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+       |    ELSE CAST([] AS VARCHAR[]) END AS bg
+       |  FROM toks)""".stripMargin
+
+  /** Replays the Gopher-style repetition stats relationally (unnest +
+    * group counts); the engine computes the same multiset maxima
+    * map-side, so values are exact-equal (integer counts, one double
+    * division + round on each fraction).
+    */
+  val textRepetition: String =
+    s"""WITH $bigramsCte,
+       |uni AS (SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(w) AS t FROM base) GROUP BY 1, 2),
+       |us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+       |    CAST(max(c) AS BIGINT) AS max_tok
+       |  FROM uni GROUP BY 1),
+       |bi AS (SELECT doc_id, t, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(bg) AS t FROM base) GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_bigram
+       |  FROM bi GROUP BY 1),
+       |j AS (SELECT us.doc_id, us.n_tokens, us.n_distinct, us.max_tok,
+       |    coalesce(bs.n_bigrams, 0) AS n_bigrams, coalesce(bs.max_bigram, 0) AS max_bigram
+       |  FROM us LEFT JOIN bs ON bs.doc_id = us.doc_id),
+       |f AS (SELECT doc_id, n_tokens, n_distinct, max_tok, n_bigrams, max_bigram,
+       |    round(1.0 - n_distinct / n_tokens, 6) AS dup_word_frac,
+       |    round(max_tok / n_tokens, 6) AS top_word_frac,
+       |    CASE WHEN n_bigrams > 0 THEN round(max_bigram / n_bigrams, 6) ELSE 0.0 END AS top_bigram_frac
+       |  FROM j)
+       |SELECT doc_id, n_tokens, n_distinct, max_tok, n_bigrams, max_bigram,
+       |  dup_word_frac, top_word_frac, top_bigram_frac,
+       |  CAST(CASE WHEN top_word_frac > 0.2 OR top_bigram_frac > 0.18 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  val textVocab: String =
+    s"""WITH $bigramsCte,
+       |uni AS (SELECT CAST(1 AS BIGINT) AS arity, t AS ngram, count(*) AS freq
+       |  FROM (SELECT unnest(w) AS t FROM base) GROUP BY t
+       |  ORDER BY freq DESC, ngram LIMIT ${TextAnalysis.VocabK}),
+       |bi AS (SELECT CAST(2 AS BIGINT) AS arity, t AS ngram, count(*) AS freq
+       |  FROM (SELECT unnest(bg) AS t FROM base) GROUP BY t
+       |  ORDER BY freq DESC, ngram LIMIT ${TextAnalysis.VocabK})
+       |SELECT * FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+       |ORDER BY arity, freq DESC, ngram""".stripMargin
 
   val textHashSplit: String =
     """SELECT

@@ -141,6 +141,51 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  val GraphK = 3
+
+  /** k-NN graph over the WHOLE corpus — the input to graph-based semantic
+    * dedup (SemDeDup-style clustering) and retrieval index builds: per
+    * vector, its top-GraphK neighbors among LSH band-bucket candidates,
+    * exact cosine re-rank. Same hyperplane constants and band layout as
+    * annLsh / Dedup.embeddingNearDup.
+    *
+    * Scale shape: no query set to broadcast here — both sides are the
+    * corpus — so everything must stay bucket-bounded: candidates are
+    * O(n²/256) per band (never all pairs), signatures are one long per
+    * vector, and the re-rank join moves only candidate pairs. The
+    * per-source window top-k ranks each vector's own candidate list; the
+    * TopKByCosine aggregator is the drop-in if per-vector candidate
+    * lists ever outgrow a window partition.
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(Dedup.EmbedPlanes, 64)
+    val emb = corpusWithNorm(spark, dir)
+      .withColumn("sig", lshSignature($"embedding", planes))
+    val banded = emb.select(
+      $"vec_id",
+      posexplode(Dedup.embedBandBuckets($"sig")).as(Seq("band", "bucket"))
+    )
+    val cand = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id")
+      )
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("dst_id"))
+      .distinct()
+    val w = Window.partitionBy($"src_id").orderBy($"cosine".desc, $"dst_id")
+    cand
+      .join(emb.select($"vec_id".as("src_id"), $"embedding".as("se"), $"nrm".as("sn")), "src_id")
+      .join(emb.select($"vec_id".as("dst_id"), $"embedding".as("de"), $"nrm".as("dn")), "dst_id")
+      .withColumn("cosine", dot($"se", $"de") / ($"sn" * $"dn"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= GraphK)
+      .select($"src_id", $"dst_id", $"rank", round($"cosine", 6).as("cosine"))
+      .orderBy($"src_id", $"rank")
+  }
+
   /** LSH-bucketed ANN: candidates share ≥1 signature band with the query,
     * then exact cosine re-rank, top-3 per query. Same hyperplane
     * constants and band layout as Dedup.embeddingNearDup (shared

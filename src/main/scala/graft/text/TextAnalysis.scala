@@ -100,6 +100,90 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Word bigrams ("a b" strings, multiset) of a token array — the
+    * counting twin of Portable.shingles (which is distinct-set, w=3).
+    */
+  private def bigramArr(toks: Column): Column =
+    when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** Max multiplicity in a string array, computed map-side by folding the
+    * sorted array (longest equal run). Per-doc token stats are pure
+    * functions of the row — a (doc_id, token) explode + two-level groupBy
+    * would shuffle every token in the corpus for no reason.
+    */
+  private def maxCount(arr: Column): Column =
+    when(size(arr) === 0, lit(0L)).otherwise(
+      aggregate(
+        array_sort(arr),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")
+      )
+    )
+
+  /** Repetition filters in the style of Gopher's quality heuristics (Rae
+    * et al. 2021 §A1.1): duplicate-word fraction, most-common-word
+    * fraction, most-common-bigram fraction, and the composite
+    * `repetitive` flag a curation pipeline drops on. Entirely map-side
+    * (see maxCount) — the scan is the only distributed stage.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select(
+        $"doc_id",
+        size($"w").cast("long").as("n_tokens"),
+        size(array_distinct($"w")).cast("long").as("n_distinct"),
+        maxCount($"w").as("max_tok"),
+        greatest(size($"w") - 1, lit(0)).cast("long").as("n_bigrams"),
+        maxCount(bigramArr($"w")).as("max_bigram")
+      )
+      .withColumn("dup_word_frac", round(lit(1.0) - $"n_distinct" / $"n_tokens", 6))
+      .withColumn("top_word_frac", round($"max_tok" / $"n_tokens", 6))
+      .withColumn(
+        "top_bigram_frac",
+        when($"n_bigrams" > 0, round($"max_bigram" / $"n_bigrams", 6)).otherwise(lit(0.0))
+      )
+      .withColumn(
+        "repetitive",
+        when($"top_word_frac" > 0.2 || $"top_bigram_frac" > 0.18, 1L).otherwise(0L)
+      )
+      .orderBy($"doc_id")
+  }
+
+  val VocabK = 50
+
+  /** Corpus n-gram frequency table (tokenizer-training prep): the top
+    * VocabK unigrams and bigrams by count, ties lexical. Each arity is a
+    * partial-aggregated count + TakeOrdered top-k — map-side combine on
+    * the explode, k rows per partition to the driver-side heap, no global
+    * sort of the vocabulary.
+    */
+  def vocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documentsFanned(spark, dir).select(tokens($"text").as("w"))
+    def top(ngrams: Column, arity: Int): DataFrame =
+      base
+        .select(explode(ngrams).as("ngram"))
+        .groupBy($"ngram")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"ngram")
+        .limit(VocabK)
+        .select(lit(arity.toLong).as("arity"), $"ngram", $"freq")
+    top($"w", 1).unionAll(top(bigramArr($"w"), 2)).orderBy($"arity", $"freq".desc, $"ngram")
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * h ← (h·31 + codepoint) mod 1e9+7 over the text's characters, seeded
     * with 7 — a distributed-friendly content id that (unlike md5) can be

@@ -177,4 +177,64 @@ class PipelineSpec extends AnyFunSuite {
     val stream = streaming.StreamingQueries.tumbling(spark, dir).collect().toSeq
     assert(stream === batch)
   }
+
+  test("dedup_clusters is the transitive closure of the minhash pair set") {
+    import spark.implicits._
+    val pairs = Dedup
+      .minhashLsh(spark, dir)
+      .select($"id_a", $"id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Dedup.clusters(spark, dir).collect()
+    val label = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a partition of the corpus: one row per doc
+    assert(out.length === Tables.documents(spark, dir).count())
+    // reference union-find over the pairs → expected component minima
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expectMin: Map[Long, Long] =
+      members.groupBy(find).iterator.flatMap { case (_, ms) => val m = ms.min; ms.map(_ -> m) }.toMap
+    expectMin.foreach { case (doc, m) => assert(label(doc) === m, s"doc $doc") }
+    // singletons label themselves; keeper iff label == own id; sizes add up
+    out.foreach { r =>
+      if (!expectMin.contains(r.getLong(0))) assert(r.getLong(1) === r.getLong(0))
+      assert((r.getLong(3) == 1L) === (r.getLong(0) == r.getLong(1)))
+    }
+    val sizes = out.groupBy(_.getLong(1)).map { case (c, rs) => c -> rs.length.toLong }
+    out.foreach(r => assert(r.getLong(2) === sizes(r.getLong(1))))
+  }
+
+  test("repetition stats: map-side run-length maxima equal naive multiset counts") {
+    import spark.implicits._
+    val out = TextAnalysis.repetition(spark, dir).collect()
+    val texts = Tables.documents(spark, dir).select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    out.take(50).foreach { r =>
+      val toks = texts(r.getLong(0)).split("[ \t]", -1).toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      assert(r.getLong(1) === toks.length.toLong)
+      assert(r.getLong(2) === toks.distinct.length.toLong)
+      assert(r.getLong(3) === toks.groupBy(identity).values.map(_.length).max.toLong)
+      assert(r.getLong(5) === (if (bigrams.isEmpty) 0L else bigrams.groupBy(identity).values.map(_.length).max.toLong))
+    }
+  }
+
+  test("knn graph: every vector with a bucket collision appears, ranked by exact cosine") {
+    import spark.implicits._
+    val out = Similarity.knnGraph(spark, dir).collect()
+    val bySrc = out.groupBy(_.getLong(0))
+    bySrc.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(2))
+      // ranks are 1..k and cosines non-increasing within a source
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to sorted.length))
+      val cos = sorted.map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      // no self edges
+      rows.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+    }
+  }
 }
