@@ -128,4 +128,55 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.nonEmpty)
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
+
+  test("sim_knn_graph: corpus×corpus candidates are an equi-join, never a cartesian product") {
+    val plan = graft.similarity.Similarity.knnGraph(spark, dir).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
+    // and every per-source window ranks within a partition key
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+  }
+
+  test("text_repetition is map-side: no exchange before the final result sort") {
+    val root = graft.text.TextAnalysis.repetition(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    // allowed exchanges: the test-scale fanOut round-robin (no-op on
+    // multi-split inputs) and the ORDER BY range partitioning — but never
+    // a hash exchange, which would mean a per-token groupBy snuck in
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, root.toString)
+    exchanges.foreach(e =>
+      assert(
+        !e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+        e.toString
+      )
+    )
+  }
+
+  test("text_vocab plans TakeOrdered per arity, not a global vocabulary sort") {
+    val root = graft.text.TextAnalysis.vocab(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    val takeOrdered = root.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(takeOrdered.size === 2, root.toString)
+  }
+
+  test("dedup_clusters: label propagation never re-derives pairs from text") {
+    // the iterative phase must run on the checkpointed EDGE list alone —
+    // the final plan re-reads documents only for singleton assignment
+    // (+ its size-count reuse), never the shingle/minhash pipeline
+    val df = graft.dedup.Dedup.clusters(spark, dir)
+    val s = scans(df)
+    assert(s.nonEmpty)
+    assert(s.forall(_.metadata("Location").contains("documents.parquet")), s.mkString("\n"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("wordshingles") && !plan.contains("minhash"), plan)
+  }
 }
