@@ -85,6 +85,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
+    "text_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "text_tokens" -> PipelineOracles.textTokens,
     "text_fingerprint" -> PipelineOracles.textFingerprint,
     "text_repetition" -> PipelineOracles.textRepetition,
+    "text_dup_spans" -> PipelineOracles.textDupSpans,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,

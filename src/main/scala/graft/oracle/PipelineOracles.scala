@@ -392,6 +392,23 @@ object PipelineOracles {
        |  CAST(CASE WHEN top_word_frac > 0.2 OR top_bigram_frac > 0.18 THEN 1 ELSE 0 END AS BIGINT) AS repetitive
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Replays the inter-document duplicate-span fraction over the same
+    * distinct-3-shingle inverted index the dedup family uses.
+    */
+  val textDupSpans: String =
+    s"""WITH $shingleSets,
+       |dfq AS (SELECT sh, count(*) AS df FROM shx GROUP BY sh),
+       |per AS (SELECT shx.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |  FROM shx JOIN dfq USING (sh) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared,
+       |  CASE WHEN coalesce(per.n_shingles, 0) > 0
+       |    THEN round(per.n_shared / per.n_shingles, 6) ELSE 0.0 END AS shared_frac
+       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val textVocab: String =
     s"""WITH $bigramsCte,
        |uni AS (SELECT CAST(1 AS BIGINT) AS arity, t AS ngram, count(*) AS freq

@@ -162,6 +162,44 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Inter-document duplicate-span signal (the C4/RefinedWeb-style "how
+    * much of this doc also appears elsewhere" curation feature): per doc,
+    * the fraction of its distinct 3-shingles whose document frequency is
+    * ≥ 2. One inverted-index shuffle (distinct (doc, shingle) rows → df
+    * counts → join back) — the same Σ-tokens posture as ngram dedup, with
+    * the same stop-shingle cap available if hot shingles ever dominate.
+    * Docs too short to shingle score 0.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", explode(graft.functions.TextExpressions.wordShingles(lower($"text"))).as("sh"))
+    // shingle rows are distinct per doc, so count == document frequency
+    val dfreq = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val per = sh
+      .join(dfreq, "sh")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"df" >= 2, 1L).otherwise(0L)).as("n_shared")
+      )
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_shared", lit(0L)).as("n_shared")
+      )
+      .withColumn(
+        "shared_frac",
+        when($"n_shingles" > 0, round($"n_shared" / $"n_shingles", 6)).otherwise(lit(0.0))
+      )
+      .orderBy($"doc_id")
+  }
+
   val VocabK = 50
 
   /** Corpus n-gram frequency table (tokenizer-training prep): the top
