@@ -89,6 +89,7 @@ object SparkEntry {
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
+    "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Multimodal binary-column plumbing
@@ -160,6 +161,7 @@ object SparkEntry {
     "text_vocab" -> PipelineOracles.textVocab,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
+    "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,
     // text_stratified_sample: engine-specific RNG, rows-only check;
     // SamplingSpec pins determinism + stratum fractions.

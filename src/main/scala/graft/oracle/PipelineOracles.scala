@@ -154,15 +154,20 @@ object PipelineOracles {
     * engine's label propagation converges to. Singletons (docs in no
     * pair) keep their own id through the seed row.
     */
-  val dedupClusters: String =
-    s"""WITH RECURSIVE $minhashCtes,
-       |pairs AS (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)}),
+  // pairs → symmetric edges → min-reachable labels → components (cc);
+  // shared by dedupClusters and pipelineCurateFuzzy
+  private val componentCtes: String =
+    s"""pairs AS (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)}),
        |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
        |reach(u, lbl) AS (
        |  SELECT doc_id AS u, doc_id AS lbl FROM documents
        |  UNION
        |  SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v),
-       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+       |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)""".stripMargin
+
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |$componentCtes,
        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
        |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size,
        |  CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
@@ -432,11 +437,10 @@ object PipelineOracles {
     * individual oracles use: language filter ∧ quality floor ∧
     * exact-dedup keeper ∧ hash split.
     */
-  val pipelineCurate: String = {
-    val splitBucket =
-      """CAST('0x' || substr(md5('split#' || CAST(lang.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"""
-    s"""WITH toks AS (SELECT doc_id, text, $toks AS w FROM documents),
-       |scores AS (SELECT doc_id,
+  // language/quality stages + final keeper-joined select, shared by both
+  // curation variants; `toks` (doc_id, w) must be in scope
+  private val curateStages: String =
+    s"""scores AS (SELECT doc_id,
        |  ${hitsSql(TextAnalysis.StopEn)} AS en_hits,
        |  ${hitsSql(TextAnalysis.StopDe)} AS de_hits,
        |  ${hitsSql(TextAnalysis.StopFr)} AS fr_hits,
@@ -458,9 +462,12 @@ object PipelineOracles {
        |  round(CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
        |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
        |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens), 6) AS quality_score
-       |  FROM base),
-       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-       |SELECT lang.doc_id, pred_lang, quality_score,
+       |  FROM base)""".stripMargin
+
+  private val curateSelect: String = {
+    val splitBucket =
+      """CAST('0x' || substr(md5('split#' || CAST(lang.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"""
+    s"""SELECT lang.doc_id, pred_lang, quality_score,
        |  CASE WHEN $splitBucket < 80 THEN 'train'
        |       WHEN $splitBucket < 90 THEN 'val'
        |       ELSE 'test' END AS split
@@ -470,6 +477,24 @@ object PipelineOracles {
        |WHERE pred_lang = 'en' AND quality_score >= ${graft.text.Curation.QualityMin}
        |ORDER BY lang.doc_id""".stripMargin
   }
+
+  val pipelineCurate: String =
+    s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |$curateStages,
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |$curateSelect""".stripMargin
+
+  /** The near-dup-aware curation composition: identical language/quality/
+    * split stages, but keepers come from the minhash-LSH connected
+    * components (cluster minima) instead of byte-exact dedup. minhashCtes
+    * opens with the same `toks` CTE curateStages reads.
+    */
+  val pipelineCurateFuzzy: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |$componentCtes,
+       |keepers AS (SELECT doc_id FROM cc WHERE doc_id = cluster_id),
+       |$curateStages
+       |$curateSelect""".stripMargin
 
   /** Replays the shard-parallel concat-and-chunk packing: same running
     * token offset per shard, same integer block arithmetic.

@@ -18,9 +18,23 @@ object Curation {
 
   def curate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    curateWith(spark, dir, Dedup.exact(spark, dir).select($"keep_id".as("doc_id")))
+  }
+
+  /** Near-dup-aware curation: same language/quality/split stages, but the
+    * dedup stage keeps the cluster KEEPERS of the MinHash-LSH connected
+    * components — every near-duplicate is dropped, not just byte-exact
+    * copies (the policy production pretraining pipelines actually run).
+    */
+  def curateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    curateWith(spark, dir, Dedup.clusters(spark, dir).filter($"is_keeper" === 1L).select($"doc_id"))
+  }
+
+  private def curateWith(spark: SparkSession, dir: String, keepers: DataFrame): DataFrame = {
+    import spark.implicits._
     val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")
     val qual = TextAnalysis.quality(spark, dir).select($"doc_id", $"quality_score")
-    val keepers = Dedup.exact(spark, dir).select($"keep_id".as("doc_id"))
     lang
       .filter($"pred_lang" === "en")
       .join(qual.filter($"quality_score" >= QualityMin), "doc_id")
