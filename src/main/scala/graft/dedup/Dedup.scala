@@ -221,6 +221,26 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val assigned = clusterLabels(spark, dir)
+    val sizes = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned
+      .join(sizes, "cluster_id")
+      .select(
+        $"doc_id",
+        $"cluster_id",
+        $"cluster_size",
+        when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("is_keeper")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** (doc_id, cluster_id) for every document — the label fixpoint alone,
+    * without the cluster-size aggregation `clusters` adds on top.
+    * Consumers that only need keepers (cluster_id == doc_id) skip a
+    * corpus-sized shuffle by starting here.
+    */
+  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val pairs = minhashLsh(spark, dir).select($"id_a", $"id_b")
     val edges = pairs
       .union(pairs.select($"id_b", $"id_a"))
@@ -243,21 +263,11 @@ object Dedup {
       lblSum = nextSum
       labels = next
     }
-    val assigned = Tables
+    Tables
       .documents(spark, dir)
       .select($"doc_id")
       .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
-    val sizes = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
-    assigned
-      .join(sizes, "cluster_id")
-      .select(
-        $"doc_id",
-        $"cluster_id",
-        $"cluster_size",
-        when($"doc_id" === $"cluster_id", 1L).otherwise(0L).as("is_keeper")
-      )
-      .orderBy($"doc_id")
   }
 
   /** 64-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where

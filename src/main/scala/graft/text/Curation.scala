@@ -28,7 +28,12 @@ object Curation {
     */
   def curateFuzzy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    curateWith(spark, dir, Dedup.clusters(spark, dir).filter($"is_keeper" === 1L).select($"doc_id"))
+    // keepers need only the label fixpoint, not the cluster-size agg
+    curateWith(
+      spark,
+      dir,
+      Dedup.clusterLabels(spark, dir).filter($"doc_id" === $"cluster_id").select($"doc_id")
+    )
   }
 
   private def curateWith(spark: SparkSession, dir: String, keepers: DataFrame): DataFrame = {
