@@ -97,4 +97,25 @@ class RunJobSpec extends AnyFunSuite {
     // (native-closure runJob above covers empty keys)
     assert(merged === goldenLines("word_count_correct.txt").filterNot(_.startsWith("\t")).sorted)
   }
+
+  test("runExecJob: numMappers=0 keeps the scan's natural splits (same convention as runJob)") {
+    val outDir = freshOutputDir("execjob0")
+    MapReduce.runExecJob(
+      spark,
+      inputDir = resource("input"),
+      outputDir = outDir,
+      mapperCmd = """tr '[A-Z]' '[a-z]' | awk '{ for (i = 1; i <= NF; i++) print $i"\t1" }'""",
+      reducerCmd = """cut -f1 | uniq -c | awk '{print $2"\t"$1}'""",
+      numMappers = 0,
+      numReducers = 2
+    )
+    val listing = new File(outDir).list().toList.sorted
+    assert(listing === List("part-00000", "part-00001"))
+    val merged = listing.flatMap { f =>
+      val src = Source.fromFile(new File(outDir, f), "UTF-8")
+      try src.getLines().toList
+      finally src.close()
+    }.sorted
+    assert(merged === goldenLines("word_count_correct.txt").filterNot(_.startsWith("\t")).sorted)
+  }
 }
