@@ -65,6 +65,7 @@ object SparkEntry {
     "stream_sessions" -> ((s, d) => StreamingQueries.sessionizeComplete(s, d)),
     "stream_interval_join" -> ((s, d) => StreamingQueries.intervalJoin(s, d)),
     "stream_dedup" -> ((s, d) => StreamingQueries.dedupStream(s, d)),
+    "stream_curate" -> ((s, d) => StreamingQueries.curateStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "text_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
+    "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
@@ -139,6 +141,7 @@ object SparkEntry {
     "stream_sessions" -> Oracles.eventsSessions,
     "stream_interval_join" -> PipelineOracles.streamIntervalJoin,
     "stream_dedup" -> PipelineOracles.streamDedup,
+    "stream_curate" -> PipelineOracles.streamCurate,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     // the extreme-scale stop-shingle-capped path, verified uncapped
@@ -160,6 +163,7 @@ object SparkEntry {
     "text_dup_spans" -> PipelineOracles.textDupSpans,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_hash_split" -> PipelineOracles.textHashSplit,
+    "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,

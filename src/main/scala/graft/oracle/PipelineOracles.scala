@@ -425,6 +425,25 @@ object PipelineOracles {
        |SELECT * FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
        |ORDER BY arity, freq DESC, ngram""".stripMargin
 
+  /** Replays the domain-mixture acceptance: same md5 permille bucket,
+    * same per-source rates read from Sampling.MixPermille (sorted for a
+    * stable CASE).
+    */
+  val textDomainMix: String = {
+    import graft.text.Sampling
+    val cases = Sampling.MixPermille.toSeq.sorted
+      .map { case (s, r) => s"WHEN '$s' THEN $r" }
+      .mkString(" ")
+    s"""WITH k AS (SELECT source,
+       |  CASE WHEN CAST('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+       |       < (CASE source $cases ELSE ${Sampling.MixDefaultPermille} END)
+       |    THEN 1 ELSE 0 END AS keep
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  round(CAST(sum(keep) AS BIGINT) / count(*), 6) AS kept_frac
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val textHashSplit: String =
     """SELECT
       |  CASE WHEN CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'
@@ -464,16 +483,16 @@ object PipelineOracles {
        |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens), 6) AS quality_score
        |  FROM base)""".stripMargin
 
-  private val curateSelect: String = {
+  private def curateSelect(withKeepers: Boolean = true): String = {
     val splitBucket =
       """CAST('0x' || substr(md5('split#' || CAST(lang.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"""
+    val keepersJoin = if (withKeepers) "\nJOIN keepers ON keepers.doc_id = lang.doc_id" else ""
     s"""SELECT lang.doc_id, pred_lang, quality_score,
        |  CASE WHEN $splitBucket < 80 THEN 'train'
        |       WHEN $splitBucket < 90 THEN 'val'
        |       ELSE 'test' END AS split
        |FROM lang
-       |JOIN qual ON qual.doc_id = lang.doc_id
-       |JOIN keepers ON keepers.doc_id = lang.doc_id
+       |JOIN qual ON qual.doc_id = lang.doc_id$keepersJoin
        |WHERE pred_lang = 'en' AND quality_score >= ${graft.text.Curation.QualityMin}
        |ORDER BY lang.doc_id""".stripMargin
   }
@@ -482,7 +501,16 @@ object PipelineOracles {
     s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
        |$curateStages,
        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-       |$curateSelect""".stripMargin
+       |${curateSelect()}""".stripMargin
+
+  /** The drained streaming curation filter equals the batch language/
+    * quality/split stages with no dedup join (stateless map — see
+    * StreamingQueries.curateStream).
+    */
+  val streamCurate: String =
+    s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |$curateStages
+       |${curateSelect(withKeepers = false)}""".stripMargin
 
   /** The near-dup-aware curation composition: identical language/quality/
     * split stages, but keepers come from the minhash-LSH connected
@@ -494,7 +522,7 @@ object PipelineOracles {
        |$componentCtes,
        |keepers AS (SELECT doc_id FROM cc WHERE doc_id = cluster_id),
        |$curateStages
-       |$curateSelect""".stripMargin
+       |${curateSelect()}""".stripMargin
 
   /** Replays the shard-parallel concat-and-chunk packing: same running
     * token offset per shard, same integer block arithmetic.

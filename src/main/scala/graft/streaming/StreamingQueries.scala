@@ -321,4 +321,43 @@ object StreamingQueries {
       .select($"user_id", $"n_events", round($"sum_raw", 4).as("sum_value"))
       .orderBy($"user_id")
   }
+
+  /** Streaming curation: the language/quality gate of `pipeline_curate`
+    * plus the deterministic split assignment, as a STATELESS streaming
+    * map over arriving document shards — no watermark, no state store,
+    * no shuffle, so curation keeps up with ingest by construction and
+    * the drained result equals the batch stages exactly (same shared
+    * Column expressions). The dedup stage stays batch on purpose: global
+    * dedup needs corpus-wide state; production pipelines run it as a
+    * periodic compaction over the curated stream's output.
+    */
+  def curateStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{Sampling, TextAnalysis => TA}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val scored = docs
+      .select($"doc_id", graft.functions.Portable.tokens($"text").as("toks"))
+      .select(
+        $"doc_id",
+        TA.predLangCol(
+          TA.hits($"toks", TA.StopEn),
+          TA.hits($"toks", TA.StopDe),
+          TA.hits($"toks", TA.StopFr),
+          TA.hits($"toks", TA.StopEs)
+        ).as("pred_lang"),
+        TA.qualityScoreCol(
+          size($"toks").cast("long"),
+          size(array_distinct($"toks")).cast("long"),
+          TA.hits($"toks", TA.StopEn)
+        ).as("quality_score")
+      )
+      .filter($"pred_lang" === "en" && $"quality_score" >= graft.text.Curation.QualityMin)
+      .withColumn("split", Sampling.splitColumn($"doc_id"))
+    runToMemory(scored, "stream_curate", "append")
+      .orderBy($"doc_id")
+  }
 }

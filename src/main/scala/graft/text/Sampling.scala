@@ -69,6 +69,35 @@ object Sampling {
       .orderBy($"doc_id")
   }
 
+  // demo mixture: permille acceptance rates per source (keys replayed
+  // into the oracle CASE from this same map); production passes its own
+  val MixPermille: Map[String, Int] = Map("src0" -> 1000, "src1" -> 800, "src2" -> 500)
+  val MixDefaultPermille = 300
+
+  /** Domain-mixture resampling — the pretraining step that reweights
+    * sources toward a target mixture (e.g. upsample books, downsample
+    * crawl). Acceptance is a pure function of doc_id (md5 permille bucket
+    * < the source's target rate): deterministic across runs, engines, and
+    * cluster sizes — no RNG state, no coordination, embarrassingly
+    * map-side. Output is the per-source summary; the kept rows themselves
+    * are `bucket < rate` on the same expression.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucket = conv(substring(md5(concat(lit("mix#"), $"doc_id")), 1, 8), 16, 10)
+      .cast("long") % 1000
+    val rate = MixPermille.foldLeft(lit(MixDefaultPermille)) { case (acc, (s, r)) =>
+      when($"source" === s, lit(r)).otherwise(acc)
+    }
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id", $"source", when(bucket < rate, 1L).otherwise(0L).as("keep"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_kept"))
+      .withColumn("kept_frac", round($"n_kept" / $"n_docs", 6))
+      .orderBy($"source")
+  }
+
   /** Seeded stratified sample by language (sampleBy): deterministic for a
     * fixed seed but engine-specific RNG, so no DuckDB oracle — the spec
     * checks determinism and per-stratum fraction tolerance instead.

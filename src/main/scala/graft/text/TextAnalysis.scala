@@ -19,7 +19,7 @@ object TextAnalysis {
   val StopEs: Seq[String] = Seq("el", "los", "y", "es", "un", "una", "que")
   val FingerprintMod = 1000000007L
 
-  private def hits(toks: Column, words: Seq[String]): Column =
+  private[graft] def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(words.map(lit(_)): _*), t))).cast("long")
 
   /** n-gram/stopword-heuristic language ID with a deterministic argmax
@@ -39,16 +39,32 @@ object TextAnalysis {
         hits($"toks", StopFr).as("fr_hits"),
         hits($"toks", StopEs).as("es_hits")
       )
-      .withColumn(
-        "pred_lang",
-        when($"en_hits" + $"de_hits" + $"fr_hits" + $"es_hits" === 0, "und")
-          .when($"en_hits" >= $"de_hits" && $"en_hits" >= $"fr_hits" && $"en_hits" >= $"es_hits", "en")
-          .when($"de_hits" >= $"fr_hits" && $"de_hits" >= $"es_hits", "de")
-          .when($"fr_hits" >= $"es_hits", "fr")
-          .otherwise("es")
-      )
+      .withColumn("pred_lang", predLangCol($"en_hits", $"de_hits", $"fr_hits", $"es_hits"))
       .orderBy($"doc_id")
   }
+
+  /** Deterministic language argmax over stopword hit counts (preference
+    * en > de > fr > es on ties; 'und' with no evidence). Shared with the
+    * streaming curation filter.
+    */
+  private[graft] def predLangCol(en: Column, de: Column, fr: Column, es: Column): Column =
+    when(en + de + fr + es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+
+  /** Composite quality score over (token, distinct-token, stopword-hit)
+    * counts — the same expression for the batch operator and the
+    * streaming filter.
+    */
+  private[graft] def qualityScoreCol(nTokens: Column, nDistinct: Column, stopHits: Column): Column =
+    round(
+      lit(0.3) * (stopHits / nTokens) +
+        lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
+        lit(0.3) * (nDistinct / nTokens),
+      6
+    )
 
   /** Quality scoring: length, type/token ratio, stopword ratio →
     * composite score. All ratios are int/int double divisions (engine-
@@ -69,15 +85,7 @@ object TextAnalysis {
       )
       .withColumn("type_token_ratio", round($"n_distinct" / $"n_tokens", 6))
       .withColumn("stop_ratio", round($"stop_hits" / $"n_tokens", 6))
-      .withColumn(
-        "quality_score",
-        round(
-          lit(0.3) * ($"stop_hits" / $"n_tokens") +
-            lit(0.4) * least(lit(1.0), $"n_tokens" / lit(100.0)) +
-            lit(0.3) * ($"n_distinct" / $"n_tokens"),
-          6
-        )
-      )
+      .withColumn("quality_score", qualityScoreCol($"n_tokens", $"n_distinct", $"stop_hits"))
       .orderBy($"doc_id")
   }
 
