@@ -90,6 +90,12 @@ object PipelineOracles {
   private def hitsSql(words: Seq[String]): String =
     s"CAST(len(list_filter(w, t -> list_contains(${stopList(words)}, t))) AS BIGINT)"
 
+  /** Portable 6dp rounding: floor(x·10⁶ + 0.5)/10⁶ — the identical IEEE
+    * sequence TextAnalysis.round6 runs, immune to the engines' differing
+    * round() boundary behavior (see that scaladoc).
+    */
+  private def round6Sql(x: String): String = s"floor(($x) * 1e6 + 0.5) / 1e6"
+
   // ---- dedup ------------------------------------------------------------
 
   val dedupExact: String =
@@ -333,11 +339,13 @@ object PipelineOracles {
        |  ${hitsSql(TextAnalysis.StopEn)} AS stop_hits
        |  FROM toks)
        |SELECT doc_id, n_chars_obs, n_tokens, n_distinct, stop_hits,
-       |  round(n_distinct / n_tokens, 6) AS type_token_ratio,
-       |  round(stop_hits / n_tokens, 6) AS stop_ratio,
-       |  round(CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
-       |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
-       |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens), 6) AS quality_score
+       |  ${round6Sql("n_distinct / n_tokens")} AS type_token_ratio,
+       |  ${round6Sql("stop_hits / n_tokens")} AS stop_ratio,
+       |  ${round6Sql(
+        """CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
+          |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+          |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)""".stripMargin
+      )} AS quality_score
        |FROM base ORDER BY doc_id""".stripMargin
 
   val textTokens: String =
@@ -478,9 +486,11 @@ object PipelineOracles {
        |  ${hitsSql(TextAnalysis.StopEn)} AS stop_hits
        |  FROM toks),
        |qual AS (SELECT doc_id,
-       |  round(CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
-       |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
-       |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens), 6) AS quality_score
+       |  ${round6Sql(
+        """CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
+          |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+          |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)""".stripMargin
+      )} AS quality_score
        |  FROM base)""".stripMargin
 
   private def curateSelect(withKeepers: Boolean = true): String = {

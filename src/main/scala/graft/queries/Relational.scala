@@ -29,13 +29,24 @@ object Relational {
     Tables
       .lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_linestatus")
+      // money/quantity columns live on fixed decimal grids (2dp; the
+      // products on 4dp/6dp), so summing as DECIMAL is exact and
+      // order-independent — a double sum over group sizes this large
+      // accumulates ULP error past any rounding guard and varies with
+      // shuffle order. Casting the per-row double product to its grid's
+      // decimal type is unambiguous (product error ≪ grid spacing), and
+      // the final double cast is exact (scaled integers fit in 53 bits).
       .agg(
-        round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 4).as("sum_charge"),
-        (round(sum($"l_quantity"), 4) / count(lit(1))).as("avg_qty"),
-        (round(sum($"l_extendedprice"), 4) / count(lit(1))).as("avg_price"),
+        sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(20,4)"))
+          .cast("double")
+          .as("sum_disc_price"),
+        sum(
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast("decimal(22,6)")
+        ).cast("double").as("sum_charge"),
+        (sum($"l_quantity".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -450,7 +461,16 @@ object Relational {
       .table(lineitemT)
       .join(spark.table(ordersT).hint("merge"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_items"), round(sum($"l_extendedprice"), 4).as("sum_price"))
+      // exact DECIMAL(18,2) summation: prices live on a 2dp grid, so the
+      // decimal sum is order-independent and engine-exact — at this
+      // group size (~10⁵ rows/group at sf0.1, unbounded at 100 TB) a
+      // double sum's accumulated ULP error exceeds any fixed rounding
+      // guard AND varies with shuffle order run-to-run. The final cast
+      // back to double is exact (cents fit in 53 bits).
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price")
+      )
       .orderBy($"o_orderpriority")
   }
 }

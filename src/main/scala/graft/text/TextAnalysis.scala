@@ -54,16 +54,24 @@ object TextAnalysis {
       .when(fr >= es, "fr")
       .otherwise("es")
 
+  /** 6dp rounding computed as floor(x·10⁶ + 0.5)/10⁶ — pure IEEE double
+    * ops, so both engines evaluate the IDENTICAL instruction sequence.
+    * `round(x, 6)` is NOT portable at decimal-.5 boundaries: Spark rounds
+    * the exact binary expansion via BigDecimal while DuckDB rounds the
+    * (inexact) product x·10⁶, and at sf0.1 one document's composite
+    * score landed in that one-ULP disagreement window.
+    */
+  private[graft] def round6(x: Column): Column = floor(x * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Composite quality score over (token, distinct-token, stopword-hit)
     * counts — the same expression for the batch operator and the
     * streaming filter.
     */
   private[graft] def qualityScoreCol(nTokens: Column, nDistinct: Column, stopHits: Column): Column =
-    round(
+    round6(
       lit(0.3) * (stopHits / nTokens) +
         lit(0.4) * least(lit(1.0), nTokens / lit(100.0)) +
-        lit(0.3) * (nDistinct / nTokens),
-      6
+        lit(0.3) * (nDistinct / nTokens)
     )
 
   /** Quality scoring: length, type/token ratio, stopword ratio →
@@ -83,8 +91,8 @@ object TextAnalysis {
         size(array_distinct($"toks")).cast("long").as("n_distinct"),
         hits($"toks", StopEn).as("stop_hits")
       )
-      .withColumn("type_token_ratio", round($"n_distinct" / $"n_tokens", 6))
-      .withColumn("stop_ratio", round($"stop_hits" / $"n_tokens", 6))
+      .withColumn("type_token_ratio", round6($"n_distinct" / $"n_tokens"))
+      .withColumn("stop_ratio", round6($"stop_hits" / $"n_tokens"))
       .withColumn("quality_score", qualityScoreCol($"n_tokens", $"n_distinct", $"stop_hits"))
       .orderBy($"doc_id")
   }
