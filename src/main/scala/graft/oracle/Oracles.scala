@@ -5,10 +5,12 @@ package graft.oracle
   * driver materializes each parquet table under its name.
   *
   * Parity rules (why these strings look the way they do):
-  *  - every double aggregate is `round(sum(..), 4)`: inputs are on a
-  *    ≤1e-4 decimal grid so rounding kills summation-order ULP noise;
-  *  - avg is written `round(sum(x),4)/count(*)` — division of identical
-  *    doubles is deterministic, DuckDB/Spark `avg` internals are not;
+  *  - decimal-grid columns (money/quantity) sum as exact DECIMAL then
+  *    CAST to DOUBLE — order-independent at any group size; non-grid
+  *    doubles in bounded groups use `round(sum(..), 4)`, which absorbs
+  *    summation-order ULP noise while groups stay small;
+  *  - avg is written sum/count over the exact sum — division of
+  *    identical doubles is deterministic, engine `avg` internals are not;
   *  - counts are BIGINT on both engines; DuckDB `sum(int)` would be
   *    HUGEINT so integer sums are cast;
   *  - vector math (see Similarity/Dedup oracles) uses index-ordered
@@ -49,12 +51,12 @@ object Oracles {
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   val q3SegmentRevenue: String =
-    """SELECT c_mktsegment, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+    """SELECT c_mktsegment, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_orders
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   val q4RegionRevenue: String =
-    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    """SELECT n_name, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -85,7 +87,7 @@ object Oracles {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
   val q9Union: String =
-    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 4) AS total FROM (
+    """SELECT count(*) AS n_rows, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total FROM (
       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
       |  UNION ALL
       |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
@@ -118,12 +120,12 @@ object Oracles {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   val q13Rollup: String =
-    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+    """SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
   val q14Cube: String =
-    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows, round(sum(o_totalprice), 4) AS total
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 

@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Relational capability superset over the star schema (SURVEY.md §7
   * step 4): one named query per operator family, each with a DuckDB
-  * oracle (graft.oracle.Oracles). All double aggregates are wrapped in
-  * `round(_, 4)` — inputs sit on a ≤1e-4 decimal grid, so rounding makes
-  * the sum order-independent and engine-portable while FP error stays
-  * ~1e-9.
+  * oracle (graft.oracle.Oracles). Double-aggregate parity: money and
+  * quantity columns (fixed decimal grids) sum as exact DECIMAL cast back
+  * to double — order-independent at any group size; sums over
+  * bounded-size groups of non-grid doubles (per-window event values) use
+  * `round(_, 4)`, which absorbs summation-order ULP noise while groups
+  * stay well under ~10⁴ rows.
   *
   * Scale notes are per-query; the common rules: broadcast only genuinely
   * small dims (region/nation/customer at any SF; never lineitem/orders),
@@ -78,7 +80,7 @@ object Relational {
       .orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
-      .agg(round(sum($"o_totalprice"), 4).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy($"c_mktsegment")
   }
 
@@ -99,7 +101,7 @@ object Relational {
       .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
       .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(20,4)")).cast("double").as("revenue"))
       .orderBy($"n_name")
   }
 
@@ -165,7 +167,7 @@ object Relational {
     val big = o.filter($"o_totalprice" > 400000.0).select($"o_orderkey", $"o_totalprice")
     urgent
       .union(big)
-      .agg(count(lit(1)).as("n_rows"), round(sum($"o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
   }
 
   /** Window / rank: top-3 orders per customer. One shuffle on o_custkey;
@@ -227,7 +229,7 @@ object Relational {
     Tables
       .lineitem(spark, dir)
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(round(sum($"l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
@@ -237,7 +239,7 @@ object Relational {
     Tables
       .orders(spark, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_rows"), round(sum($"o_totalprice"), 4).as("total"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
