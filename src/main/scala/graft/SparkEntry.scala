@@ -53,6 +53,7 @@ object SparkEntry {
     "q20_percentiles" -> ((s, d) => Relational.q20Percentiles(s, d)),
     "q21_approx_sketches" -> ((s, d) => Relational.q21ApproxSketches(s, d)),
     "q22_bucketed_join" -> ((s, d) => Relational.q22BucketedJoin(s, d)),
+    "q23_kmv_distinct" -> ((s, d) => Relational.q23KmvDistinct(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_hopping" -> ((s, d) => Events.hopping(s, d)),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q19_lag_lead" -> Oracles.q19LagLead,
     "q20_percentiles" -> Oracles.q20Percentiles,
     "q22_bucketed_join" -> Oracles.q22BucketedJoin,
+    "q23_kmv_distinct" -> Oracles.q23KmvDistinct,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).

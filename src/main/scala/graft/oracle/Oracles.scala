@@ -129,6 +129,19 @@ object Oracles {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  val q23KmvDistinct: String =
+    s"""WITH h AS (SELECT DISTINCT l_returnflag,
+       |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM lineitem),
+       |r AS (SELECT l_returnflag, h,
+       |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+       |agg AS (SELECT l_returnflag, max(h) AS kth, count(*) AS k_seen FROM r
+       |  WHERE rn <= ${graft.queries.Relational.KmvK} GROUP BY 1)
+       |SELECT l_returnflag,
+       |  CAST(floor(CASE WHEN k_seen < ${graft.queries.Relational.KmvK} THEN CAST(k_seen AS DOUBLE)
+       |       ELSE ${(graft.queries.Relational.KmvK - 1).toDouble} * 4294967296.0 / greatest(kth, 1) END) AS BIGINT) AS est_parts
+       |FROM agg ORDER BY l_returnflag""".stripMargin
+
   val q15MaxPerGroup: String =
     """SELECT p_brand, p_partkey, p_retailprice FROM part
       |WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand)

@@ -375,6 +375,51 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  val KmvK = 64
+
+  /** KMV (k-minimum-values) distinct-count sketch — the deterministic
+    * sibling of q21's engine-internal HLL: per group, keep the KmvK
+    * smallest md5-derived 32-bit hashes of the key; the unbiased
+    * estimator is (k-1) / kth-min-normalized (Bar-Yossef et al. 2002).
+    * Because the hash and the k-selection are pure functions of the
+    * data, the DuckDB oracle replays the sketch EXACTLY — approximate
+    * in accuracy, exact in reproducibility (what a pipeline wants for
+    * resumable/auditable stats). The estimate lands within a few % of
+    * the true count at k=64.
+    *
+    * Scale: the per-group window ranks only each group's hashes —
+    * at extreme group sizes swap in a typed k-min Aggregator (the
+    * TopKByCosine shape) to ship k values per partition; the estimator
+    * and oracle are unchanged.
+    */
+  def q23KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables
+      .lineitem(spark, dir)
+      .select(
+        $"l_returnflag",
+        conv(substring(md5($"l_partkey".cast("string")), 1, 8), 16, 10).cast("long").as("h")
+      )
+      .distinct() // KMV operates on distinct hash values
+    val w = Window.partitionBy($"l_returnflag").orderBy($"h")
+    hashed
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KmvK)
+      .groupBy($"l_returnflag")
+      .agg(max($"h").as("kth"), count(lit(1)).as("k_seen"))
+      // with fewer than k distinct values the sketch is exact (k_seen)
+      .select(
+        $"l_returnflag",
+        when(
+          $"k_seen" < KmvK,
+          $"k_seen".cast("double")
+        ).otherwise(lit((KmvK - 1).toDouble) * lit(4294967296.0) / greatest($"kth", lit(1L)))
+          .as("est_parts_raw")
+      )
+      .select($"l_returnflag", floor($"est_parts_raw").cast("long").as("est_parts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Bucketed-table co-located join (SCALING.md's >1 PB playbook): both
     * fact tables are written ONCE per session bucketed by orderkey into
     * the same bucket count, so the orderkey join plans with ZERO shuffle

@@ -34,4 +34,22 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(am - m) / m < 0.02, s"$flag median: $am vs $m")
     }
   }
+
+  test("KMV distinct estimate within 3 standard errors of the exact count") {
+    import spark.implicits._
+    val est = Relational.q23KmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // KMV relative std error ≈ 1/sqrt(k-2)
+    val bound = 3.0 / math.sqrt(Relational.KmvK - 2.0)
+    exact.foreach { case (flag, p) =>
+      val e = est(flag)
+      if (p <= Relational.KmvK) assert(e === p, s"$flag: sub-k sketch must be exact")
+      else assert(math.abs(e - p).toDouble / p < bound, s"$flag: $e vs $p (bound $bound)")
+    }
+  }
 }
