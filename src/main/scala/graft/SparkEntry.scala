@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry in `queries` that is SQL-expressible has a DuckDB oracle in
   * `oracleSql` with IDENTICAL output column names; non-SQL-expressible
-  * entries (none yet) would be rows-only checked.
+  * entries (q21_approx_sketches: engine-internal HLL/KLL;
+  * text_stratified_sample: engine RNG) are rows-only checked, with
+  * ApproxSpec/SamplingSpec bounding them instead.
   */
 object SparkEntry {
 

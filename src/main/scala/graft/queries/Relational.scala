@@ -23,7 +23,7 @@ object Relational {
 
   /** TPC-H Q1 flavor: full-scan partial-agg on 6 grouping cells — at
     * 100 TB the shuffle moves only num_partitions × 6 pre-aggregated
-    * rows; avg is expressed as round(sum)/count so both engines divide
+    * rows; avg is expressed as exact-sum/count so both engines divide
     * identical doubles.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
