@@ -101,4 +101,51 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(emitted === batch)
   }
+
+  test("checkpointed parquet sink resumes exactly-once across restarts") {
+    import spark.implicits._
+    // incremental ingestion: drain 4 document shards, land 4 more, drain
+    // again from the SAME checkpoint — the second run must process only
+    // the new files, and the final sink must equal the batch result with
+    // no duplicates (file-sink exactly-once via the sink's commit log)
+    val srcDir = Files.createTempDirectory("graft-sink-src").toString
+    val outDir = Files.createTempDirectory("graft-sink-out").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt").toString
+    val docs = Tables.documents(spark, dir)
+    val schema = docs.schema
+    def land(half: Int): Unit = {
+      val stage = Files.createTempDirectory("graft-sink-stage").toString
+      docs.filter($"doc_id" % 2 === half).repartition(4).write.mode("overwrite").parquet(stage)
+      Files.list(Paths.get(stage)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .zipWithIndex
+        .foreach { case (p, i) => Files.move(p, Paths.get(srcDir, s"half$half-$i.parquet")) }
+    }
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(schema)
+        .parquet(srcDir)
+        .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars_obs"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    land(0); drain()
+    val afterFirst = spark.read.parquet(outDir).count()
+    land(1); drain()
+    val result = spark.read.parquet(outDir)
+    assert(afterFirst < result.count(), "second drain must add rows")
+    val expected = docs
+      .select($"doc_id", $"lang", length($"text").cast("long").as("n_chars_obs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val got = result.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length === expected.size, "no duplicate rows across restarts")
+    assert(got.toSet === expected)
+  }
 }
