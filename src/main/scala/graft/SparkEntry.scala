@@ -56,6 +56,7 @@ object SparkEntry {
     "q21_approx_sketches" -> ((s, d) => Relational.q21ApproxSketches(s, d)),
     "q22_bucketed_join" -> ((s, d) => Relational.q22BucketedJoin(s, d)),
     "q23_kmv_distinct" -> ((s, d) => Relational.q23KmvDistinct(s, d)),
+    "q24_set_ops" -> ((s, d) => Relational.q24SetOps(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_hopping" -> ((s, d) => Events.hopping(s, d)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q20_percentiles" -> Oracles.q20Percentiles,
     "q22_bucketed_join" -> Oracles.q22BucketedJoin,
     "q23_kmv_distinct" -> Oracles.q23KmvDistinct,
+    "q24_set_ops" -> Oracles.q24SetOps,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).

@@ -129,6 +129,16 @@ object Oracles {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  val q24SetOps: String =
+    """WITH urgent AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0),
+      |labeled AS (
+      |  SELECT 'urgent_and_big' AS bucket, o_orderkey FROM (SELECT o_orderkey FROM urgent INTERSECT SELECT o_orderkey FROM big)
+      |  UNION ALL
+      |  SELECT 'urgent_only' AS bucket, o_orderkey FROM (SELECT o_orderkey FROM urgent EXCEPT SELECT o_orderkey FROM big))
+      |SELECT bucket, count(*) AS n_orders, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM labeled GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val q23KmvDistinct: String =
     s"""WITH h AS (SELECT DISTINCT l_returnflag,
        |    CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) AS h

@@ -375,6 +375,25 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Set operations (INTERSECT / EXCEPT): urgent-priority orders vs
+    * high-value orders. Both plan as aggregated semi/anti joins —
+    * shuffle on the full row as key — so they inherit the join family's
+    * scale posture (AQE picks broadcast vs shuffle per side).
+    */
+  def q24SetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    val big = o.filter($"o_totalprice" > 300000.0).select($"o_orderkey")
+    val both = urgent.intersect(big).withColumn("bucket", lit("urgent_and_big"))
+    val urgentOnly = urgent.except(big).withColumn("bucket", lit("urgent_only"))
+    both
+      .unionAll(urgentOnly)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_orders"), min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"bucket")
+  }
+
   val KmvK = 64
 
   /** KMV (k-minimum-values) distinct-count sketch — the deterministic
