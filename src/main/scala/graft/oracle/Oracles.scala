@@ -228,6 +228,20 @@ object Oracles {
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
 
+  /** Gap-filled 15-min resample: same integer-µs bucket keys, dense
+    * (type × bucket-range) grid, zero-filled left join.
+    */
+  val eventsResample: String =
+    """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS b, value FROM events),
+      |agg AS (SELECT event_type, b, count(*) AS n, round(sum(value), 4) AS sv FROM e GROUP BY 1, 2),
+      |bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM e),
+      |grid AS (SELECT t.event_type, g.b
+      |  FROM (SELECT DISTINCT event_type FROM e) t, bounds, unnest(generate_series(lo, hi, 900000000)) AS g(b))
+      |SELECT grid.event_type, make_timestamp(grid.b) AS bucket_start,
+      |  coalesce(agg.n, 0) AS n_events, coalesce(agg.sv, 0.0) AS sum_value
+      |FROM grid LEFT JOIN agg ON agg.event_type = grid.event_type AND agg.b = grid.b
+      |ORDER BY 1, 2""".stripMargin
+
   /** Session windows: new session when the gap to the previous event of
     * the same user is >= 30 min (matches Spark session_window, whose
     * window end is last_ts + gap, exclusive).

@@ -26,6 +26,40 @@ object Events {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Gap-filled resampling: 15-minute buckets per event type over the
+    * corpus's full time span, with empty buckets zero-filled — the
+    * standard time-series densification a monitoring/feature pipeline
+    * needs before windowed models. The dense grid is generated from the
+    * (types × bucket-range) cross of two tiny broadcast sides; the event
+    * table itself only partial-aggregates per (type, bucket). Bucketing
+    * is integer µs arithmetic so both engines derive identical keys.
+    */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bucketUs = 900000000L // 15 min in µs
+    val ev = Tables
+      .events(spark, dir)
+      .select($"event_type", expr(s"(unix_micros(ts) div $bucketUs) * $bucketUs").as("b"), $"value")
+    val agg = ev
+      .groupBy($"event_type", $"b")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+    val bounds = ev.agg(min($"b").as("lo"), max($"b").as("hi"))
+    val grid = ev
+      .select($"event_type")
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .select($"event_type", explode(expr(s"sequence(lo, hi, $bucketUs)")).as("b"))
+    grid
+      .join(agg, Seq("event_type", "b"), "left")
+      .select(
+        $"event_type",
+        expr("timestamp_micros(b)").as("bucket_start"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        coalesce($"sum_value", lit(0.0)).as("sum_value")
+      )
+      .orderBy($"event_type", $"bucket_start")
+  }
+
   /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
     * event lands in exactly width/slide = 2 windows. The oracle expands
     * the same two epoch-aligned window starts per event; Spark's
