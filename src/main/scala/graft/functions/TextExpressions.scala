@@ -109,6 +109,59 @@ case class RollingHash(child: Expression, seed: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** Content-defined chunks: boundary after code-point position i
+  * (k ≤ i < len) when the polynomial hash of the trailing k code points
+  * is ≡ 0 mod `mask`; returns the chunk substrings. One O(len) sliding
+  * Rabin-Karp pass — the declarative nested-HOF formulation
+  * (aggregate-inside-filter) re-folds the window at every position,
+  * O(len·k) with per-char String allocation: ~300 s over sf0.1 vs <1 s
+  * here. Value-identical to the DuckDB oracle's per-position
+  * list_reduce replay: H_{i+1} = (H_i − c_out·31^{k−1})·31 + c_in
+  * (mod p) is the same polynomial, updated incrementally.
+  */
+case class CdcChunks(child: Expression, window: Int, mask: Long, mod: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private lazy val pow: Long = { // 31^(window-1) mod `mod`
+    var r = 1L
+    var i = 1
+    while (i < window) { r = (r * 31) % mod; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val cps = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val cuts = new ArrayBuffer[Int]()
+    cuts += 0
+    if (n >= window) {
+      var h = 0L
+      var i = 0
+      while (i < window) { h = (h * 31 + cps(i)) % mod; i += 1 }
+      // i is the count of consumed code points == 1-based window end
+      if (h % mask == 0 && i < n) cuts += i
+      while (i < n) {
+        h = (((h - cps(i - window) * pow) % mod + mod) % mod * 31 + cps(i)) % mod
+        i += 1
+        if (h % mask == 0 && i < n) cuts += i
+      }
+    }
+    cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var c = 0
+    while (c < cuts.length - 1) {
+      out(c) = UTF8String.fromString(new String(cps, cuts(c), cuts(c + 1) - cuts(c)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(loweredText: Column, width: Int = 3): Column =
     Bridge.column(WordShingles(Bridge.expression(loweredText), width))
@@ -116,4 +169,6 @@ object TextExpressions {
     Bridge.column(DistinctTokens(Bridge.expression(loweredText)))
   def rollingHash(text: Column, seed: Long, mod: Long): Column =
     Bridge.column(RollingHash(Bridge.expression(text), seed, mod))
+  def cdcChunks(text: Column, window: Int, mask: Long, mod: Long): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), window, mask, mod))
 }

@@ -452,6 +452,31 @@ object PipelineOracles {
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Replays content-defined chunking: same rolling-hash boundary rule,
+    * same cut-point construction, same chunk fingerprints.
+    */
+  val textCdcChunks: String = {
+    val p = TextAnalysis.FingerprintMod
+    val k = TextAnalysis.CdcWindow
+    val m = TextAnalysis.CdcMask
+    s"""WITH bs AS (SELECT doc_id, text,
+       |    list_filter(generate_series($k, length(text)), i ->
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(generate_series(i - $k + 1, i), j -> CAST(ord(substr(text, j, 1)) AS BIGINT))),
+       |        (acc, c) -> (acc * 31 + c) % $p) % $m = 0) AS b
+       |  FROM documents),
+       |cuts AS (SELECT doc_id, text,
+       |    list_concat(list_concat([0], list_filter(b, x -> x < length(text))), [length(text)]) AS c FROM bs),
+       |chunks AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(c) - 1), i ->
+       |      substr(text, c[i] + 1, c[i + 1] - c[i]))) AS chunk
+       |  FROM cuts)
+       |SELECT md5(chunk) AS chunk_md5, CAST(length(chunk) AS BIGINT) AS chunk_len,
+       |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+       |FROM chunks GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_md5""".stripMargin
+  }
+
   val textHashSplit: String =
     """SELECT
       |  CASE WHEN CAST('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80 THEN 'train'

@@ -238,6 +238,39 @@ object TextAnalysis {
     top($"w", 1).unionAll(top(bigramArr($"w"), 2)).orderBy($"arity", $"freq".desc, $"ngram")
   }
 
+  val CdcWindow = 8 // rolling-hash window (chars)
+  val CdcMask = 64L // boundary when window-hash % mask == 0 → ~64-char chunks
+
+  /** Content-defined chunking (rsync/FastCDC-style): a chunk boundary
+    * falls wherever the rolling hash of the trailing CdcWindow chars is
+    * ≡ 0 mod CdcMask, so boundaries survive insertions/deletions
+    * elsewhere in the document — the property that makes CHUNK-level
+    * dedup robust where fixed-size blocks are not. Output: chunks seen
+    * in ≥2 documents (md5, length, n_docs, n_occurrences) — the
+    * sub-document duplication a pipeline can deduplicate or mask.
+    *
+    * All integer arithmetic (31-base rolling hash mod 1e9+7 over
+    * character codes), so the DuckDB oracle replays boundaries and
+    * fingerprints exactly. Chunking is the native
+    * [[graft.functions.CdcChunks]] expression — one O(len) sliding
+    * Rabin-Karp pass per document (the declarative nested-HOF
+    * formulation re-folds the window at every position: O(len·window)
+    * with per-char allocation, ~300 s over sf0.1 vs <1 s native); only
+    * (doc, chunk-hash) pairs shuffle for the cross-doc count.
+    */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", explode(graft.functions.TextExpressions.cdcChunks($"text", CdcWindow, CdcMask, FingerprintMod)).as("chunk"))
+    chunks
+      .select($"doc_id", md5($"chunk").as("chunk_md5"), length($"chunk").cast("long").as("chunk_len"))
+      .groupBy($"chunk_md5", $"chunk_len")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"chunk_md5")
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * h ← (h·31 + codepoint) mod 1e9+7 over the text's characters, seeded
     * with 7 — a distributed-friendly content id that (unlike md5) can be
