@@ -302,6 +302,74 @@ object Relational {
       .orderBy($"o_custkey")
   }
 
+  /** Rank-based exact interpolated percentiles per group — the
+    * scale-safe replacement for the exact `percentile` aggregate, which
+    * materializes every group value in its aggregation buffer (executor
+    * OOM at 100 TB; for a global percentile the whole table funnels into
+    * one 1-row aggregate). Input columns: `g` (group), `v` (double).
+    * Output: one row per `g` with one double column per requested
+    * (name, p). Shape:
+    *
+    *   1. histogram: count per DISTINCT (g, v) — shuffle-parallel with
+    *      map-side combine; cardinality is bounded by the VALUE GRID
+    *      (prices live on a 2-decimal grid), not the row count;
+    *   2. two-level cumulative rank: a per-(g, unit-bucket) running sum
+    *      (parallel across buckets) plus one per-g running sum over
+    *      BUCKET SUMMARIES only — no task ever sorts more than one
+    *      bucket's distinct values, and the single-task summary pass is
+    *      bounded by the bucket count, never by values or rows;
+    *   3. the two values straddling each target index fall out of a
+    *      conditional aggregation (shuffle-parallel), interpolated with
+    *      exactly Spark's Percentile formula
+    *      ((hi − pos)·v_lo + (pos − lo)·v_hi, pos = (n−1)·p), so results
+    *      are bit-identical to the exact aggregate this replaces
+    *      (pinned by PercentileParitySpec).
+    */
+  private[graft] def rankPercentiles(df: DataFrame, ps: Seq[(String, Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.groupBy($"g", $"v").agg(count(lit(1)).as("c")).withColumn("b", floor($"v"))
+    val wInBucket = Window
+      .partitionBy($"g", $"b")
+      .orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window
+      .partitionBy($"g")
+      .orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketOffsets = hist
+      .groupBy($"g", $"b")
+      .agg(sum($"c").as("bc"))
+      .select($"g", $"b", (sum($"bc").over(wBuckets) - $"bc").as("b_off"))
+    val cum = hist
+      .withColumn("cum_in_b", sum($"c").over(wInBucket))
+      .join(bucketOffsets, Seq("g", "b"))
+      .withColumn("cum", $"b_off" + $"cum_in_b")
+    // target indices: pos = (n-1)·p, straddled by rows lo = floor(pos),
+    // hi = ceil(pos) of the sorted multiset (0-based)
+    val posCols = ps.flatMap { case (nm, p) =>
+      val pos = ($"n" - 1) * lit(p)
+      Seq(pos.as(s"pos_$nm"), floor(pos).as(s"lo_$nm"), ceil(pos).as(s"hi_$nm"))
+    }
+    val targets = df.groupBy($"g").agg(count(lit(1)).as("n")).select(($"g" +: posCols): _*)
+    // exactly one histogram row satisfies cum − c ≤ i < cum per index i
+    val pick = ps.flatMap { case (nm, _) =>
+      Seq(
+        max(when($"cum" - $"c" <= col(s"lo_$nm") && col(s"lo_$nm") < $"cum", $"v")).as(s"vlo_$nm"),
+        max(when($"cum" - $"c" <= col(s"hi_$nm") && col(s"hi_$nm") < $"cum", $"v")).as(s"vhi_$nm"),
+        max(col(s"pos_$nm")).as(s"p_$nm")
+      )
+    }
+    val picked = cum.join(broadcast(targets), "g").groupBy($"g").agg(pick.head, pick.tail: _*)
+    val outCols = ps.map { case (nm, _) =>
+      val pos = col(s"p_$nm")
+      when(ceil(pos) === floor(pos), col(s"vlo_$nm"))
+        .otherwise((ceil(pos) - pos) * col(s"vlo_$nm") + (pos - floor(pos)) * col(s"vhi_$nm"))
+        .as(nm)
+    }
+    picked.select(($"g" +: outCols): _*)
+  }
+
   /** Window navigation: lag/lead/ntile over each customer's order
     * history.
     */
@@ -312,16 +380,17 @@ object Relational {
     // Value-based quartile from three exact percentile cutoffs instead of
     // a global ntile: an empty-partition window funnels the whole table
     // through one task, while the cutoffs are a 1-row aggregate broadcast
-    // back over the data (partition-parallel at any scale). Comparison
-    // parity with the oracle is exact: cutoffs at duplicate-heavy
-    // positions are data values in both engines, and interpolated cutoffs
-    // fall strictly between adjacent distinct values, so an ULP of
-    // engine difference can never flip a row's bucket.
-    val cuts = orders.agg(
-      expr("percentile(o_totalprice, 0.25)").as("c1"),
-      expr("percentile(o_totalprice, 0.50)").as("c2"),
-      expr("percentile(o_totalprice, 0.75)").as("c3")
-    )
+    // back over the data (partition-parallel at any scale; the cutoffs
+    // themselves come from the rank-based plan above, never a full-table
+    // buffer). Comparison parity with the oracle is exact: cutoffs at
+    // duplicate-heavy positions are data values in both engines, and
+    // interpolated cutoffs fall strictly between adjacent distinct
+    // values, so an ULP of engine difference can never flip a row's
+    // bucket.
+    val cuts = rankPercentiles(
+      orders.select(lit("all").as("g"), $"o_totalprice".as("v")),
+      Seq("c1" -> 0.25, "c2" -> 0.50, "c3" -> 0.75)
+    ).drop("g")
     orders
       .crossJoin(broadcast(cuts))
       .select(
@@ -339,20 +408,25 @@ object Relational {
 
   /** Exact interpolated percentiles per group ((n-1)·p convention on both
     * engines; results land on the half-cent grid so round-4 snaps
-    * identically).
+    * identically). Computed rank-based (see rankPercentiles) so no
+    * aggregation buffer ever holds a group's full value set — PlanSpec
+    * pins that no exact `percentile` aggregate remains in the plan.
     */
   def q20Percentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // exact percentile buffers every group value in the partial
-    // aggregation — fan the scan out so that work isn't single-split
-    Tables
-      .lineitemFanned(spark, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-        round(min($"l_extendedprice"), 4).as("min_price"),
-        round(max($"l_extendedprice"), 4).as("max_price")
+    val vals = Tables
+      .lineitem(spark, dir)
+      .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
+    val pct = rankPercentiles(vals, Seq("median_price" -> 0.5, "p90_price" -> 0.9))
+    val minmax = vals.groupBy($"g").agg(min($"v").as("mn"), max($"v").as("mx"))
+    pct
+      .join(minmax, "g")
+      .select(
+        $"g".as("l_returnflag"),
+        round($"median_price", 4).as("median_price"),
+        round($"p90_price", 4).as("p90_price"),
+        round($"mn", 4).as("min_price"),
+        round($"mx", 4).as("max_price")
       )
       .orderBy($"l_returnflag")
   }
@@ -406,26 +480,27 @@ object Relational {
     * resumable/auditable stats). The estimate lands within a few % of
     * the true count at k=64.
     *
-    * Scale: the per-group window ranks only each group's hashes —
-    * at extreme group sizes swap in a typed k-min Aggregator (the
-    * TopKByCosine shape) to ship k values per partition; the estimator
-    * and oracle are unchanged.
+    * Scale: k-min selection is an AGGREGATION, not a ranking problem —
+    * the typed KMinValues Aggregator keeps a bounded k-element buffer
+    * per group, combines partials map-side, and ships at most k longs
+    * per (group, partition). A window/row_number formulation would
+    * funnel every distinct hash of a group through one task (3 tasks
+    * for 3 return flags, at any corpus size); PlanSpec pins that no
+    * Window remains in this plan. The buffer also dedups hashes, so no
+    * separate distinct shuffle is needed either.
     */
   def q23KmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashed = Tables
+    val kmv = udaf(new KMinValues(KmvK))
+    Tables
       .lineitem(spark, dir)
       .select(
         $"l_returnflag",
         conv(substring(md5($"l_partkey".cast("string")), 1, 8), 16, 10).cast("long").as("h")
       )
-      .distinct() // KMV operates on distinct hash values
-    val w = Window.partitionBy($"l_returnflag").orderBy($"h")
-    hashed
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= KmvK)
       .groupBy($"l_returnflag")
-      .agg(max($"h").as("kth"), count(lit(1)).as("k_seen"))
+      .agg(kmv($"h").as("sk"))
+      .select($"l_returnflag", $"sk.kth".as("kth"), $"sk.k_seen".as("k_seen"))
       // with fewer than k distinct values the sketch is exact (k_seen)
       .select(
         $"l_returnflag",

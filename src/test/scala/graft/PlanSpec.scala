@@ -119,14 +119,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("q19 has no empty-partition window (no single-task global funnel)") {
+  test("q19 windows over raw rows are partitioned (no single-task full-table funnel)") {
+    // empty-partition windows are allowed ONLY over aggregated input
+    // (the global percentile's bucket-summary pass — bounded by the
+    // price grid's bucket count, not the row count); any window that
+    // consumes raw table rows must carry a partition key
     val windows = Relational
       .q19LagLead(spark, dir)
       .queryExecution
       .optimizedPlan
       .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(windows.nonEmpty)
-    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggregated = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggregated.nonEmpty, s"unpartitioned window over raw rows:\n$w")
+    }
+  }
+
+  test("q23 KMV selects k-mins via bounded aggregation — no per-group Window funnel") {
+    val df = Relational.q23KmvDistinct(spark, dir)
+    val windows = df.queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, df.queryExecution.optimizedPlan.toString)
+    // the typed buffer aggregates map-side (partial before the exchange)
+    assert(planString(df).contains("ObjectHashAggregate"), planString(df))
+  }
+
+  test("q20/q19 plans contain no exact percentile aggregate (no full-group value buffer)") {
+    Seq(Relational.q20Percentiles(spark, dir), Relational.q19LagLead(spark, dir)).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("percentile"), plan)
+    }
   }
 
   test("sim_knn_graph: corpus×corpus candidates are an equi-join, never a cartesian product") {
