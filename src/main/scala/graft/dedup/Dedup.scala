@@ -202,15 +202,13 @@ object Dedup {
   /** Duplicate-cluster assignment — the step after near-dup detection in
     * a training pipeline: connected components over the MinHash-LSH
     * verified pair set, keeper = min doc_id per component (keep-one-per-
-    * cluster, the SemDeDup-style policy). Distributed min-label
-    * propagation over the pair edge list: each round every node takes the
-    * min label in its closed neighborhood. Labels are monotonically
-    * non-increasing, so the Σlabel fixpoint test is an exact convergence
-    * check (sum unchanged ⇒ no label changed). Rounds = component
-    * eccentricity — near-dup clusters are shallow stars in practice; the
-    * published alternating large-star/small-star algorithm (Kiveris et
-    * al., MapReduce CC) drops worst-case chains to O(log n) rounds with
-    * the same per-round join shape if ever needed.
+    * cluster, the SemDeDup-style policy). Components come from the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — round count is
+    * logarithmic in component size, where plain min-label propagation
+    * needs rounds = component eccentricity (a chain of crawl mirrors
+    * degrades it to the chain length; SkewSpec pins the log bound on
+    * exactly that worst-case shape).
     *
     * Scale: only the PAIR set (orders of magnitude smaller than the
     * corpus) re-shuffles per round; the corpus joins exactly once at the
@@ -241,33 +239,81 @@ object Dedup {
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = minhashLsh(spark, dir).select($"id_a", $"id_b")
-    val edges = pairs
-      .union(pairs.select($"id_b", $"id_a"))
-      .toDF("u", "v")
-      .localCheckpoint()
-    var labels = edges.select($"u").distinct().withColumn("lbl", $"u").localCheckpoint()
-    var lblSum = labels.agg(coalesce(sum($"lbl"), lit(0L))).as[Long].head()
-    var converged = false
-    while (!converged) {
-      // every edge-list node has ≥1 neighbor, so the inner join keeps all
-      val next = edges
-        .join(labels.select($"u".as("v"), $"lbl"), "v")
-        .groupBy($"u")
-        .agg(min($"lbl").as("nbr"))
-        .join(labels, "u")
-        .select($"u", least($"lbl", $"nbr").as("lbl"))
-        .localCheckpoint()
-      val nextSum = next.agg(coalesce(sum($"lbl"), lit(0L))).as[Long].head()
-      converged = nextSum == lblSum
-      lblSum = nextSum
-      labels = next
-    }
+    val labels = connectedComponents(minhashLsh(spark, dir).select($"id_a", $"id_b"))._1
     Tables
       .documents(spark, dir)
       .select($"doc_id")
       .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+  }
+
+  /** Connected components over an undirected (id_a, id_b) pair set by
+    * the ALTERNATING large-star/small-star algorithm (Kiveris et al.):
+    *
+    *   - large-star: every node links its LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   - small-star: every node links its smaller neighbors (and
+    *     itself) to that minimum.
+    *
+    * Each phase is one groupBy(min) + one join on the current edge set
+    * — the same per-round shuffle shape as label propagation, but the
+    * joint fixpoint is reached in O(log n) rounds instead of component
+    * eccentricity, because stars contract paths by half-ish every
+    * round. The fixpoint (both phases leave the edge set unchanged — an
+    * exact set-equality check, not a heuristic) is a forest of stars
+    * centered at each component's minimum id, so labels read off as
+    * each node's single smaller neighbor. Nodes absent from the pair
+    * set are absent from the output (callers left-join + coalesce for
+    * singletons).
+    *
+    * Each round localCheckpoints the (tiny) edge set and unpersists the
+    * superseded one, so cached blocks do NOT accumulate with rounds.
+    * Returns (labels df [u, lbl], rounds) — the round count feeds the
+    * SkewSpec chain-topology bound.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // canonical downward edges (u > v), deduped
+    var edges = pairs
+      .select(greatest($"id_a", $"id_b").as("u"), least($"id_a", $"id_b").as("v"))
+      .filter($"u" =!= $"v")
+      .distinct()
+      .localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      // large-star: every node n relinks its LARGER neighbors to
+      // m(n) = min(Γ(n) ∪ {n}). Since edges are canonical (u > v), the
+      // larger-neighbor incidences are exactly the edges themselves
+      // ((u,v) ⇒ u is a larger neighbor of v), and m(n) can only be n
+      // or a SMALLER neighbor — so no symmetric expansion is needed:
+      // one per-node min over the downward edges, one join
+      val mins = edges.groupBy($"u").agg(min($"v").as("mnv"))
+      val ls = edges
+        .join(mins.select($"u".as("v"), $"mnv"), Seq("v"), "left")
+        .select($"u", least($"v", coalesce($"mnv", $"v")).as("v"))
+        .distinct()
+      // small-star: per node, link its smaller neighbors and itself to
+      // their minimum
+      val ssMin = ls.groupBy($"u").agg(min($"v").as("m"))
+      val next = ls
+        .join(ssMin, "u")
+        .filter($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(ssMin.select($"u", $"m".as("v")))
+        .distinct()
+        .localCheckpoint()
+      rounds += 1
+      // exact fixpoint test on canonical edge SETS: same size and no
+      // new-side difference ⇒ equal (both sides are distinct)
+      converged =
+        next.count() == edges.count() && next.except(edges).isEmpty
+      val prev = edges
+      edges = next
+      prev.unpersist()
+    }
+    (edges.groupBy($"u").agg(min($"v").as("lbl")), rounds)
   }
 
   /** 64-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where

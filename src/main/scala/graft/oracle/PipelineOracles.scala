@@ -283,14 +283,35 @@ object PipelineOracles {
        |SELECT src_id, dst_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= ${Similarity.GraphK} ORDER BY src_id, rank""".stripMargin
 
-  /** Replays the IVF pipeline: sampled centroids, nearest-cell
-    * assignment (ties to the lowest centroid id — same rule as the Spark
-    * argmax), nprobe nearest cells per query, exact cosine re-rank.
+  /** Replays the IVF pipeline INCLUDING quantizer training: stride-
+    * sample init, then Similarity.IvfLloydRounds Lloyd iterations —
+    * nearest-cell assignment (ties to the lowest centroid id, same rule
+    * as the Spark argmax) and a per-dimension mean over components
+    * quantized to integers (floor(x·2²⁰+0.5)), whose sum is associative
+    * and therefore identical across engines regardless of row order.
+    * Then: nprobe nearest cells per query, exact cosine re-rank.
     */
-  val simAnnIvf: String =
+  val simAnnIvf: String = {
+    val s = Similarity.IvfMeanScale
+    def lloydCtes(i: Int): String =
+      s"""sc$i AS (SELECT n.vec_id, n.embedding, c.cid,
+         |    ${dotSql("n.embedding", "c.ce")} / (n.nrm * c.cn) AS ccos
+         |  FROM norms n, c${i - 1} c),
+         |ar$i AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM sc$i),
+         |asg$i AS (SELECT cid, embedding FROM ar$i WHERE rn = 1),
+         |cm$i AS (SELECT cid, d.j,
+         |    CAST((CAST(CAST(sum(CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * $s + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) / $s AS REAL) AS cx
+         |  FROM asg$i, (SELECT unnest(generate_series(0, 63)) AS j) d GROUP BY cid, d.j),
+         |cl$i AS (SELECT cid, list(cx ORDER BY j) AS ce FROM cm$i GROUP BY cid),
+         |c$i AS (SELECT cid, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM cl$i)""".stripMargin
+    val rounds = Similarity.IvfLloydRounds
     s"""WITH $embNorms,
-       |cents AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
        |  FROM norms WHERE vec_id % ${Similarity.IvfStride} = 0),
+       |${(1 to rounds).map(lloydCtes).mkString(",\n")},
+       |cents AS (SELECT cid, ce, cn FROM c$rounds),
        |scored_cells AS (SELECT n.vec_id, cents.cid,
        |    ${dotSql("n.embedding", "cents.ce")} / (n.nrm * cents.cn) AS ccos
        |  FROM norms n, cents),
@@ -311,6 +332,7 @@ object PipelineOracles {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---- text analysis ----------------------------------------------------
 

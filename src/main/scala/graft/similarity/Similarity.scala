@@ -26,8 +26,10 @@ object Similarity {
 
   val TopK = 5
   val NumQueries = 10 // query set = vec_id < 10
-  val IvfStride = 50 // centroids = every 50th vector (deterministic quantizer)
+  val IvfStride = 50 // initial centroids = every 50th vector (Lloyd init)
   val IvfProbes = 2 // query probes its 2 nearest cells
+  val IvfLloydRounds = 2 // deterministic k-means refinement rounds
+  val IvfMeanScale = 1048576.0 // 2^20 — exact double multiply, see lloydCentroids
 
   private def corpusWithNorm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -86,27 +88,82 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Trained IVF quantizer: `IvfLloydRounds` deterministic Lloyd
+    * (k-means) iterations from a fixed stride-sample init. Every
+    * arithmetic step is chosen to be bit-identical under DuckDB replay,
+    * so the trained centroids — and with them the whole IVF result —
+    * stay exactly oracle-checkable:
+    *
+    *  - assignment: the same cosine argmax (ties to lowest cid) the IVF
+    *    probe itself uses;
+    *  - update: the per-dimension MEAN is computed over components
+    *    quantized to integers (floor(x·2²⁰ + 0.5): ·2²⁰ is an exact
+    *    power-of-two double multiply, floor exact) — integer sums are
+    *    associative, so the mean is independent of Spark's partition
+    *    order AND identical to DuckDB's own summation order. The mean
+    *    casts back to float, keeping centroids in the same Array[Float]
+    *    shape as the corpus (the 2⁻²¹ quantization error is far inside a
+    *    coarse quantizer's tolerance);
+    *  - cells whose centroid attracts no vectors simply disappear, on
+    *    both engines alike.
+    *
+    * Scale: each round is one broadcast-assign pass (map-side argmax,
+    * one row per vector shuffles) plus a (cell × 64)-row mean — at
+    * production scale the centroid count would be capped (fixed k
+    * trained on a sample) rather than corpus/stride, but the round
+    * shape is unchanged.
+    */
+  private[graft] def lloydCentroids(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents = emb
+      .filter($"vec_id" % IvfStride === 0)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    for (_ <- 1 to IvfLloydRounds) {
+      val assigned = emb
+        .crossJoin(broadcast(cents))
+        .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+        .groupBy($"vec_id")
+        .agg(
+          max(struct($"ccos", (-$"cid").as("ncid"))).as("best"),
+          first($"embedding").as("embedding")
+        )
+        .select((-$"best.ncid").as("cid"), $"embedding")
+      val comps = assigned
+        .select($"cid", posexplode($"embedding").as(Seq("j", "x")))
+        .groupBy($"cid", $"j")
+        .agg(sum(floor($"x".cast("double") * lit(IvfMeanScale) + lit(0.5))).as("s"), count(lit(1)).as("cnt"))
+        .select(
+          $"cid",
+          $"j",
+          (($"s".cast("double") / $"cnt".cast("double")) / lit(IvfMeanScale)).cast("float").as("cx")
+        )
+      cents = comps
+        .groupBy($"cid")
+        .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
+        .select($"cid", $"ce", norm($"ce").as("cn"))
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN — the clustering-based scale path beside the
     * LSH one: a coarse quantizer partitions the corpus into cells, each
     * vector joins the inverted list of its nearest centroid, and a query
     * scans only its `IvfProbes` nearest cells before the exact cosine
-    * re-rank. The quantizer here is a deterministic sample (every
-    * `IvfStride`-th vector) so the DuckDB oracle can replay assignment
-    * exactly; production would train k-means centroids — the plumbing
-    * (assign → invert → probe → re-rank) is identical.
+    * re-rank. The quantizer is k-means trained (lloydCentroids above) —
+    * deterministically, so the DuckDB oracle replays training AND lookup
+    * exactly.
     *
-    * Scale shape: centroids broadcast (corpus/stride rows); assignment is
-    * one map pass with a map-side argmax aggregation (one row per vector
-    * shuffles); the probe is an equi-join on cell id, so per-query work
-    * is O(corpus × probes / cells), never a full scan. Ties in the
+    * Scale shape: centroids broadcast; assignment is one map pass with a
+    * map-side argmax aggregation (one row per vector shuffles); the
+    * probe is an equi-join on cell id, so per-query work is
+    * O(corpus × probes / cells), never a full scan. Ties in the
     * argmax break to the lowest centroid id on both engines.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = corpusWithNorm(spark, dir)
-    val cents = emb
-      .filter($"vec_id" % IvfStride === 0)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val cents = lloydCentroids(emb)
     val scoredCells = emb
       .crossJoin(broadcast(cents))
       .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))

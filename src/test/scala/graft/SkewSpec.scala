@@ -111,6 +111,31 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("connected components converge in O(log n) rounds on the worst-case chain topology") {
+    import spark.implicits._
+    // a 512-node path (crawl mirrors of mirrors) is the adversarial shape
+    // for min-label propagation: its eccentricity is 511, so propagation
+    // needs 511 rounds; large-star/small-star must finish in ~log n
+    val n = 512
+    val chain = spark
+      .range(n - 1)
+      .select(($"id" + 1000L).as("id_a"), ($"id" + 1001L).as("id_b"))
+    // plus two shallow star components to mix shapes
+    val stars = spark
+      .range(20)
+      .select(
+        (lit(5000L) + ($"id" % 2) * 100L).as("id_a"),
+        (lit(5001L) + ($"id" % 2) * 100L + ($"id" / 2).cast("long")).as("id_b")
+      )
+    val (labels, rounds) = graft.dedup.Dedup.connectedComponents(chain.union(stars))
+    val byLabel = labels.groupBy($"lbl").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain: every node except the min (1000) labels to 1000
+    assert(byLabel(1000L) === (n - 1).toLong, byLabel)
+    // stars: members label to their min node
+    assert(byLabel.contains(5000L) && byLabel.contains(5100L), byLabel)
+    assert(rounds <= 12, s"expected O(log n) rounds for a $n-chain, got $rounds")
+  }
+
   test("salted two-phase aggregation equals direct aggregation on a hot key") {
     import spark.implicits._
     val words = spark
