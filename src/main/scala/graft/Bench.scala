@@ -40,7 +40,10 @@ object Bench {
     // The driver captures only the last ~2000 chars of output, so the final
     // line must stay compact: 3-decimal times, contract keys only. The full
     // min/max detail (noise-vs-regression evidence) goes to BENCH_DETAIL.json.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // explicit root locale: a comma-decimal default locale would make
+    // the JSON line unparseable ("1,234")
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(f: ((String, Double, Double)) => Double): String =
       results.map { r => "\"" + r._1 + "\":" + fmt(f(r)) }.mkString("{", ",", "}")
     val qs = obj(_._2)

@@ -94,6 +94,20 @@ object Tables {
   * on a real cluster (AQE coalesces the 32-partition assumption away).
   */
 object GraftSession {
+
+  /** Per-process managed-table warehouse. Bucket tables are rebuilt per
+    * JVM regardless (the in-memory catalog doesn't persist), so a
+    * private directory costs nothing extra while removing every
+    * cross-JVM race on a shared ./spark-warehouse (concurrent test +
+    * verify runs sweeping each other's files). Deleted on JVM exit.
+    */
+  private lazy val warehouseDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+    p.toString
+  }
+
   def local(cores: Int = 32, appName: String = "graft"): SparkSession = {
     val spark = SparkSession
       .builder()
@@ -102,6 +116,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

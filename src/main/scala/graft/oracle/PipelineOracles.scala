@@ -375,7 +375,7 @@ object PipelineOracles {
        |  CAST(len($toks) AS BIGINT) AS ws_tokens,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t]')) AS BIGINT) AS bpe_tokens,
        |  CAST(length(text) AS BIGINT) AS n_chars_obs,
-       |  round(CAST(length(text) AS BIGINT) / CAST(len($toks) AS BIGINT), 6) AS chars_per_ws_token
+       |  ${round6Sql(s"CAST(length(text) AS BIGINT) / CAST(len($toks) AS BIGINT)")} AS chars_per_ws_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
   val textFingerprint: String =
@@ -418,9 +418,9 @@ object PipelineOracles {
        |    coalesce(bs.n_bigrams, 0) AS n_bigrams, coalesce(bs.max_bigram, 0) AS max_bigram
        |  FROM us LEFT JOIN bs ON bs.doc_id = us.doc_id),
        |f AS (SELECT doc_id, n_tokens, n_distinct, max_tok, n_bigrams, max_bigram,
-       |    round(1.0 - n_distinct / n_tokens, 6) AS dup_word_frac,
-       |    round(max_tok / n_tokens, 6) AS top_word_frac,
-       |    CASE WHEN n_bigrams > 0 THEN round(max_bigram / n_bigrams, 6) ELSE 0.0 END AS top_bigram_frac
+       |    ${round6Sql("1.0 - n_distinct / n_tokens")} AS dup_word_frac,
+       |    ${round6Sql("max_tok / n_tokens")} AS top_word_frac,
+       |    CASE WHEN n_bigrams > 0 THEN ${round6Sql("max_bigram / n_bigrams")} ELSE 0.0 END AS top_bigram_frac
        |  FROM j)
        |SELECT doc_id, n_tokens, n_distinct, max_tok, n_bigrams, max_bigram,
        |  dup_word_frac, top_word_frac, top_bigram_frac,
@@ -440,7 +440,7 @@ object PipelineOracles {
        |  CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
        |  CAST(coalesce(per.n_shared, 0) AS BIGINT) AS n_shared,
        |  CASE WHEN coalesce(per.n_shingles, 0) > 0
-       |    THEN round(per.n_shared / per.n_shingles, 6) ELSE 0.0 END AS shared_frac
+       |    THEN ${round6Sql("per.n_shared / per.n_shingles")} ELSE 0.0 END AS shared_frac
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
@@ -470,7 +470,7 @@ object PipelineOracles {
        |    THEN 1 ELSE 0 END AS keep
        |  FROM documents)
        |SELECT source, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_kept,
-       |  round(CAST(sum(keep) AS BIGINT) / count(*), 6) AS kept_frac
+       |  ${round6Sql("CAST(sum(keep) AS BIGINT) / count(*)")} AS kept_frac
        |FROM k GROUP BY source ORDER BY source""".stripMargin
   }
 

@@ -562,12 +562,23 @@ object Relational {
     // before the lineitem save must not short-circuit the rebuild
     if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) bucketBuildLock.synchronized {
       if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) {
-        // a previous JVM may have left files at the managed location (the
-        // in-memory catalog doesn't persist); drop them rather than trust
-        // them — a crashed mid-write leaves incomplete buckets, and the
-        // rewrite costs the same as the join's one-time staging anyway.
-        // Sibling fingerprints (stale regenerated source data) are swept
-        // too, so the warehouse doesn't grow without bound across rounds.
+        // stale SIBLING fingerprints (regenerated source data) are
+        // retired THROUGH the catalog first — DROP TABLE removes a
+        // managed table's files AND its registration, so nothing this
+        // session already registered can dangle with missing files
+        spark.catalog
+          .listTables()
+          .collect()
+          .map(_.name)
+          .filter(n => n.startsWith("graft_orders_bucketed_") || n.startsWith("graft_lineitem_bucketed_"))
+          .filter(n => n != ordersT && n != lineitemT)
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        // then sweep on-disk leftovers no catalog knows (crashed
+        // mid-write builds, dead JVMs): a crashed write leaves
+        // incomplete buckets, and the rewrite costs the same as the
+        // join's one-time staging anyway. (A warehouse shared by
+        // CONCURRENT JVMs would need a lock around the whole build;
+        // this engine's sessions use a per-process warehouse dir.)
         val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
         val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(warehouse)) {

@@ -94,7 +94,7 @@ object Sampling {
       .select($"doc_id", $"source", when(bucket < rate, 1L).otherwise(0L).as("keep"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"keep").as("n_kept"))
-      .withColumn("kept_frac", round($"n_kept" / $"n_docs", 6))
+      .withColumn("kept_frac", TextAnalysis.round6($"n_kept" / $"n_docs"))
       .orderBy($"source")
   }
 

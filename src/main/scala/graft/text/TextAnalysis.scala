@@ -112,7 +112,7 @@ object TextAnalysis {
           .as("bpe_tokens"),
         length($"text").cast("long").as("n_chars_obs")
       )
-      .withColumn("chars_per_ws_token", round($"n_chars_obs" / $"ws_tokens", 6))
+      .withColumn("chars_per_ws_token", round6($"n_chars_obs" / $"ws_tokens"))
       .orderBy($"doc_id")
   }
 
@@ -165,11 +165,11 @@ object TextAnalysis {
         greatest(size($"w") - 1, lit(0)).cast("long").as("n_bigrams"),
         maxCount(bigramArr($"w")).as("max_bigram")
       )
-      .withColumn("dup_word_frac", round(lit(1.0) - $"n_distinct" / $"n_tokens", 6))
-      .withColumn("top_word_frac", round($"max_tok" / $"n_tokens", 6))
+      .withColumn("dup_word_frac", round6(lit(1.0) - $"n_distinct" / $"n_tokens"))
+      .withColumn("top_word_frac", round6($"max_tok" / $"n_tokens"))
       .withColumn(
         "top_bigram_frac",
-        when($"n_bigrams" > 0, round($"max_bigram" / $"n_bigrams", 6)).otherwise(lit(0.0))
+        when($"n_bigrams" > 0, round6($"max_bigram" / $"n_bigrams")).otherwise(lit(0.0))
       )
       .withColumn(
         "repetitive",
@@ -211,7 +211,7 @@ object TextAnalysis {
       )
       .withColumn(
         "shared_frac",
-        when($"n_shingles" > 0, round($"n_shared" / $"n_shingles", 6)).otherwise(lit(0.0))
+        when($"n_shingles" > 0, round6($"n_shared" / $"n_shingles")).otherwise(lit(0.0))
       )
       .orderBy($"doc_id")
   }
