@@ -152,6 +152,12 @@ object Oracles {
        |       ELSE ${(graft.queries.Relational.KmvK - 1).toDouble} * 4294967296.0 / greatest(kth, 1) END) AS BIGINT) AS est_parts
        |FROM agg ORDER BY l_returnflag""".stripMargin
 
+  val q25GroupingSets: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val q15MaxPerGroup: String =
     """SELECT p_brand, p_partkey, p_retailprice FROM part
       |WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand)

@@ -243,6 +243,25 @@ object Relational {
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
+  /** GROUPING SETS — the general grouping-set form rollup/cube are
+    * shorthands for: two NON-hierarchical one-dimension sets in one
+    * pass (by status, and by priority), which neither rollup nor cube
+    * can express without also producing the cross or the total. Plans
+    * as a single Expand + aggregate: one scan feeds both sets, with
+    * map-side partial aggregation — same scale shape as q13/q14.
+    */
+  def q25GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .orders(spark, dir)
+      .groupingSets(Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")), $"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total")
+      )
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
   /** Self-join via grouped max (greatest-per-group): priciest part(s) per
     * brand. The per-brand max side is tiny → broadcast.
     */

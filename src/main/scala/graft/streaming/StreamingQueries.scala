@@ -202,9 +202,15 @@ object StreamingQueries {
     * the one-row sentinel parquet.
     */
   // sentinel side-dirs, one per (source dir, gap) — building one costs a
-  // max(ts) scan (parquet footer stats at scale) plus a one-row write
+  // max(ts) scan (parquet footer stats at scale) plus a one-row write;
+  // the dirs are deleted on JVM exit so a long-lived session can't
+  // accumulate one temp dir per (dir, gap) forever
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[String]]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
+    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
+    sentinelCache.values.forEach(_.foreach(p => rm(new java.io.File(p))))
+  }))
 
   def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
