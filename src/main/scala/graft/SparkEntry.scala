@@ -93,6 +93,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
@@ -172,6 +174,8 @@ object SparkEntry {
     "text_fingerprint" -> PipelineOracles.textFingerprint,
     "text_repetition" -> PipelineOracles.textRepetition,
     "text_dup_spans" -> PipelineOracles.textDupSpans,
+    "text_decontaminate" -> PipelineOracles.textDecontaminate,
+    "text_tfidf" -> PipelineOracles.textTfidf,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_hash_split" -> PipelineOracles.textHashSplit,

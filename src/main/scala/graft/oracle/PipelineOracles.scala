@@ -444,6 +444,49 @@ object PipelineOracles {
        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Replays decontamination: the same held-out split rule, the same
+    * distinct-3-shingle overlap counts against the eval shingle set.
+    */
+  val textDecontaminate: String =
+    s"""WITH $shingleSets,
+       |evx AS (SELECT DISTINCT sh FROM shx WHERE doc_id % ${TextAnalysis.EvalMod} = 0),
+       |tsh AS (SELECT doc_id, sh FROM shx WHERE doc_id % ${TextAnalysis.EvalMod} <> 0),
+       |cont AS (SELECT tsh.doc_id, count(*) AS n_contaminated FROM tsh JOIN evx USING (sh) GROUP BY 1),
+       |tsz AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
+       |f AS (SELECT d.doc_id,
+       |    CAST(coalesce(tsz.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |    CAST(coalesce(cont.n_contaminated, 0) AS BIGINT) AS n_contaminated
+       |  FROM documents d
+       |  LEFT JOIN tsz ON tsz.doc_id = d.doc_id
+       |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  WHERE d.doc_id % ${TextAnalysis.EvalMod} <> 0),
+       |g AS (SELECT doc_id, n_shingles, n_contaminated,
+       |    CASE WHEN n_shingles > 0 THEN ${round6Sql("n_contaminated / n_shingles")} ELSE 0.0 END AS contamination_frac
+       |  FROM f)
+       |SELECT doc_id, n_shingles, n_contaminated, contamination_frac,
+       |  CAST(CASE WHEN contamination_frac <= ${TextAnalysis.ContamThreshold} THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  /** Replays rational-idf TF-IDF: identical tf/df/n_docs integers,
+    * identical double expression tf · (n_docs / df), identical rounded
+    * ordering with lexical tie-break.
+    */
+  val textTfidf: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |base AS (SELECT doc_id, unnest(w) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM base GROUP BY 1, 2),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |    ${round6Sql("CAST(tf.tf AS DOUBLE) * (CAST(nd.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE))")} AS tfidf
+       |  FROM tf JOIN dfq USING (term), nd),
+       |ranked AS (SELECT doc_id, term, tfidf,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+       |FROM ranked WHERE rank <= ${TextAnalysis.TfidfK}
+       |ORDER BY doc_id, rank""".stripMargin
+
   val textVocab: String =
     s"""WITH $bigramsCte,
        |uni AS (SELECT CAST(1 AS BIGINT) AS arity, t AS ngram, count(*) AS freq

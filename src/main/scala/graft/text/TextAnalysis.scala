@@ -3,6 +3,7 @@ package graft.text
 import graft.Tables
 import graft.functions.Portable._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents`: language-ID, quality
@@ -213,6 +214,91 @@ object TextAnalysis {
         "shared_frac",
         when($"n_shingles" > 0, round6($"n_shared" / $"n_shingles")).otherwise(lit(0.0))
       )
+      .orderBy($"doc_id")
+  }
+
+  val TfidfK = 3 // top terms kept per document
+
+  /** TF-IDF top-k terms per document (retrieval indexing / keyword
+    * extraction over the corpus). The idf here is the RATIONAL form
+    * n_docs/df rather than its logarithm: same ranking within a
+    * document (log is monotone), but exactly replayable cross-engine —
+    * libm log() is not bit-portable, integer ratios are.
+    *
+    * Scale: term frequencies are one map-side-combined shuffle on
+    * (doc, term); document frequencies aggregate the tf rows again on
+    * term; the per-doc top-k window partitions on doc_id (bounded by
+    * document length, never corpus size); the 1-row corpus count
+    * broadcasts.
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val terms = Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("term"))
+    val tf = terms.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val ndocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"term")
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(ndocs))
+      .withColumn(
+        "tfidf",
+        round6($"tf".cast("double") * ($"n_docs".cast("double") / $"df".cast("double")))
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TfidfK)
+      .select($"doc_id", $"term", $"rank".cast("long").as("rank"), $"tfidf")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val EvalMod = 97 // held-out eval split: doc_id % EvalMod == 0
+  val ContamThreshold = 0.1 // training doc is dirty above this overlap
+
+  /** Benchmark decontamination (the Lee/Brown-style eval-overlap check
+    * every serious training pipeline runs before training): flag
+    * training documents sharing 3-shingles with a held-out eval split
+    * (here doc_id % EvalMod == 0 — in production, the benchmark
+    * corpus). Per training doc: its distinct-shingle count, how many of
+    * those shingles appear anywhere in the eval split, the overlap
+    * fraction, and the keep/drop verdict.
+    *
+    * Scale: the eval split is tiny relative to a 100 TB corpus (that is
+    * the point of a benchmark), so its DISTINCT shingle set broadcasts
+    * and the contamination count is a map-side broadcast join over the
+    * training shingle rows — the corpus never shuffles on shingles at
+    * all. The explicit broadcast() pins that plan (PlanSpec); on data
+    * where the eval side outgrew memory, dropping the hint falls back
+    * to a shuffle join with the same semantics.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", explode(graft.functions.TextExpressions.wordShingles(lower($"text"))).as("sh"))
+    val evalShingles = sh.filter($"doc_id" % EvalMod === 0).select($"sh").distinct()
+    val trainSh = sh.filter($"doc_id" % EvalMod =!= 0)
+    val contaminated = trainSh
+      .join(broadcast(evalShingles), "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_contaminated"))
+    val sizes = trainSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id")
+      .filter($"doc_id" % EvalMod =!= 0)
+      .join(sizes, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_contaminated", lit(0L)).as("n_contaminated")
+      )
+      .withColumn(
+        "contamination_frac",
+        when($"n_shingles" > 0, round6($"n_contaminated" / $"n_shingles")).otherwise(lit(0.0))
+      )
+      .withColumn("is_clean", when($"contamination_frac" <= ContamThreshold, 1L).otherwise(0L))
       .orderBy($"doc_id")
   }
 

@@ -154,6 +154,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_decontaminate broadcasts the eval shingle set (corpus never shuffles on shingles)") {
+    val df = graft.text.TextAnalysis.decontaminate(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // and the training corpus side must not run the Σ df² inverted-index
+    // self-join shape anywhere
+    assert(shingleSelfJoins(df) === 0)
+  }
+
   test("sim_knn_graph: corpus×corpus candidates are an equi-join, never a cartesian product") {
     val plan = graft.similarity.Similarity.knnGraph(spark, dir).queryExecution.optimizedPlan
     val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
