@@ -65,6 +65,7 @@ object SparkEntry {
     "events_asof" -> ((s, d) => Events.asofPurchase(s, d)),
     "events_range_join" -> ((s, d) => Events.rangeJoinPairs(s, d)),
     "events_resample" -> ((s, d) => Events.resample(s, d)),
+    "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -148,6 +149,7 @@ object SparkEntry {
     "events_asof" -> Oracles.eventsAsof,
     "events_range_join" -> Oracles.eventsRangeJoin,
     "events_resample" -> Oracles.eventsResample,
+    "events_funnel" -> Oracles.eventsFunnel,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window

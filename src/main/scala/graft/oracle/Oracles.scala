@@ -237,6 +237,25 @@ object Oracles {
   /** Gap-filled 15-min resample: same integer-µs bucket keys, dense
     * (type × bucket-range) grid, zero-filled left join.
     */
+  /** Replays the funnel's chained filtered min-aggregations — stage
+    * boundaries are strict (>), so identical timestamps at a boundary
+    * don't advance the funnel on either engine.
+    */
+  val eventsFunnel: String =
+    """WITH v AS (SELECT user_id, min(ts) AS first_view_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS first_click_ts
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.first_view_ts GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click_ts GROUP BY 1)
+      |SELECT v.user_id, v.first_view_ts, c.first_click_ts, p.first_purchase_ts,
+      |  CAST(1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |         + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS stage
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
   val eventsResample: String =
     """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS b, value FROM events),
       |agg AS (SELECT event_type, b, count(*) AS n, round(sum(value), 4) AS sv FROM e GROUP BY 1, 2),

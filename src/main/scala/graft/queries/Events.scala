@@ -26,6 +26,50 @@ object Events {
       .orderBy($"hour_start", $"event_type")
   }
 
+  /** Conversion-funnel analysis (view → click → purchase), the classic
+    * product-analytics operator: per user with at least one view, the
+    * earliest view, the earliest click strictly after it, the earliest
+    * purchase strictly after that click, and the funnel stage reached
+    * (1–3). Expressed as three chained filtered min-aggregations joined
+    * on user_id — every step is a partial-aggregated shuffle on the
+    * funnel key (no windows over raw events, no per-user sort), so the
+    * plan is one narrow join chain at any corpus size; AQE broadcasts
+    * the shrinking stage sides when they fit.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val views = ev
+      .filter($"event_type" === "view")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_view_ts"))
+    val clicks = ev
+      .filter($"event_type" === "click")
+      .join(views, "user_id")
+      .filter($"ts" > $"first_view_ts")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_click_ts"))
+    val purchases = ev
+      .filter($"event_type" === "purchase")
+      .join(clicks, "user_id")
+      .filter($"ts" > $"first_click_ts")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("first_purchase_ts"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(
+        $"user_id",
+        $"first_view_ts",
+        $"first_click_ts",
+        $"first_purchase_ts",
+        (lit(1L)
+          + when($"first_click_ts".isNotNull, 1L).otherwise(0L)
+          + when($"first_purchase_ts".isNotNull, 1L).otherwise(0L)).as("stage")
+      )
+      .orderBy($"user_id")
+  }
+
   /** Gap-filled resampling: 15-minute buckets per event type over the
     * corpus's full time span, with empty buckets zero-filled — the
     * standard time-series densification a monitoring/feature pipeline
