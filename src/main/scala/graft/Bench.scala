@@ -38,24 +38,25 @@ object Bench {
       (name, if (runs.forall(_._1)) times.min else -1.0, if (runs.forall(_._1)) times.max else -1.0)
     }
     // The driver captures only the last ~2000 chars of output, so the final
-    // line must stay compact: 3-decimal times, contract keys only. The full
-    // min/max detail (noise-vs-regression evidence) goes to BENCH_DETAIL.json.
+    // line must stay compact: 2-decimal per-query times (≈21 chars/query →
+    // fits ~85 queries inside the tail), contract keys only. The full
+    // 3-decimal min/max detail (noise-vs-regression evidence) goes to
+    // BENCH_DETAIL.json.
     // explicit root locale: a comma-decimal default locale would make
     // the JSON line unparseable ("1,234")
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def obj(f: ((String, Double, Double)) => Double): String =
-      results.map { r => "\"" + r._1 + "\":" + fmt(f(r)) }.mkString("{", ",", "}")
-    val qs = obj(_._2)
-    val qmax = obj(_._3)
+    def fmtAt(decimals: Int)(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    val fmt = fmtAt(3) _
+    def obj(decimals: Int)(f: ((String, Double, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + fmtAt(decimals)(f(r)) }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_max":$qmax,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(3)(_._2)},"queries_max":${obj(3)(_._3)},"failed":$failed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(2)(_._2)},"failed":$failed,"sf":"$sfDir"}"""
     )
     spark.stop()
   }
