@@ -75,6 +75,7 @@ object SparkEntry {
     "stream_curate" -> ((s, d) => StreamingQueries.curateStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccard(s, d, maxShingleDf = Some(Dedup.NgramDfCap))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -158,6 +159,7 @@ object SparkEntry {
     "stream_dedup" -> PipelineOracles.streamDedup,
     "stream_curate" -> PipelineOracles.streamCurate,
     "dedup_exact" -> PipelineOracles.dedupExact,
+    "dedup_incremental" -> PipelineOracles.dedupIncremental,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     // the extreme-scale stop-shingle-capped path, verified uncapped
     "dedup_ngram_capped" -> PipelineOracles.dedupNgramCapped(Dedup.NgramDfCap),

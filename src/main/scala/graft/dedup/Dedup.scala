@@ -171,22 +171,27 @@ object Dedup {
     * verification cost candidate-bounded at 100 TB. Only signatures
     * shuffle (32 longs/doc), never text.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val sh = shingleRows(spark, dir)
-    val sig = minhashSignatures(spark, dir)
-    // band key packs the r=2 member hashes (each < 2^32) into one long
-    val banded = sig.select(
-      $"doc_id",
+  /** (doc_id, band, bv) rows of a signature table — the band key packs
+    * the r=2 member hashes (each < 2^32) into one long. Shared by the
+    * self-dedup and incremental paths so the banding can't drift.
+    */
+  private def bandedSignatures(sig: DataFrame): DataFrame =
+    sig.select(
+      col("doc_id"),
       posexplode(
         array(
           (0 until MinhashK / MinhashBandRows).map(b =>
-            shiftleft(element_at($"mh", 2 * b + 1), 32)
-              .bitwiseOR(element_at($"mh", 2 * b + 2))
+            shiftleft(element_at(col("mh"), 2 * b + 1), 32)
+              .bitwiseOR(element_at(col("mh"), 2 * b + 2))
           ): _*
         )
       ).as(Seq("band", "bv"))
     )
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val banded = bandedSignatures(minhashSignatures(spark, dir))
     val cand = banded
       .as("a")
       .join(
@@ -314,6 +319,59 @@ object Dedup {
       prev.unpersist()
     }
     (edges.groupBy($"u").agg(min($"v").as("lbl")), rounds)
+  }
+
+  val NewBatchMod = 5 // incremental split: doc_id % NewBatchMod == 0 is the new batch
+
+  /** Incremental ingest dedup — the production shape: dedup a NEW BATCH
+    * against the EXISTING corpus instead of re-deduping everything.
+    * Per new-batch document: whether its exact text hash already exists
+    * in the corpus, the smallest existing near-duplicate (MinHash-LSH
+    * candidates between batch and corpus only, exact-Jaccard verified),
+    * and the resulting keep/drop verdict.
+    *
+    * Scale: the exact check is a semi-join of 16-byte hashes; the LSH
+    * candidate join pairs BATCH bands against CORPUS bands — never
+    * corpus×corpus — so candidate volume scales with the batch, not the
+    * corpus. In production the corpus side's signatures/hashes are a
+    * persisted index (written once, appended per ingest); here both
+    * sides derive from one table split by NewBatchMod so the oracle can
+    * replay the whole flow.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir).select($"doc_id", md5($"text").as("h"))
+    val exactDup = hashes
+      .filter($"doc_id" % NewBatchMod === 0)
+      .join(hashes.filter($"doc_id" % NewBatchMod =!= 0).select($"h"), Seq("h"), "left_semi")
+      .select($"doc_id", lit(1L).as("exact_hit"))
+    val banded = bandedSignatures(minhashSignatures(spark, dir))
+    val cand = banded
+      .filter($"doc_id" % NewBatchMod === 0)
+      .as("a")
+      .join(
+        banded.filter($"doc_id" % NewBatchMod =!= 0).as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+      )
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val near = jaccardFilter(spark, dir, shingleRows(spark, dir), cand, JaccardThreshold)
+      .groupBy($"id_a")
+      .agg(min($"id_b").as("near_dup_of"))
+      .select($"id_a".as("doc_id"), $"near_dup_of")
+    Tables
+      .documents(spark, dir)
+      .select($"doc_id")
+      .filter($"doc_id" % NewBatchMod === 0)
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"exact_hit", lit(0L)).as("is_exact_dup"),
+        $"near_dup_of",
+        when($"exact_hit".isNull && $"near_dup_of".isNull, 1L).otherwise(0L).as("keep")
+      )
+      .orderBy($"doc_id")
   }
 
   /** 64-bit SimHash per document: bit j is set iff Σ_tokens ±1 > 0, where

@@ -132,9 +132,9 @@ object PipelineOracles {
     * hashes) and the b=16/r=2 banding (a band matches when BOTH of its
     * two member hashes agree), then the same exact-Jaccard verification.
     */
-  // CTE chain shared by dedupMinhash and dedupClusters (clusters runs
-  // connected components over the same verified pair set)
-  private val minhashCtes: String =
+  // CTE chain through the banded signatures, shared by the self-dedup
+  // (dedupMinhash/dedupClusters) and incremental-ingest replays
+  private val minhashBandCtes: String =
     s"""$shingleSets,
        |mh AS (
        |  SELECT doc_id, ss.s * 4 + cc.c AS i,
@@ -144,10 +144,48 @@ object PipelineOracles {
        |  GROUP BY doc_id, ss.s * 4 + cc.c),
        |bands AS (SELECT e.doc_id, e.i // 2 AS band, e.v AS v1, o.v AS v2
        |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.i = e.i + 1
-       |  WHERE e.i % 2 = 0),
+       |  WHERE e.i % 2 = 0)""".stripMargin
+
+  private val minhashCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Replays incremental ingest dedup: same NewBatchMod split, same
+    * exact-hash semi-join, same batch×corpus band candidates, same
+    * verified-Jaccard near-dup minimum.
+    */
+  val dedupIncremental: String =
+    s"""WITH $minhashBandCtes,
+       |candn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       |  WHERE a.doc_id % ${Dedup.NewBatchMod} = 0 AND b.doc_id % ${Dedup.NewBatchMod} <> 0),
+       |cint AS (SELECT candn.id_a, candn.id_b, count(*) AS c
+       |  FROM candn
+       |  JOIN shx sa ON sa.doc_id = candn.id_a
+       |  JOIN shx sb ON sb.doc_id = candn.id_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |near AS (SELECT cint.id_a AS doc_id, min(cint.id_b) AS near_dup_of
+       |  FROM cint
+       |  JOIN sizes za ON za.doc_id = cint.id_a
+       |  JOIN sizes zb ON zb.doc_id = cint.id_b
+       |  WHERE round(c / (za.n + zb.n - c), 6) >= ${Dedup.JaccardThreshold}
+       |  GROUP BY 1),
+       |ex AS (SELECT DISTINCT n.doc_id
+       |  FROM documents n JOIN documents o
+       |    ON md5(n.text) = md5(o.text) AND o.doc_id % ${Dedup.NewBatchMod} <> 0
+       |  WHERE n.doc_id % ${Dedup.NewBatchMod} = 0)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       |  near.near_dup_of,
+       |  CAST(CASE WHEN ex.doc_id IS NULL AND near.near_dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN near ON near.doc_id = d.doc_id
+       |WHERE d.doc_id % ${Dedup.NewBatchMod} = 0
+       |ORDER BY d.doc_id""".stripMargin
 
   val dedupMinhash: String =
     s"""WITH $minhashCtes
