@@ -58,6 +58,7 @@ object SparkEntry {
     "q23_kmv_distinct" -> ((s, d) => Relational.q23KmvDistinct(s, d)),
     "q24_set_ops" -> ((s, d) => Relational.q24SetOps(s, d)),
     "q25_grouping_sets" -> ((s, d) => Relational.q25GroupingSets(s, d)),
+    "q26_range_frame" -> ((s, d) => Relational.q26RangeFrame(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_hopping" -> ((s, d) => Events.hopping(s, d)),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q23_kmv_distinct" -> Oracles.q23KmvDistinct,
     "q24_set_ops" -> Oracles.q24SetOps,
     "q25_grouping_sets" -> Oracles.q25GroupingSets,
+    "q26_range_frame" -> Oracles.q26RangeFrame,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).

@@ -158,6 +158,18 @@ object Oracles {
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Epoch-day subtraction yields the same integer order key in both
+    * engines (order dates are midnight-aligned), so the value-based
+    * RANGE frame covers identical peer sets.
+    */
+  val q26RangeFrame: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val q15MaxPerGroup: String =
     """SELECT p_brand, p_partkey, p_retailprice FROM part
       |WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand)

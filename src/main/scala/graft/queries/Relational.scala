@@ -201,6 +201,27 @@ object Relational {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** RANGE window frame — the VALUE-based rolling aggregate (q11 covers
+    * ROWS frames): per customer, total spend over orders dated within
+    * the trailing 7 days. The frame bound is epoch-day based, so
+    * same-day peer rows aggregate identically regardless of row order —
+    * deterministic under any shuffle. One shuffle on the partition key,
+    * a local sort, bounded frame state per partition.
+    */
+  def q26RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"d").rangeBetween(-6, 0)
+    Tables
+      .orders(spark, dir)
+      .withColumn("d", datediff($"o_orderdate", lit("1970-01-01").cast("date")).cast("long"))
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double").as("spend_7d")
+      )
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   /** Scalar function library row: string/date/math functions chosen for
     * bit-identical cross-engine results (sqrt is IEEE-correctly-rounded;
     * no libm-dependent trig/log).
