@@ -365,10 +365,26 @@ object Relational {
     *      are bit-identical to the exact aggregate this replaces
     *      (pinned by PercentileParitySpec).
     */
-  private[graft] def rankPercentiles(df: DataFrame, ps: Seq[(String, Double)]): DataFrame = {
+  private[graft] def rankPercentiles(
+      df: DataFrame,
+      ps: Seq[(String, Double)],
+      withMinMax: Boolean = false
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hist = df.groupBy($"g", $"v").agg(count(lit(1)).as("c")).withColumn("b", floor($"v"))
+    // every downstream branch (cumulative rank, bucket offsets, group
+    // stats) consumes THIS aggregation; persisting it runs the table
+    // scan and the (g, v) shuffle ONCE instead of once per branch
+    // (column pruning specializes each branch's aggregate schema, so
+    // exchange reuse can't dedupe them unpersisted). The histogram is
+    // distinct VALUES only — bounded by the value grid, tiny relative
+    // to the table — and the CacheManager dedupes re-invocations by
+    // canonical plan, so repeated calls share one entry.
+    val hist = df
+      .groupBy($"g", $"v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("b", floor($"v"))
+      .persist()
     val wInBucket = Window
       .partitionBy($"g", $"b")
       .orderBy($"v")
@@ -391,7 +407,15 @@ object Relational {
       val pos = ($"n" - 1) * lit(p)
       Seq(pos.as(s"pos_$nm"), floor(pos).as(s"lo_$nm"), ceil(pos).as(s"hi_$nm"))
     }
-    val targets = df.groupBy($"g").agg(count(lit(1)).as("n")).select(($"g" +: posCols): _*)
+    // n = Σc over the histogram — identical to count(raw), no re-scan;
+    // min/max ride along when requested (they're histogram properties)
+    val statCols = Seq(sum($"c").as("n")) ++
+      (if (withMinMax) Seq(min($"v").as("mn"), max($"v").as("mx")) else Nil)
+    val carry = if (withMinMax) Seq("mn", "mx") else Nil
+    val targets = hist
+      .groupBy($"g")
+      .agg(statCols.head, statCols.tail: _*)
+      .select(($"g" +: (posCols ++ carry.map(col))): _*)
     // exactly one histogram row satisfies cum − c ≤ i < cum per index i
     val pick = ps.flatMap { case (nm, _) =>
       Seq(
@@ -399,14 +423,14 @@ object Relational {
         max(when($"cum" - $"c" <= col(s"hi_$nm") && col(s"hi_$nm") < $"cum", $"v")).as(s"vhi_$nm"),
         max(col(s"pos_$nm")).as(s"p_$nm")
       )
-    }
+    } ++ carry.map(n => max(col(n)).as(n))
     val picked = cum.join(broadcast(targets), "g").groupBy($"g").agg(pick.head, pick.tail: _*)
     val outCols = ps.map { case (nm, _) =>
       val pos = col(s"p_$nm")
       when(ceil(pos) === floor(pos), col(s"vlo_$nm"))
         .otherwise((ceil(pos) - pos) * col(s"vlo_$nm") + (pos - floor(pos)) * col(s"vhi_$nm"))
         .as(nm)
-    }
+    } ++ carry.map(col)
     picked.select(($"g" +: outCols): _*)
   }
 
@@ -457,10 +481,9 @@ object Relational {
     val vals = Tables
       .lineitem(spark, dir)
       .select($"l_returnflag".as("g"), $"l_extendedprice".as("v"))
-    val pct = rankPercentiles(vals, Seq("median_price" -> 0.5, "p90_price" -> 0.9))
-    val minmax = vals.groupBy($"g").agg(min($"v").as("mn"), max($"v").as("mx"))
+    val pct =
+      rankPercentiles(vals, Seq("median_price" -> 0.5, "p90_price" -> 0.9), withMinMax = true)
     pct
-      .join(minmax, "g")
       .select(
         $"g".as("l_returnflag"),
         round($"median_price", 4).as("median_price"),
