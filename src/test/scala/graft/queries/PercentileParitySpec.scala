@@ -42,6 +42,41 @@ class PercentileParitySpec extends AnyFunSuite {
     }
   }
 
+  test("rankPercentiles == exact percentile on random duplicate-heavy multisets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      // duplicate-heavy grids (2dp values) across groups of uneven size,
+      // including a 1-row group — the edge shapes for index straddling
+      val rows = (1 to 400 + trial * 100).map { _ =>
+        val g = s"g${rnd.nextInt(4)}"
+        (g, math.floor(rnd.nextDouble() * 10000) / 100.0)
+      } :+ ("solo", 42.42)
+      val vals = rows.toDF("g", "v")
+      val pcts = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
+      val got = Relational
+        .rankPercentiles(vals, pcts)
+        .orderBy($"g")
+        .collect()
+      val want = vals
+        .groupBy($"g")
+        .agg(
+          expr("percentile(v, 0.1)").as("p10"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.99)").as("p99")
+        )
+        .orderBy($"g")
+        .collect()
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (a, b) =>
+        assert(a.getString(0) == b.getString(0))
+        (1 to 3).foreach { i =>
+          assert(a.getDouble(i) == b.getDouble(i), s"trial $trial col $i group ${a.getString(0)}")
+        }
+      }
+    }
+  }
+
   test("global (constant-group) rankPercentiles == exact percentile, bit for bit") {
     import spark.implicits._
     val vals = Tables
