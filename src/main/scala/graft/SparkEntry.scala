@@ -77,6 +77,7 @@ object SparkEntry {
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccard(s, d, maxShingleDf = Some(Dedup.NgramDfCap))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "stream_curate" -> PipelineOracles.streamCurate,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
+    "dedup_containment" -> PipelineOracles.dedupContainment,
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     // the extreme-scale stop-shingle-capped path, verified uncapped
     "dedup_ngram_capped" -> PipelineOracles.dedupNgramCapped(Dedup.NgramDfCap),

@@ -321,6 +321,34 @@ object Dedup {
     (edges.groupBy($"u").agg(min($"v").as("lbl")), rounds)
   }
 
+  val ContainmentThreshold = 0.8
+
+  /** Asymmetric CONTAINMENT near-dup: c(A→B) = |A∩B| / |A| — flags a
+    * short document wholly (or mostly) quoted inside a longer one, the
+    * case symmetric Jaccard structurally misses (the union term dilutes
+    * any pair with very different sizes: a 20-shingle doc fully inside
+    * a 400-shingle doc scores J ≈ 0.05 but containment 1.0 — the
+    * boilerplate/quotation duplication a curation pipeline wants).
+    * Reported value is the max of the two directions.
+    *
+    * Scale: identical inverted-index single-pass shape (and Σ df² cost
+    * envelope) as ngramJaccard — the same stop-shingle cap applies
+    * unchanged at extreme scale.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleRows(spark, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val r6 = graft.text.TextAnalysis.round6 _
+    pairCommonCounts(sh)
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .withColumn("containment", r6(greatest($"inter" / $"na", $"inter" / $"nb")))
+      .filter($"containment" >= ContainmentThreshold)
+      .select($"id_a", $"id_b", $"containment")
+      .orderBy($"id_a", $"id_b")
+  }
+
   val NewBatchMod = 5 // incremental split: doc_id % NewBatchMod == 0 is the new batch
 
   /** Incremental ingest dedup — the production shape: dedup a NEW BATCH

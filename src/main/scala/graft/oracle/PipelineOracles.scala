@@ -109,6 +109,19 @@ object PipelineOracles {
     s"""WITH $shingleSets
        |${jaccardSelect("common", Dedup.NgramThreshold)}""".stripMargin
 
+  /** Replays asymmetric containment: same inverted-index intersection
+    * counts, max-direction ratio, portable 6dp rounding.
+    */
+  val dedupContainment: String =
+    s"""WITH $shingleSets
+       |SELECT common.id_a, common.id_b,
+       |  ${round6Sql("greatest(c / sa.n, c / sb.n)")} AS containment
+       |FROM common
+       |JOIN sizes sa ON sa.doc_id = common.id_a
+       |JOIN sizes sb ON sb.doc_id = common.id_b
+       |WHERE ${round6Sql("greatest(c / sa.n, c / sb.n)")} >= ${Dedup.ContainmentThreshold}
+       |ORDER BY 1, 2""".stripMargin
+
   /** Replays the stop-shingle-capped variant: intersection counts over
     * the pruned index (shingles with document frequency above the cap
     * dropped before the self-join), sizes over the full sets —
