@@ -154,6 +154,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q25 grouping sets plan one Expand over one scan (no per-set re-scan)") {
+    val df = Relational.q25GroupingSets(spark, dir)
+    val plan = planString(df)
+    assert(plan.contains("Expand"), plan)
+    assert(scans(df).size === 1, plan)
+  }
+
+  test("events_funnel is a pure aggregate/join chain — no windows over raw events") {
+    val plan = graft.queries.Events.funnel(spark, dir).queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, plan.toString)
+  }
+
+  test("dedup_incremental pairs batch bands against corpus bands only (no cartesian)") {
+    val plan = graft.dedup.Dedup.incremental(spark, dir).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(j.condition.nonEmpty || j.joinType.toString.contains("Semi"), j.toString))
+    // the NewBatchMod split must survive optimization on both candidate sides
+    assert(s"% ${graft.dedup.Dedup.NewBatchMod}".r.findAllIn(plan.toString).size >= 2, plan.toString)
+  }
+
   test("text_decontaminate broadcasts the eval shingle set (corpus never shuffles on shingles)") {
     val df = graft.text.TextAnalysis.decontaminate(spark, dir)
     val plan = planString(df)
