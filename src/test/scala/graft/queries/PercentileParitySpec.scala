@@ -48,9 +48,11 @@ class PercentileParitySpec extends AnyFunSuite {
     for (trial <- 1 to 3) {
       // duplicate-heavy grids (2dp values) across groups of uneven size,
       // including a 1-row group — the edge shapes for index straddling
+      // spans negative values too: unit buckets floor toward -∞, so the
+      // bucketed cumulative rank must handle b = -1 vs 0 boundaries
       val rows = (1 to 400 + trial * 100).map { _ =>
         val g = s"g${rnd.nextInt(4)}"
-        (g, math.floor(rnd.nextDouble() * 10000) / 100.0)
+        (g, math.floor(rnd.nextDouble() * 10000 - 5000) / 100.0)
       } :+ ("solo", 42.42)
       val vals = rows.toDF("g", "v")
       val pcts = Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99)
