@@ -360,7 +360,8 @@ object PipelineOracles {
     val rounds = Similarity.IvfLloydRounds
     s"""WITH $embNorms,
        |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-       |  FROM norms WHERE vec_id % ${Similarity.IvfStride} = 0),
+       |  FROM norms WHERE vec_id % ${Similarity.IvfStride} = 0
+       |    AND vec_id < ${Similarity.IvfStride.toLong * Similarity.IvfMaxCells}),
        |${(1 to rounds).map(lloydCtes).mkString(",\n")},
        |cents AS (SELECT cid, ce, cn FROM c$rounds),
        |scored_cells AS (SELECT n.vec_id, cents.cid,

@@ -27,6 +27,7 @@ object Similarity {
   val TopK = 5
   val NumQueries = 10 // query set = vec_id < 10
   val IvfStride = 50 // initial centroids = every 50th vector (Lloyd init)
+  val IvfMaxCells = 256 // centroid-count cap: broadcast stays bounded at any corpus size
   val IvfProbes = 2 // query probes its 2 nearest cells
   val IvfLloydRounds = 2 // deterministic k-means refinement rounds
   val IvfMeanScale = 1048576.0 // 2^20 — exact double multiply, see lloydCentroids
@@ -116,8 +117,13 @@ object Similarity {
   private[graft] def lloydCentroids(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // stride sample capped at IvfMaxCells: real IVF trains a FIXED k on
+    // a corpus sample, so the centroid broadcast must not grow with the
+    // corpus — corpus/stride would. The cap is inactive below
+    // IvfStride·IvfMaxCells vectors (deterministic either way, so the
+    // oracle replays the same rule).
     var cents = emb
-      .filter($"vec_id" % IvfStride === 0)
+      .filter($"vec_id" % IvfStride === 0 && $"vec_id" < IvfStride.toLong * IvfMaxCells)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
     for (_ <- 1 to IvfLloydRounds) {
       val assigned = emb
