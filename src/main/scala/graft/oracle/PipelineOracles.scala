@@ -501,7 +501,9 @@ object PipelineOracles {
     */
   val textDecontaminate: String =
     s"""WITH $shingleSets,
-       |evx AS (SELECT DISTINCT sh FROM shx WHERE doc_id % ${TextAnalysis.EvalMod} = 0),
+       |evx AS (SELECT DISTINCT sh FROM shx
+       |  WHERE doc_id % ${TextAnalysis.EvalMod} = 0
+       |    AND doc_id < ${TextAnalysis.EvalMod * TextAnalysis.EvalMaxDocs}),
        |tsh AS (SELECT doc_id, sh FROM shx WHERE doc_id % ${TextAnalysis.EvalMod} <> 0),
        |cont AS (SELECT tsh.doc_id, count(*) AS n_contaminated FROM tsh JOIN evx USING (sh) GROUP BY 1),
        |tsz AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),

@@ -424,7 +424,9 @@ object Relational {
         max(col(s"pos_$nm")).as(s"p_$nm")
       )
     } ++ carry.map(n => max(col(n)).as(n))
-    val picked = cum.join(broadcast(targets), "g").groupBy($"g").agg(pick.head, pick.tail: _*)
+    // one row per group: AQE broadcasts it when small; no explicit hint
+    // so a high-cardinality group column can't OOM the driver
+    val picked = cum.join(targets, "g").groupBy($"g").agg(pick.head, pick.tail: _*)
     val outCols = ps.map { case (nm, _) =>
       val pos = col(s"p_$nm")
       when(ceil(pos) === floor(pos), col(s"vlo_$nm"))

@@ -252,7 +252,8 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
-  val EvalMod = 97 // held-out eval split: doc_id % EvalMod == 0
+  val EvalMod = 97 // held-out eval split: doc_id % EvalMod == 0 …
+  val EvalMaxDocs = 10000L // … capped: a benchmark set is fixed-size, not corpus-proportional
   val ContamThreshold = 0.1 // training doc is dirty above this overlap
 
   /** Benchmark decontamination (the Lee/Brown-style eval-overlap check
@@ -276,7 +277,14 @@ object TextAnalysis {
     val sh = Tables
       .documentsFanned(spark, dir)
       .select($"doc_id", explode(graft.functions.TextExpressions.wordShingles(lower($"text"))).as("sh"))
-    val evalShingles = sh.filter($"doc_id" % EvalMod === 0).select($"sh").distinct()
+    // the modulo split stands in for an explicit benchmark table; the
+    // doc-id cap keeps the eval side FIXED-SIZE (and its shingle set
+    // broadcastable) at any corpus size — inactive below
+    // EvalMod·EvalMaxDocs documents, so test-scale results don't change
+    val evalShingles = sh
+      .filter($"doc_id" % EvalMod === 0 && $"doc_id" < EvalMod * EvalMaxDocs)
+      .select($"sh")
+      .distinct()
     val trainSh = sh.filter($"doc_id" % EvalMod =!= 0)
     val contaminated = trainSh
       .join(broadcast(evalShingles), "sh")
