@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * `round(_, 4)`, which absorbs summation-order ULP noise while groups
   * stay well under ~10⁴ rows.
   *
-  * Scale notes are per-query; the common rules: broadcast only genuinely
-  * small dims (region/nation/customer at any SF; never lineitem/orders),
-  * let AQE pick shuffle-join vs broadcast at runtime, and keep every
-  * filter/projection in the parquet scan via pushdown.
+  * Scale notes are per-query; the common rules: broadcast HINTS only on
+  * fixed-cardinality dims (region/nation — bounded at any SF);
+  * SF-scaled tables (customer, never mind lineitem/orders) stay
+  * hint-free so AQE broadcasts them while they fit and shuffle-joins
+  * beyond; keep every filter/projection in the parquet scan via
+  * pushdown.
   */
 object Relational {
 
@@ -71,23 +73,30 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber")
   }
 
-  /** Broadcast-hash join: customer is the small build side (150k rows at
-    * sf=100 ≈ a few MB/1000th of lineitem) — no shuffle of orders at all.
+  /** Dimension join with an ADAPTIVE build side: customer scales with
+    * SF (1/10th of orders' rows — broadcastable for a long way, but at
+    * the 100 TB point it is billions of rows), so no broadcast hint is
+    * forced: AQE broadcasts it while it fits (the test-scale plan,
+    * PlanSpec-pinned) and falls back to a shuffle join when it doesn't,
+    * instead of OOMing on a hint. Fixed-cardinality dims
+    * (region/nation) keep explicit hints; SF-scaled ones must not.
     */
   def q3SegmentRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables
       .orders(spark, dir)
-      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy($"c_mktsegment")
   }
 
   /** TPC-H Q5 flavor: the two big tables (lineitem ⋈ orders) shuffle on
-    * orderkey (sort-merge/shuffled-hash under AQE); customer joins on the
-    * already-shuffled side; nation/region broadcast. Region filter is
-    * applied before the broadcast so the build side is 1/5 the size.
+    * orderkey (sort-merge/shuffled-hash under AQE); customer joins
+    * adaptively (AQE broadcasts while it fits — it scales with SF, so
+    * no forced hint); nation/region broadcast by hint (fixed 25/5
+    * rows at ANY scale). Region filter is applied before the broadcast
+    * so the build side is 1/5 the size.
     */
   def q4RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -98,7 +107,7 @@ object Relational {
     Tables
       .lineitem(spark, dir)
       .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(20,4)")).cast("double").as("revenue"))

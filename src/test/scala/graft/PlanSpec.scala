@@ -61,20 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("+- Sort ["), plan)
   }
 
-  test("q4 multi-join: fact tables shuffle-join at scale, hinted dims still broadcast") {
+  test("q4 multi-join: SF-scaled tables shuffle-join at scale, fixed dims still broadcast") {
     // at sf0.001 every table fits the auto-broadcast threshold; disabling
-    // it simulates fact tables out-growing it at real scale — the
-    // explicit broadcast() hints on the dims must survive
+    // it simulates SF-scaled tables out-growing it at real scale — the
+    // explicit broadcast() hint on the fixed-cardinality nation dim must
+    // survive while customer (SF-scaled, deliberately hint-free) falls
+    // back to a shuffle join instead of OOMing on a forced broadcast
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val plan = planString(Relational.q4RegionRevenue(spark, dir))
       val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
-      assert(broadcasts >= 2, s"expected >=2 hinted broadcast joins, plan:\n$plan")
-      assert(
-        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"expected a shuffle join for lineitem⋈orders, plan:\n$plan"
-      )
+      assert(broadcasts >= 1, s"expected the hinted nation broadcast to survive, plan:\n$plan")
+      val shuffleJoins =
+        "SortMergeJoin".r.findAllIn(plan).size + "ShuffledHashJoin".r.findAllIn(plan).size
+      assert(shuffleJoins >= 2, s"expected shuffle joins for lineitem⋈orders and ⋈customer, plan:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
