@@ -105,6 +105,7 @@ object SparkEntry {
     "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
+    "pipeline_pretrain" -> ((s, d) => graft.text.Curation.pretrain(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     // Multimodal binary-column plumbing
@@ -190,6 +191,7 @@ object SparkEntry {
     "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
+    "pipeline_pretrain" -> PipelineOracles.pipelinePretrain,
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,
     // text_stratified_sample: engine-specific RNG, rows-only check;
     // SamplingSpec pins determinism + stratum fractions.

@@ -678,6 +678,56 @@ object PipelineOracles {
        |$curateStages
        |${curateSelect()}""".stripMargin
 
+  /** Replays the full pretraining flow: fuzzy curation (minhash LSH →
+    * connected components → keepers → language ∧ quality ∧ split),
+    * decontamination's is_clean gate, train-split selection, then
+    * packing over the survivors — every fragment shared verbatim with
+    * the per-operator oracles.
+    */
+  val pipelinePretrain: String = {
+    import graft.text.{Curation, Sampling}
+    val splitBucket =
+      """CAST('0x' || substr(md5('split#' || CAST(lang.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"""
+    s"""WITH RECURSIVE $minhashCtes,
+       |$componentCtes,
+       |keepers AS (SELECT doc_id FROM cc WHERE doc_id = cluster_id),
+       |$curateStages,
+       |kept AS (SELECT lang.doc_id, pred_lang, quality_score,
+       |    CASE WHEN $splitBucket < 80 THEN 'train'
+       |         WHEN $splitBucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM lang
+       |  JOIN qual ON qual.doc_id = lang.doc_id
+       |  JOIN keepers ON keepers.doc_id = lang.doc_id
+       |  WHERE pred_lang = 'en' AND quality_score >= ${Curation.QualityMin}),
+       |evx AS (SELECT DISTINCT sh FROM shx
+       |  WHERE doc_id % ${TextAnalysis.EvalMod} = 0
+       |    AND doc_id < ${TextAnalysis.EvalMod * TextAnalysis.EvalMaxDocs}),
+       |tsh AS (SELECT doc_id, sh FROM shx WHERE doc_id % ${TextAnalysis.EvalMod} <> 0),
+       |cont AS (SELECT tsh.doc_id, count(*) AS n_contaminated FROM tsh JOIN evx USING (sh) GROUP BY 1),
+       |tsz AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
+       |clean AS (SELECT d.doc_id FROM documents d
+       |  LEFT JOIN tsz ON tsz.doc_id = d.doc_id
+       |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  WHERE d.doc_id % ${TextAnalysis.EvalMod} <> 0
+       |    AND (CASE WHEN coalesce(tsz.n_shingles, 0) > 0
+       |         THEN ${round6Sql("coalesce(cont.n_contaminated, 0) / tsz.n_shingles")}
+       |         ELSE 0.0 END) <= ${TextAnalysis.ContamThreshold}),
+       |surv AS (SELECT kept.doc_id, pred_lang, quality_score FROM kept
+       |  JOIN clean ON clean.doc_id = kept.doc_id WHERE split = 'train'),
+       |tokc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks),
+       |st AS (SELECT surv.doc_id, pred_lang, quality_score, n_tokens,
+       |    surv.doc_id % ${Sampling.PackShards} AS shard
+       |  FROM surv JOIN tokc ON tokc.doc_id = surv.doc_id),
+       |pk AS (SELECT doc_id, pred_lang, quality_score, n_tokens, shard,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM st)
+       |SELECT doc_id, pred_lang, quality_score, n_tokens, shard,
+       |  (cum - n_tokens) // ${Sampling.PackBlockTokens} AS start_block,
+       |  (cum - 1) // ${Sampling.PackBlockTokens} AS end_block
+       |FROM pk ORDER BY doc_id""".stripMargin
+  }
+
   /** Replays the shard-parallel concat-and-chunk packing: same running
     * token offset per shard, same integer block arithmetic.
     */

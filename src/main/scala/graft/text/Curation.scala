@@ -36,6 +36,45 @@ object Curation {
     )
   }
 
+  /** The COMPLETE pretraining data flow, end to end: near-dup-aware
+    * curation (language ∧ quality ∧ cluster keeper), benchmark
+    * decontamination, train-split selection, then concat-and-chunk
+    * sequence packing over exactly the documents that survived — the
+    * order a production pipeline runs (packing before filtering would
+    * leave holes in the block stream). One row per surviving train
+    * document with its curation features and block assignment.
+    *
+    * Every stage is one of the individually oracle-checked operators
+    * joined on doc_id, so the composition inherits their scale shapes
+    * unchanged — and the whole thing stays hash-checkable against one
+    * composed DuckDB oracle.
+    */
+  def pretrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clean = TextAnalysis
+      .decontaminate(spark, dir)
+      .filter($"is_clean" === 1L)
+      .select($"doc_id")
+    val survivors = curateFuzzy(spark, dir)
+      .join(clean, "doc_id") // also drops the held-out eval docs themselves
+      .filter($"split" === "train")
+    val tokenCounts = graft.Tables
+      .documents(spark, dir)
+      .select($"doc_id", size(graft.functions.Portable.tokens($"text")).cast("long").as("n_tokens"))
+    Sampling
+      .packOver(survivors.join(tokenCounts, "doc_id"))
+      .select(
+        $"doc_id",
+        $"pred_lang",
+        $"quality_score",
+        $"n_tokens",
+        $"shard",
+        $"start_block",
+        $"end_block"
+      )
+      .orderBy($"doc_id")
+  }
+
   private def curateWith(spark: SparkSession, dir: String, keepers: DataFrame): DataFrame = {
     import spark.implicits._
     val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")

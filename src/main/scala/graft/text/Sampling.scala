@@ -47,26 +47,32 @@ object Sampling {
     */
   def packBlocks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    packOver(
+      Tables
+        .documents(spark, dir)
+        .select(
+          $"doc_id",
+          size(graft.functions.Portable.tokens($"text")).cast("long").as("n_tokens")
+        )
+    ).select($"doc_id", $"shard", $"n_tokens", $"start_block", $"end_block").orderBy($"doc_id")
+  }
+
+  /** Packs any (doc_id, n_tokens[, …]) set — the composed pipelines pack
+    * the SURVIVING documents after filtering, not the raw corpus. Extra
+    * input columns pass through.
+    */
+  private[graft] def packOver(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"shard")
       .orderBy($"doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables
-      .documents(spark, dir)
-      .select(
-        $"doc_id",
-        ($"doc_id" % PackShards).as("shard"),
-        size(graft.functions.Portable.tokens($"text")).cast("long").as("n_tokens")
-      )
+    docs
+      .withColumn("shard", $"doc_id" % PackShards)
       .withColumn("cum", sum($"n_tokens").over(w))
-      .select(
-        $"doc_id",
-        $"shard",
-        $"n_tokens",
-        expr(s"(cum - n_tokens) div $PackBlockTokens").as("start_block"),
-        expr(s"(cum - 1) div $PackBlockTokens").as("end_block")
-      )
-      .orderBy($"doc_id")
+      .withColumn("start_block", expr(s"(cum - n_tokens) div $PackBlockTokens"))
+      .withColumn("end_block", expr(s"(cum - 1) div $PackBlockTokens"))
+      .drop("cum")
   }
 
   // demo mixture: permille acceptance rates per source (keys replayed
