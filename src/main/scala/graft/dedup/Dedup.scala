@@ -154,9 +154,16 @@ object Dedup {
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted: this IS the signature index a production pipeline
+    // stores (one 32-long row per document — tiny next to the corpus,
+    // shared by self-dedup, clustering, incremental ingest, and the
+    // curation pipelines). The CacheManager dedupes by canonical plan,
+    // so every consumer in a session reads one materialization instead
+    // of re-deriving shingles → signatures per query.
     shingleRows(spark, dir)
       .groupBy($"doc_id")
       .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+      .persist()
   }
 
   /** MinHash + LSH dedup: b=16 bands of r=2 minhashes — a candidate is
