@@ -53,13 +53,6 @@ object Tables {
     if (parts < cores) df.repartition(cores) else df
   }
 
-  /** lineitem with the same conditional fan-out as documents/embeddings
-    * (for per-group-heavy aggregations like exact percentiles).
-    */
-  def lineitemFanned(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/lineitem.parquet"
-    fanOut(spark.read.parquet(path), path)
-  }
 
   /** Plain scans: cheap map-only queries (grep, exact dedup, metadata
     * extraction, scan-side text scoring) keep their natural input splits —
