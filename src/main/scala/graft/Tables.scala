@@ -94,10 +94,18 @@ object GraftSession {
     * cross-JVM race on a shared ./spark-warehouse (concurrent test +
     * verify runs sweeping each other's files). Deleted on JVM exit.
     */
+  /** Shared by the exit-time cleanup hooks (warehouse, streaming
+    * sentinel dirs) so deletion semantics can't drift between them.
+    */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete()
+    ()
+  }
+
   private lazy val warehouseDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-warehouse-")
-    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p.toFile)))
     p.toString
   }
 

@@ -388,7 +388,10 @@ object Relational {
     // exchange reuse can't dedupe them unpersisted). The histogram is
     // distinct VALUES only — bounded by the value grid, tiny relative
     // to the table — and the CacheManager dedupes re-invocations by
-    // canonical plan, so repeated calls share one entry.
+    // canonical plan, so repeated calls share one entry. The entry is
+    // session-lived: the engine invokes this over a FIXED set of inputs
+    // (q19/q20); a caller looping over many ad-hoc inputs should
+    // clearCache()/unpersist between rounds.
     val hist = df
       .groupBy($"g", $"v")
       .agg(count(lit(1)).as("c"))

@@ -207,10 +207,9 @@ object StreamingQueries {
   // accumulate one temp dir per (dir, gap) forever
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[String]]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() => {
-    def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); () }
-    sentinelCache.values.forEach(_.foreach(p => rm(new java.io.File(p))))
-  }))
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    sentinelCache.values.forEach(_.foreach(p => graft.GraftSession.deleteRecursively(new java.io.File(p))))
+  ))
 
   def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._

@@ -285,18 +285,19 @@ object TextAnalysis {
       .filter($"doc_id" % EvalMod === 0 && $"doc_id" < EvalMod * EvalMaxDocs)
       .select($"sh")
       .distinct()
+    // single pass over the training shingles: the broadcast LEFT join
+    // marks eval hits in-line, so size and contamination counts come
+    // from ONE scan + explode instead of two
     val trainSh = sh.filter($"doc_id" % EvalMod =!= 0)
-    val contaminated = trainSh
-      .join(broadcast(evalShingles), "sh")
+    val perDoc = trainSh
+      .join(broadcast(evalShingles.withColumn("hit", lit(1))), Seq("sh"), "left")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_contaminated"))
-    val sizes = trainSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_contaminated"))
     Tables
       .documents(spark, dir)
       .select($"doc_id")
       .filter($"doc_id" % EvalMod =!= 0)
-      .join(sizes, Seq("doc_id"), "left")
-      .join(contaminated, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select(
         $"doc_id",
         coalesce($"n_shingles", lit(0L)).as("n_shingles"),

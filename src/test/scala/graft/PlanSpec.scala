@@ -131,11 +131,19 @@ class PlanSpec extends AnyFunSuite {
       .optimizedPlan
       .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
     assert(windows.nonEmpty)
-    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
-      val aggregated = w.child.collectFirst {
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    // sound check: every scan feeding an unpartitioned window must sit
+    // BELOW an Aggregate on its path to the window — an aggregate merely
+    // somewhere in the subtree (e.g. a broadcast 1-row side) must not
+    // excuse raw rows flowing into the single partition
+    def scansAboveAggregates(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => 0
+        case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode =>
+          if (l.toString.contains("Relation")) 1 else 0
+        case other => other.children.map(scansAboveAggregates).sum
       }
-      assert(aggregated.nonEmpty, s"unpartitioned window over raw rows:\n$w")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(scansAboveAggregates(w.child) === 0, s"unpartitioned window over raw rows:\n$w")
     }
   }
 

@@ -76,6 +76,9 @@ class PercentileParitySpec extends AnyFunSuite {
           assert(a.getDouble(i) == b.getDouble(i), s"trial $trial col $i group ${a.getString(0)}")
         }
       }
+      // each trial persists a fresh histogram (per-input cache entry);
+      // drop them so the loop doesn't accumulate cached blocks
+      spark.catalog.clearCache()
     }
   }
 
