@@ -108,6 +108,7 @@ object SparkEntry {
     "pipeline_pretrain" -> ((s, d) => graft.text.Curation.pretrain(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "text_stratified_topk" -> ((s, d) => Sampling.stratifiedTopK(s, d)),
     // Multimodal binary-column plumbing
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_extract" -> ((s, d) => Multimodal.extract(s, d)),
@@ -193,6 +194,7 @@ object SparkEntry {
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
     "pipeline_pretrain" -> PipelineOracles.pipelinePretrain,
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,
+    "text_stratified_topk" -> PipelineOracles.textStratifiedTopK,
     // text_stratified_sample: engine-specific RNG, rows-only check;
     // SamplingSpec pins determinism + stratum fractions.
     "mm_meta" -> PipelineOracles.mmMeta,

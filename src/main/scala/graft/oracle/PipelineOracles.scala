@@ -552,6 +552,22 @@ object PipelineOracles {
        |SELECT * FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
        |ORDER BY arity, freq DESC, ngram""".stripMargin
 
+  /** Replays the stratified top-k selection: same md5 order key, same
+    * (h, doc_id) tie order, same per-stratum k.
+    */
+  val textStratifiedTopK: String = {
+    import graft.text.Sampling
+    s"""WITH k AS (SELECT source, lang, doc_id,
+       |    CAST('0x' || substr(md5('strat#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (SELECT source, lang, doc_id,
+       |    row_number() OVER (PARTITION BY source, lang ORDER BY h, doc_id) AS rank
+       |  FROM k)
+       |SELECT source, lang, CAST(rank AS BIGINT) AS rank, doc_id
+       |FROM r WHERE rank <= ${Sampling.StratTopK}
+       |ORDER BY source, lang, rank""".stripMargin
+  }
+
   /** Replays the domain-mixture acceptance: same md5 permille bucket,
     * same per-source rates read from Sampling.MixPermille (sorted for a
     * stable CASE).

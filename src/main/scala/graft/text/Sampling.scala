@@ -88,6 +88,42 @@ object Sampling {
     * map-side. Output is the per-source summary; the kept rows themselves
     * are `bucket < rate` on the same expression.
     */
+  val StratTopK = 5 // docs kept per (source, lang) stratum
+
+  /** Deterministic stratified top-k selection — fixed-size balanced
+    * eval-set construction: per (source, lang) stratum, the StratTopK
+    * documents with the smallest md5-derived order key. Unlike the
+    * RNG-based stratifiedSample (rows-only checkable by design), the
+    * hash order makes the selection a pure function of the data —
+    * stable across runs and engines, so the oracle replays it exactly.
+    *
+    * Scale: per-stratum k-min selection is an AGGREGATION (KMinByHash,
+    * the keyed sibling of q23's KMinValues) — each partition ships at
+    * most k rows per stratum, where a per-stratum window would funnel
+    * whole strata through single tasks (PlanSpec pins no Window).
+    */
+  def stratifiedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables
+      .documents(spark, dir)
+      .select(
+        $"source",
+        $"lang",
+        conv(substring(md5(concat(lit("strat#"), $"doc_id")), 1, 8), 16, 10).cast("long").as("h"),
+        $"doc_id"
+      )
+      .as[(String, String, Long, Long)]
+    keyed
+      .groupByKey { case (source, lang, _, _) => (source, lang) }
+      .mapValues { case (_, _, h, id) => HashRanked(h, id) }
+      .agg(new KMinByHash(StratTopK).toColumn)
+      .flatMap { case ((source, lang), top) =>
+        top.zipWithIndex.map { case (r, i) => (source, lang, (i + 1).toLong, r.doc_id) }
+      }
+      .toDF("source", "lang", "rank", "doc_id")
+      .orderBy($"source", $"lang", $"rank")
+  }
+
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val bucket = conv(substring(md5(concat(lit("mix#"), $"doc_id")), 1, 8), 16, 10)

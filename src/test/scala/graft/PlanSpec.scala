@@ -185,6 +185,14 @@ class PlanSpec extends AnyFunSuite {
     assert(s"% ${graft.dedup.Dedup.NewBatchMod}".r.findAllIn(plan.toString).size >= 2, plan.toString)
   }
 
+  test("text_stratified_topk selects per-stratum k-mins via bounded aggregation — no Window funnel") {
+    val df = graft.text.Sampling.stratifiedTopK(spark, dir)
+    val windows = df.queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, df.queryExecution.optimizedPlan.toString)
+    assert(planString(df).contains("ObjectHashAggregate"), planString(df))
+  }
+
   test("text_decontaminate broadcasts the eval shingle set (corpus never shuffles on shingles)") {
     val df = graft.text.TextAnalysis.decontaminate(spark, dir)
     val plan = planString(df)
