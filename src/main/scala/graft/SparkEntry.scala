@@ -59,6 +59,7 @@ object SparkEntry {
     "q24_set_ops" -> ((s, d) => Relational.q24SetOps(s, d)),
     "q25_grouping_sets" -> ((s, d) => Relational.q25GroupingSets(s, d)),
     "q26_range_frame" -> ((s, d) => Relational.q26RangeFrame(s, d)),
+    "q27_window_suite" -> ((s, d) => Relational.q27WindowSuite(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_hopping" -> ((s, d) => Events.hopping(s, d)),
@@ -67,6 +68,8 @@ object SparkEntry {
     "events_range_join" -> ((s, d) => Events.rangeJoinPairs(s, d)),
     "events_resample" -> ((s, d) => Events.resample(s, d)),
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
+    "events_retention" -> ((s, d) => Events.retention(s, d)),
+    "events_json_props" -> ((s, d) => Events.jsonProps(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -97,6 +100,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    "text_seg_dedup" -> ((s, d) => TextAnalysis.segDedup(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
@@ -146,6 +150,7 @@ object SparkEntry {
     "q24_set_ops" -> Oracles.q24SetOps,
     "q25_grouping_sets" -> Oracles.q25GroupingSets,
     "q26_range_frame" -> Oracles.q26RangeFrame,
+    "q27_window_suite" -> Oracles.q27WindowSuite,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).
@@ -156,6 +161,8 @@ object SparkEntry {
     "events_range_join" -> Oracles.eventsRangeJoin,
     "events_resample" -> Oracles.eventsResample,
     "events_funnel" -> Oracles.eventsFunnel,
+    "events_retention" -> Oracles.eventsRetention,
+    "events_json_props" -> Oracles.eventsJsonProps,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window
@@ -184,6 +191,7 @@ object SparkEntry {
     "text_fingerprint" -> PipelineOracles.textFingerprint,
     "text_repetition" -> PipelineOracles.textRepetition,
     "text_dup_spans" -> PipelineOracles.textDupSpans,
+    "text_seg_dedup" -> PipelineOracles.textSegDedup(TextAnalysis.SegWords, TextAnalysis.SegMaxDf),
     "text_decontaminate" -> PipelineOracles.textDecontaminate,
     "text_tfidf" -> PipelineOracles.textTfidf,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,

@@ -306,4 +306,52 @@ object Oracles {
       |)
       |SELECT user_id, min(ts) AS session_start, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** Ranking suite: rank-family ties resolve identically on equal spend;
+    * ntile's window has a custkey tiebreak for a total order. Fractions
+    * use the floor-based half-up 6dp guard (see round6 rationale).
+    */
+  val q27WindowSuite: String =
+    """WITH spend AS (
+      |  SELECT o_custkey AS custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY 1),
+      |j AS (SELECT c_mktsegment, custkey, spend
+      |  FROM spend JOIN customer ON custkey = c_custkey)
+      |SELECT c_mktsegment, custkey, spend,
+      |  CAST(rank() OVER ws AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER ws AS BIGINT) AS drnk,
+      |  floor((percent_rank() OVER ws) * 1e6 + 0.5) / 1e6 AS prnk,
+      |  floor((cume_dist() OVER ws) * 1e6 + 0.5) / 1e6 AS cdist,
+      |  CAST(ntile(4) OVER wt AS BIGINT) AS quartile
+      |FROM j
+      |WINDOW ws AS (PARTITION BY c_mktsegment ORDER BY spend DESC),
+      |       wt AS (PARTITION BY c_mktsegment ORDER BY spend DESC, custkey)
+      |ORDER BY c_mktsegment, custkey""".stripMargin
+
+  /** Weekly cohort retention over epoch-aligned integer-µs week buckets
+    * (the resample convention — no date_trunc dialect risk).
+    */
+  val eventsRetention: String =
+    """WITH a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (SELECT user_id, min(wk) AS cwk FROM a GROUP BY 1),
+      |s AS (SELECT cwk, count(*) AS cohort_size FROM c GROUP BY 1),
+      |r AS (SELECT c.cwk, a.wk - c.cwk AS week_offset, count(*) AS n_active
+      |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2)
+      |SELECT make_timestamp(r.cwk * 604800000000) AS cohort_start, r.week_offset,
+      |  r.n_active, s.cohort_size,
+      |  floor((CAST(r.n_active AS DOUBLE) / s.cohort_size) * 1e6 + 0.5) / 1e6 AS retention
+      |FROM r JOIN s ON r.cwk = s.cwk
+      |ORDER BY 1, 2""".stripMargin
+
+  /** JSON extraction parity: a missing/malformed key is NULL in both
+    * engines; the BIGINT sum casts back from DuckDB's HUGEINT.
+    */
+  val eventsJsonProps: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(*) AS n_events, count(k) AS count_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+      |  floor((CAST(sum(k) AS DOUBLE) / count(k)) * 1e6 + 0.5) / 1e6 AS avg_k
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 }

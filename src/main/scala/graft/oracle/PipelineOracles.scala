@@ -838,4 +838,28 @@ object PipelineOracles {
       | AND c.event_type = 'click' AND p.event_type = 'purchase'
       | AND p.ts >= c.ts - INTERVAL 60 MINUTE AND p.ts <= c.ts
       |ORDER BY click_id, purchase_id""".stripMargin
+
+  /** Segment-level dedup replay: identical fixed-width word windows
+    * (split-on-single-space parity: both engines yield [''] for empty
+    * text and keep empty tokens), df over md5(segment), reassembly in
+    * segment order. string_agg/sum skip the NULLed-out dropped segments
+    * exactly like Spark's collect_list.
+    */
+  def textSegDedup(segWords: Int, maxDf: Int): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+       |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+       |  FROM documents),
+       |segs AS (
+       |  SELECT doc_id, pos // $segWords AS seg, string_agg(wd, ' ' ORDER BY pos) AS seg_text
+       |  FROM w GROUP BY 1, 2),
+       |dfc AS (SELECT md5(seg_text) AS h, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+       |k AS (SELECT s.doc_id, s.seg, s.seg_text, d.df
+       |  FROM segs s JOIN dfc d ON md5(s.seg_text) = d.h)
+       |SELECT d.doc_id,
+       |  coalesce(string_agg(CASE WHEN k.df <= $maxDf THEN k.seg_text END, ' ' ORDER BY k.seg), '') AS text,
+       |  CAST(coalesce(sum(CASE WHEN k.df > $maxDf THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dropped,
+       |  CAST(count(k.seg) AS BIGINT) AS n_segments
+       |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -175,6 +175,76 @@ object Events {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Weekly cohort retention — the standard growth-analytics operator:
+    * users grouped by their first-active week, then for each (cohort,
+    * week-offset) the distinct users still active. Weeks are epoch-
+    * aligned integer-µs buckets (the resample() convention) so both
+    * engines derive identical keys with no date_trunc dialect risk.
+    * Plan: the corpus collapses to distinct (user_id, week) pairs in
+    * one partial-aggregated shuffle; everything downstream (cohort min,
+    * the user_id join, the (cohort, offset) aggregate) moves only that
+    * pair set — bounded by users × weeks, orders of magnitude below the
+    * event count at any scale. count(*) suffices for
+    * count-distinct-users because (user, week) is already distinct.
+    * The retention fraction divides identical BIGINTs in both engines.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weekUs = 7L * 86400L * 1000000L
+    val active = Tables
+      .events(spark, dir)
+      .select($"user_id", expr(s"unix_micros(ts) div $weekUs").as("wk"))
+      .distinct()
+    val cohort = active.groupBy($"user_id").agg(min($"wk").as("cwk"))
+    val sizes = cohort.groupBy($"cwk").agg(count(lit(1)).as("cohort_size"))
+    active
+      .join(cohort, "user_id")
+      .groupBy($"cwk", ($"wk" - $"cwk").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cwk")
+      .select(
+        expr(s"timestamp_micros(cwk * $weekUs)").as("cohort_start"),
+        $"week_offset",
+        $"n_active",
+        $"cohort_size",
+        graft.text.TextAnalysis.round6($"n_active" / $"cohort_size").as("retention")
+      )
+      .orderBy($"cohort_start", $"week_offset")
+  }
+
+  /** Semi-structured extraction: parse the JSON `props` payload with a
+    * declared schema (`from_json`) and aggregate the extracted field per
+    * event type — the schema-on-read path every telemetry pipeline
+    * needs. Extraction is a map-side codegen'd expression; the aggregate
+    * partial-combines to #event_types rows before the only exchange.
+    * Malformed/missing keys become NULL in both engines (count_k counts
+    * the survivors); the integer field sums exactly.
+    */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .select(
+        $"event_type",
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k")
+          .as("k")
+      )
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count($"k").as("count_k"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k")
+      )
+      .select(
+        $"event_type", $"n_events", $"count_k", $"sum_k", $"min_k", $"max_k",
+        graft.text.TextAnalysis.round6($"sum_k" / $"count_k").as("avg_k")
+      )
+      .orderBy($"event_type")
+  }
+
   /** Session windows with a 30-minute inactivity gap, per user.
     * session_window merges events whose gap to the previous event is
     * < 30 min; the oracle reproduces this with lag()+cumulative-sum

@@ -702,4 +702,42 @@ object Relational {
       )
       .orderBy($"o_orderpriority")
   }
+
+  /** Ranking-function suite: rank / dense_rank / percent_rank /
+    * cume_dist / ntile(4) over per-segment customer spend — the window
+    * family q19's lag/lead and q26's RANGE frame don't cover. Both
+    * window specs share the c_mktsegment partitioning, so Catalyst
+    * plans a single exchange (the orderings differ only in the ntile
+    * tiebreak and are local sorts). Determinism: rank-family
+    * functions are tie-stable (equal spend ⇒ equal rank), but ntile
+    * depends on row order, so its spec breaks ties by custkey for a
+    * total order. percent_rank/cume_dist are exact rational arithmetic
+    * on identical operands in both engines; round6 (floor-based
+    * half-up) guards the decimal boundary like every other fraction
+    * column.
+    */
+  def q27WindowSuite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("spend"))
+    val seg = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    val bySpend = Window.partitionBy($"c_mktsegment").orderBy($"spend".desc)
+    val total = Window.partitionBy($"c_mktsegment").orderBy($"spend".desc, $"o_custkey")
+    spend
+      .join(seg, $"o_custkey" === $"c_custkey")
+      .select(
+        $"c_mktsegment",
+        $"o_custkey".as("custkey"),
+        $"spend",
+        rank().over(bySpend).cast("long").as("rnk"),
+        dense_rank().over(bySpend).cast("long").as("drnk"),
+        graft.text.TextAnalysis.round6(percent_rank().over(bySpend)).as("prnk"),
+        graft.text.TextAnalysis.round6(cume_dist().over(bySpend)).as("cdist"),
+        ntile(4).over(total).cast("long").as("quartile")
+      )
+      .orderBy($"c_mktsegment", $"custkey")
+  }
+
 }

@@ -366,6 +366,67 @@ object TextAnalysis {
       .orderBy($"chunk_md5")
   }
 
+  /** Segment granularity for segDedup: consecutive 8-word windows. */
+  private[graft] val SegWords = 8
+
+  /** A segment is "boilerplate" when it appears verbatim in more than
+    * this many distinct documents.
+    */
+  private[graft] val SegMaxDf = 2
+
+  /** Segment-level exact dedup — the CCNet/RefinedWeb line-dedup
+    * operator, rewriting the corpus rather than scoring it (dupSpans
+    * reports overlap; this REMOVES it): each document is cut into
+    * consecutive [[SegWords]]-word segments, a segment seen verbatim in
+    * more than [[SegMaxDf]] distinct documents is boilerplate, and the
+    * document is reassembled from the surviving segments in order. The
+    * fixture corpus has no newlines, so fixed-width word windows stand
+    * in for lines; the plan is identical for newline-split segments.
+    *
+    * Scale shape: the document-frequency aggregate and the join back
+    * both key on md5(segment) — 16-byte keys, never segment text — and
+    * reassembly is one doc_id-keyed aggregation. Corpus text crosses
+    * the wire once (segments sum to the corpus), the df side is
+    * hash-sized; no per-group buffer exceeds a document's own segment
+    * count.
+    */
+  def segDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val segs = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .groupBy($"doc_id", expr(s"pos div $SegWords").as("seg"))
+      .agg(
+        concat_ws(
+          " ",
+          expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)")
+        ).as("seg_text")
+      )
+      .withColumn("h", md5($"seg_text"))
+    val df = segs.groupBy($"h").agg(countDistinct($"doc_id").as("df"))
+    val rebuilt = segs
+      .join(df, "h")
+      .groupBy($"doc_id")
+      .agg(
+        concat_ws(
+          " ",
+          expr(s"transform(array_sort(collect_list(CASE WHEN df <= $SegMaxDf THEN struct(seg, seg_text) END)), s -> s.seg_text)")
+        ).as("text"),
+        sum(when($"df" > SegMaxDf, 1L).otherwise(0L)).as("n_dropped"),
+        count(lit(1)).as("n_segments")
+      )
+    docs
+      .select($"doc_id")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        coalesce($"text", lit("")).as("text"),
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        coalesce($"n_segments", lit(0L)).as("n_segments")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * h ← (h·31 + codepoint) mod 1e9+7 over the text's characters, seeded
     * with 7 — a distributed-friendly content id that (unlike md5) can be

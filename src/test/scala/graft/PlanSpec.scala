@@ -241,6 +241,66 @@ class PlanSpec extends AnyFunSuite {
     assert(takeOrdered.size === 2, root.toString)
   }
 
+  test("q27 ranking suite shares one window exchange across both specs") {
+    val root = Relational.q27WindowSuite(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    // both window specs partition by c_mktsegment: at most ONE exchange
+    // may hash-partition on it — a second would mean the two specs
+    // stopped sharing their shuffle (zero is legal at test scale, where
+    // a single-split input satisfies any clustering)
+    val segExchanges = root.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] &&
+            e.outputPartitioning.toString.contains("c_mktsegment") =>
+        e
+    }
+    assert(segExchanges.size <= 1, root.toString)
+    val windows = root.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.size === 2, root.toString)
+  }
+
+  test("events_retention: the corpus collapses to (user, week) pairs before any join") {
+    val plan = graft.queries.Events.retention(spark, dir).queryExecution.executedPlan.toString
+    // the distinct must partial-aggregate map-side so only distinct
+    // pairs reach its exchange; downstream joins run on the pair set
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("events_json_props extracts map-side: one aggregate exchange, pruned scan") {
+    val df = graft.queries.Events.jsonProps(spark, dir)
+    val cols = scans(df).head.requiredSchema.fieldNames.toSet
+    assert(cols === Set("event_type", "props"), cols)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    // the extraction stays inside the scan's project (map-side); the only
+    // permissible hash exchange is the per-type aggregate's (zero at test
+    // scale, where the single-split input already satisfies the clustering)
+    val hashEx = root.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e
+    }
+    assert(hashEx.size <= 1, root.toString)
+    assert(root.toString.contains("partial_sum"), root.toString)
+  }
+
+  test("text_seg_dedup joins the df side on 16-byte hashes, never on segment text") {
+    val plan = graft.text.TextAnalysis.segDedup(spark, dir).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    val dfJoin = joins.filter(_.condition.exists(_.toString.contains("h#")))
+    assert(dfJoin.nonEmpty, plan.toString)
+    dfJoin.foreach(j => assert(!j.condition.get.toString.contains("seg_text"), j.condition.get.toString))
+  }
+
   test("dedup_clusters: label propagation never re-derives pairs from text") {
     // the iterative phase must run on the checkpointed EDGE list alone —
     // the final plan re-reads documents only for singleton assignment
