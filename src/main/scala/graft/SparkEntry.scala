@@ -60,6 +60,9 @@ object SparkEntry {
     "q25_grouping_sets" -> ((s, d) => Relational.q25GroupingSets(s, d)),
     "q26_range_frame" -> ((s, d) => Relational.q26RangeFrame(s, d)),
     "q27_window_suite" -> ((s, d) => Relational.q27WindowSuite(s, d)),
+    "q28_unpivot" -> ((s, d) => Relational.q28Unpivot(s, d)),
+    // Iterative graph computation
+    "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_hopping" -> ((s, d) => Events.hopping(s, d)),
@@ -77,6 +80,7 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => StreamingQueries.intervalJoin(s, d)),
     "stream_dedup" -> ((s, d) => StreamingQueries.dedupStream(s, d)),
     "stream_curate" -> ((s, d) => StreamingQueries.curateStream(s, d)),
+    "stream_enrich" -> ((s, d) => StreamingQueries.enrichStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -151,6 +155,12 @@ object SparkEntry {
     "q25_grouping_sets" -> Oracles.q25GroupingSets,
     "q26_range_frame" -> Oracles.q26RangeFrame,
     "q27_window_suite" -> Oracles.q27WindowSuite,
+    "q28_unpivot" -> Oracles.q28Unpivot,
+    "graph_pagerank" -> Oracles.graphPagerank(
+      graft.graph.PageRank.Iterations,
+      graft.graph.PageRank.Scale,
+      graft.graph.PageRank.SupplierOffset
+    ),
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).
@@ -170,6 +180,7 @@ object SparkEntry {
     "stream_interval_join" -> PipelineOracles.streamIntervalJoin,
     "stream_dedup" -> PipelineOracles.streamDedup,
     "stream_curate" -> PipelineOracles.streamCurate,
+    "stream_enrich" -> PipelineOracles.streamEnrich,
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     "dedup_containment" -> PipelineOracles.dedupContainment,

@@ -329,6 +329,43 @@ object Oracles {
       |       wt AS (PARTITION BY c_mktsegment ORDER BY spend DESC, custkey)
       |ORDER BY c_mktsegment, custkey""".stripMargin
 
+  /** UNPIVOT replay as the portable long-form UNION ALL. */
+  val q28Unpivot: String =
+    """WITH long AS (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |SELECT measure, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |FROM long GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Fixed-point integer PageRank replay: identical integer recurrence
+    * (truncating div on non-negative operands ≡ DuckDB `//`), chained
+    * one CTE per iteration. The HUGEINT sum casts back to BIGINT.
+    */
+  def graphPagerank(iterations: Int, scale: Long, supplierOffset: Long): String = {
+    val teleport = 15L * scale / 100L
+    val iters = (1 to iterations)
+      .map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  CAST($teleport + (85 * coalesce(c.in_sum, 0)) // 100 AS BIGINT) AS rank
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst, CAST(sum(r.rank // deg.d) AS BIGINT) AS in_sum
+           |    FROM e JOIN r${i - 1} r ON e.src = r.node JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""WITH raw AS (SELECT DISTINCT o_custkey AS c, l_suppkey + $supplierOffset AS s
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, s AS dst FROM raw UNION ALL SELECT s, c FROM raw),
+       |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM n),
+       |$iters
+       |SELECT node, rank FROM r$iterations ORDER BY node""".stripMargin
+  }
+
   /** Weekly cohort retention over epoch-aligned integer-µs week buckets
     * (the resample convention — no date_trunc dialect risk).
     */

@@ -829,6 +829,13 @@ object PipelineOracles {
     """SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Batch equivalent of the drained stream–static enrichment join. */
+  val streamEnrich: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n_events,
+      |  round(sum(value), 4) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Batch equivalent of the drained stream-stream interval join. */
   val streamIntervalJoin: String =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,

@@ -703,6 +703,33 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** UNPIVOT (wide→long reshape, the inverse of q16's pivot): the four
+    * lineitem measure columns melt to (measure, value) rows, then a
+    * per-measure aggregate. Unpivot is a zero-shuffle Expand — each input
+    * row emits 4 — and the aggregate partial-combines to 4 groups before
+    * the only exchange, so the reshape adds no data movement at any
+    * scale. All four measures live on a ≤4dp decimal grid → exact
+    * DECIMAL sum.
+    */
+  def q28Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(
+        Array($"l_orderkey"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "measure",
+        "value"
+      )
+      .groupBy($"measure")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(20,4)")).cast("double").as("sum_value")
+      )
+      .orderBy($"measure")
+  }
+
   /** Ranking-function suite: rank / dense_rank / percent_rank /
     * cume_dist / ntile(4) over per-segment customer spend — the window
     * family q19's lag/lead and q26's RANGE frame don't cover. Both

@@ -301,6 +301,22 @@ class PlanSpec extends AnyFunSuite {
     dfJoin.foreach(j => assert(!j.condition.get.toString.contains("seg_text"), j.condition.get.toString))
   }
 
+  test("q28 unpivot plans a zero-shuffle Expand into one aggregate exchange") {
+    val root = Relational.q28Unpivot(spark, dir).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    assert(root.toString.contains("Expand"), root.toString)
+    val hashEx = root.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+        e
+    }
+    assert(hashEx.size <= 1, root.toString)
+    assert(root.toString.contains("partial"), root.toString)
+  }
+
   test("dedup_clusters: label propagation never re-derives pairs from text") {
     // the iterative phase must run on the checkpointed EDGE list alone —
     // the final plan re-reads documents only for singleton assignment

@@ -1,0 +1,43 @@
+package graft.graph
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank invariants the oracle replay alone doesn't articulate:
+  * bit-exact determinism across runs (the point of the fixed-point
+  * integer recurrence) and the structural bounds of the damped walk.
+  */
+class GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "graph-spec")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pagerank is bit-exact deterministic across runs") {
+    val a = PageRank.pagerank(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = PageRank.pagerank(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+  }
+
+  test("every rank is at least the teleport floor and mass is conserved up to truncation") {
+    val rows = PageRank.pagerank(spark, dir).collect()
+    val teleport = 15L * PageRank.Scale / 100L
+    rows.foreach(r => assert(r.getLong(1) >= teleport, r))
+    // each iteration only loses mass to integer truncation (div per edge
+    // + damping div per node), so total mass stays within a small band
+    // below the initial N·Scale and can never exceed it
+    val n = rows.length.toLong
+    val mass = rows.map(_.getLong(1)).sum
+    assert(mass <= n * PageRank.Scale)
+    assert(mass >= n * PageRank.Scale * 9 / 10, s"mass $mass vs ${n * PageRank.Scale}")
+  }
+
+  test("the symmetrized graph covers every customer and supplier that traded") {
+    import spark.implicits._
+    val nodes = PageRank.pagerank(spark, dir).select($"node").collect().map(_.getLong(0)).toSet
+    val custs = nodes.filter(_ < PageRank.SupplierOffset)
+    val supps = nodes.filter(_ >= PageRank.SupplierOffset)
+    assert(custs.nonEmpty && supps.nonEmpty)
+  }
+}
