@@ -53,11 +53,13 @@ object PageRank {
       .union(raw.select($"s".as("src"), $"c".as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
-    val nodes = edges.select($"src".as("node")).distinct()
+    // degree-annotated edges are loop-invariant: materialize once so each
+    // round pays a single join against the current ranks
+    val wedges = edges.join(deg, "src").localCheckpoint()
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(Scale)).localCheckpoint()
     for (_ <- 1 to Iterations) {
-      val contrib = edges
-        .join(deg, "src")
+      val contrib = wedges
         .join(ranks, $"src" === $"node")
         .select($"dst", expr("rank div d").as("w"))
         .groupBy($"dst")
