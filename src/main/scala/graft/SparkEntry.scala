@@ -158,8 +158,7 @@ object SparkEntry {
     "q28_unpivot" -> Oracles.q28Unpivot,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
-      graft.graph.PageRank.Scale,
-      graft.graph.PageRank.SupplierOffset
+      graft.graph.PageRank.Scale
     ),
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds

@@ -31,9 +31,6 @@ object PageRank {
   /** Fixed-point scale: ranks carry 6 fractional decimal digits. */
   val Scale = 1000000L
 
-  /** Supplier node-id offset (customer and supplier keys share a range). */
-  val SupplierOffset = 10000000L
-
   val Iterations = 5
 
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
@@ -45,7 +42,10 @@ object PageRank {
         Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey"
       )
-      .select($"o_custkey".as("c"), ($"l_suppkey" + SupplierOffset).as("s"))
+      // suppliers map to the negative id space: disjoint from customer keys
+      // BY CONSTRUCTION at any scale factor (an additive offset would
+      // collide once c_custkey outgrows it)
+      .select($"o_custkey".as("c"), (-($"l_suppkey" + 1)).as("s"))
       .distinct()
     // symmetrize: every node gains an out-edge, so no dangling-mass term
     val edges = raw

@@ -344,7 +344,7 @@ object Oracles {
     * (truncating div on non-negative operands ≡ DuckDB `//`), chained
     * one CTE per iteration. The HUGEINT sum casts back to BIGINT.
     */
-  def graphPagerank(iterations: Int, scale: Long, supplierOffset: Long): String = {
+  def graphPagerank(iterations: Int, scale: Long): String = {
     val teleport = 15L * scale / 100L
     val iters = (1 to iterations)
       .map { i =>
@@ -356,7 +356,7 @@ object Oracles {
            |    GROUP BY e.dst) c ON c.dst = n.node)""".stripMargin
       }
       .mkString(",\n")
-    s"""WITH raw AS (SELECT DISTINCT o_custkey AS c, l_suppkey + $supplierOffset AS s
+    s"""WITH raw AS (SELECT DISTINCT o_custkey AS c, -(l_suppkey + 1) AS s
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |e AS (SELECT c AS src, s AS dst FROM raw UNION ALL SELECT s, c FROM raw),
        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
@@ -381,12 +381,17 @@ object Oracles {
       |FROM r JOIN s ON r.cwk = s.cwk
       |ORDER BY 1, 2""".stripMargin
 
-  /** JSON extraction parity: a missing/malformed key is NULL in both
-    * engines; the BIGINT sum casts back from DuckDB's HUGEINT.
+  /** JSON extraction parity: Spark's from_json(k BIGINT) yields NULL for
+    * anything but an integral JSON number (quoted "12", 3.7, missing key,
+    * malformed document) — the json_type guard mirrors exactly that, and
+    * TRY_CAST keeps a malformed document from erroring the whole oracle.
+    * The BIGINT sum casts back from DuckDB's HUGEINT.
     */
   val eventsJsonProps: String =
     """WITH e AS (SELECT event_type,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |    CASE WHEN json_valid(props) AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+      |         THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM events)
       |SELECT event_type, count(*) AS n_events, count(k) AS count_k,
       |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
       |  floor((CAST(sum(k) AS DOUBLE) / count(k)) * 1e6 + 0.5) / 1e6 AS avg_k

@@ -715,9 +715,13 @@ object Relational {
     import spark.implicits._
     Tables
       .lineitem(spark, dir)
-      .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+      // no id columns: nothing downstream references one, and omitting it
+      // keeps the scan at exactly the four measures by construction
+      // (PlanSpec pins the 4-column ReadSchema) rather than relying on
+      // the optimizer to prune an unused id through the Expand
       .unpivot(
-        Array($"l_orderkey"),
+        Array.empty[org.apache.spark.sql.Column],
         Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
         "measure",
         "value"

@@ -336,28 +336,6 @@ object StreamingQueries {
     * dedup needs corpus-wide state; production pipelines run it as a
     * periodic compaction over the curated stream's output.
     */
-  /** Stream–static enrichment: the event stream joins the static
-    * customer dimension (the classic "enrich telemetry with a dimension
-    * table" topology), then aggregates per (segment, type). The static
-    * side is re-planned per micro-batch — Spark broadcasts it while it
-    * fits and a dimension snapshot stays consistent within each batch;
-    * no state store is involved (the join is stateless on the stream
-    * side), so the operator's only state is the complete-mode aggregate,
-    * bounded by segments × types. Oracle: the identical batch join.
-    */
-  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val dim = spark.read
-      .parquet(s"$dir/customer.parquet")
-      .select($"c_custkey", $"c_mktsegment")
-    val agg = eventStream(spark, dir)
-      .join(dim, $"user_id" === $"c_custkey")
-      .groupBy($"c_mktsegment", $"event_type")
-      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
-    runToMemory(agg, "stream_enrich", "complete")
-      .orderBy($"c_mktsegment", $"event_type")
-  }
-
   def curateStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.text.{Sampling, TextAnalysis => TA}
@@ -386,5 +364,25 @@ object StreamingQueries {
       .withColumn("split", Sampling.splitColumn($"doc_id"))
     runToMemory(scored, "stream_curate", "append")
       .orderBy($"doc_id")
+  }
+
+  /** Stream–static enrichment: the event stream joins the static
+    * customer dimension (the classic "enrich telemetry with a dimension
+    * table" topology), then aggregates per (segment, type). The static
+    * side is re-planned per micro-batch — Spark broadcasts it while it
+    * fits and a dimension snapshot stays consistent within each batch;
+    * no state store is involved (the join is stateless on the stream
+    * side), so the operator's only state is the complete-mode aggregate,
+    * bounded by segments × types. Oracle: the identical batch join.
+    */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = graft.Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment")
+    val agg = eventStream(spark, dir)
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
+    runToMemory(agg, "stream_enrich", "complete")
+      .orderBy($"c_mktsegment", $"event_type")
   }
 }

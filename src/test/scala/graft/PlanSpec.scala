@@ -263,12 +263,24 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("events_retention: the corpus collapses to (user, week) pairs before any join") {
-    val plan = graft.queries.Events.retention(spark, dir).queryExecution.executedPlan.toString
-    // the distinct must partial-aggregate map-side so only distinct
-    // pairs reach its exchange; downstream joins run on the pair set
-    assert(plan.contains("HashAggregate"), plan)
-    assert(plan.contains("partial"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    val plan = graft.queries.Events.retention(spark, dir).queryExecution.optimizedPlan
+    // the (user_id, wk) distinct must sit on the SCAN side — a regression
+    // that pushes it above a join would shuffle raw events through the
+    // join, the exact hazard SCALING.md says this operator avoids
+    val aggs = plan.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    val pairAggs = aggs.filter { a =>
+      val keys = a.groupingExpressions.map(_.toString).mkString(",")
+      a.groupingExpressions.size == 2 && keys.contains("user_id") && keys.contains("wk")
+    }
+    assert(pairAggs.nonEmpty, plan.toString)
+    pairAggs.foreach { a =>
+      assert(
+        a.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.isEmpty,
+        s"pair-distinct aggregate contains a join beneath it:\n$a"
+      )
+    }
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
   }
 
   test("events_json_props extracts map-side: one aggregate exchange, pruned scan") {
@@ -315,6 +327,9 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(hashEx.size <= 1, root.toString)
     assert(root.toString.contains("partial"), root.toString)
+    // the scan reads exactly the four measures — no id column rides along
+    val cols = scans(Relational.q28Unpivot(spark, dir)).head.requiredSchema.fieldNames.toSet
+    assert(cols === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"), cols)
   }
 
   test("dedup_clusters: label propagation never re-derives pairs from text") {

@@ -36,8 +36,8 @@ class GraphSpec extends AnyFunSuite {
   test("the symmetrized graph covers every customer and supplier that traded") {
     import spark.implicits._
     val nodes = PageRank.pagerank(spark, dir).select($"node").collect().map(_.getLong(0)).toSet
-    val custs = nodes.filter(_ < PageRank.SupplierOffset)
-    val supps = nodes.filter(_ >= PageRank.SupplierOffset)
+    val custs = nodes.filter(_ >= 0) // suppliers live in the negative id space
+    val supps = nodes.filter(_ < 0)
     assert(custs.nonEmpty && supps.nonEmpty)
   }
 }
