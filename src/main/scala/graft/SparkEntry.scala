@@ -61,6 +61,7 @@ object SparkEntry {
     "q26_range_frame" -> ((s, d) => Relational.q26RangeFrame(s, d)),
     "q27_window_suite" -> ((s, d) => Relational.q27WindowSuite(s, d)),
     "q28_unpivot" -> ((s, d) => Relational.q28Unpivot(s, d)),
+    "q29_scalar_subquery" -> ((s, d) => Relational.q29ScalarSubquery(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     // Event-time windowing
@@ -156,6 +157,7 @@ object SparkEntry {
     "q26_range_frame" -> Oracles.q26RangeFrame,
     "q27_window_suite" -> Oracles.q27WindowSuite,
     "q28_unpivot" -> Oracles.q28Unpivot,
+    "q29_scalar_subquery" -> Oracles.q29ScalarSubquery,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

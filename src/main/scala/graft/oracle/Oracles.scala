@@ -329,6 +329,18 @@ object Oracles {
       |       wt AS (PARTITION BY c_mktsegment ORDER BY spend DESC, custkey)
       |ORDER BY c_mktsegment, custkey""".stripMargin
 
+  /** Correlated scalar subquery, verbatim semantics (DuckDB decorrelates
+    * the same way); the threshold compares identical exact-sum/count
+    * doubles on both engines.
+    */
+  val q29ScalarSubquery: String =
+    """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > 2 * (
+      |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
+
   /** UNPIVOT replay as the portable long-form UNION ALL. */
   val q28Unpivot: String =
     """WITH long AS (

@@ -734,6 +734,28 @@ object Relational {
       .orderBy($"measure")
   }
 
+  /** Correlated scalar subquery — the optimizer surface the DataFrame
+    * queries never reach: orders priced above 2× their own customer's
+    * average. Catalyst DECORRELATES the subquery
+    * (RewriteCorrelatedScalarSubquery) into a per-customer aggregate
+    * joined back to orders — one partial-aggregated shuffle + one
+    * co-keyed join, NOT a per-row subquery execution (PlanSpec pins the
+    * absence of a scalar-subquery node in the physical plan). The
+    * average is written as exact-decimal-sum / count so both engines
+    * compare identical doubles at the threshold.
+    */
+  def q29ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_q29_orders")
+    spark.sql(
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_q29_orders o
+        |WHERE o.o_totalprice > 2 * (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM graft_q29_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
+    )
+  }
+
   /** Ranking-function suite: rank / dense_rank / percent_rank /
     * cume_dist / ntile(4) over per-segment customer spend — the window
     * family q19's lag/lead and q26's RANGE frame don't cover. Both

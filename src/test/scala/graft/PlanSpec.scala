@@ -332,6 +332,23 @@ class PlanSpec extends AnyFunSuite {
     assert(cols === Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"), cols)
   }
 
+  test("q29 correlated scalar subquery decorrelates to an aggregate + join") {
+    val df = Relational.q29ScalarSubquery(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan
+    // decorrelation must leave NO subquery expression behind — a
+    // surviving scalar subquery would execute per outer row
+    assert(
+      optimized.collectWithSubqueries { case p => p }.forall(p =>
+        !p.expressions.exists(_.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalarSubquery]))
+      ),
+      optimized.toString
+    )
+    val aggs = optimized.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    val joins = optimized.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(aggs.nonEmpty && joins.nonEmpty, optimized.toString)
+    joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
+  }
+
   test("dedup_clusters: label propagation never re-derives pairs from text") {
     // the iterative phase must run on the checkpointed EDGE list alone —
     // the final plan re-reads documents only for singleton assignment
