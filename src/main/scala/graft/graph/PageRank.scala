@@ -47,6 +47,16 @@ object PageRank {
       // collide once c_custkey outgrows it)
       .select($"o_custkey".as("c"), (-($"l_suppkey" + 1)).as("s"))
       .distinct()
+    pagerankOnPairs(raw)
+  }
+
+  /** The recurrence over an arbitrary distinct (c, s) pair set —
+    * factored out so specs can drive it with synthetic graphs and check
+    * against an in-memory reference implementation.
+    */
+  private[graft] def pagerankOnPairs(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
     // symmetrize: every node gains an out-edge, so no dangling-mass term
     val edges = raw
       .select($"c".as("src"), $"s".as("dst"))

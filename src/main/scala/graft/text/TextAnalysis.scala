@@ -390,12 +390,17 @@ object TextAnalysis {
     * hash-sized; no per-group buffer exceeds a document's own segment
     * count.
     */
-  def segDedup(spark: SparkSession, dir: String): DataFrame = {
+  def segDedup(
+      spark: SparkSession,
+      dir: String,
+      segWords: Int = SegWords,
+      maxDf: Int = SegMaxDf
+  ): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
     val segs = docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .groupBy($"doc_id", expr(s"pos div $SegWords").as("seg"))
+      .groupBy($"doc_id", expr(s"pos div $segWords").as("seg"))
       .agg(
         concat_ws(
           " ",
@@ -410,9 +415,9 @@ object TextAnalysis {
       .agg(
         concat_ws(
           " ",
-          expr(s"transform(array_sort(collect_list(CASE WHEN df <= $SegMaxDf THEN struct(seg, seg_text) END)), s -> s.seg_text)")
+          expr(s"transform(array_sort(collect_list(CASE WHEN df <= $maxDf THEN struct(seg, seg_text) END)), s -> s.seg_text)")
         ).as("text"),
-        sum(when($"df" > SegMaxDf, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"df" > maxDf, 1L).otherwise(0L)).as("n_dropped"),
         count(lit(1)).as("n_segments")
       )
     docs

@@ -86,6 +86,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(w3 >= 1 && w3 <= 1920 && h3 >= 1 && h3 <= 1080)
   }
 
+  test("seg dedup with an unreachable df threshold reassembles every document verbatim") {
+    import spark.implicits._
+    // with maxDf = MaxValue nothing is boilerplate, so the split →
+    // hash → df-join → reorder → concat round-trip must be the identity
+    // — this pins the reassembly (ordering, separator, empty-token)
+    // logic independently of the oracle's replay of the same plan
+    val rebuilt = TextAnalysis.segDedup(spark, dir, maxDf = Int.MaxValue)
+    val orig = graft.Tables.documents(spark, dir).select($"doc_id", $"text".as("orig"))
+    val joined = rebuilt.join(orig, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[String]("text") === r.getAs[String]("orig"), s"doc ${r.get(0)}")
+      assert(r.getAs[Long]("n_dropped") === 0L)
+    }
+  }
+
   test("exact dedup keeps one id per distinct text and covers all docs") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)

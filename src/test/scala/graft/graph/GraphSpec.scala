@@ -33,6 +33,35 @@ class GraphSpec extends AnyFunSuite {
     assert(mass >= n * PageRank.Scale * 9 / 10, s"mass $mass vs ${n * PageRank.Scale}")
   }
 
+  test("pagerank matches an in-memory reference on random bipartite graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42) // fixed seed: deterministic spec
+    for (_ <- 1 to 3) {
+      val pairs = (1 to 60)
+        .map(_ => (rng.nextInt(12).toLong + 1, -(rng.nextInt(8).toLong + 1)))
+        .distinct
+      val got = PageRank
+        .pagerankOnPairs(pairs.toDF("c", "s"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toMap
+      // reference: same integer recurrence, plain Scala maps
+      val edges = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = edges.map(_._1).distinct
+      var rank = nodes.map(_ -> PageRank.Scale).toMap
+      for (_ <- 1 to PageRank.Iterations) {
+        val inSum = edges
+          .groupBy(_._2)
+          .view
+          .mapValues(_.map { case (src, _) => rank(src) / deg(src) }.sum)
+          .toMap
+        rank = nodes.map(n => n -> (15L * PageRank.Scale / 100L + 85L * inSum.getOrElse(n, 0L) / 100L)).toMap
+      }
+      assert(got === rank)
+    }
+  }
+
   test("the symmetrized graph covers every customer and supplier that traded") {
     import spark.implicits._
     val nodes = PageRank.pagerank(spark, dir).select($"node").collect().map(_.getLong(0)).toSet
