@@ -62,6 +62,8 @@ object SparkEntry {
     "q27_window_suite" -> ((s, d) => Relational.q27WindowSuite(s, d)),
     "q28_unpivot" -> ((s, d) => Relational.q28Unpivot(s, d)),
     "q29_scalar_subquery" -> ((s, d) => Relational.q29ScalarSubquery(s, d)),
+    "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
+    "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     // Event-time windowing
@@ -158,6 +160,8 @@ object SparkEntry {
     "q27_window_suite" -> Oracles.q27WindowSuite,
     "q28_unpivot" -> Oracles.q28Unpivot,
     "q29_scalar_subquery" -> Oracles.q29ScalarSubquery,
+    "q30_merge_upsert" -> Oracles.q30MergeUpsert,
+    "q31_partition_pruning" -> Oracles.q31PartitionPruning,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -341,6 +341,32 @@ object Oracles {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
 
+  /** MERGE/upsert replay: the same deterministic change feed (key mod
+    * classes, disjoint; inserts negate keys) applied with a left join +
+    * anti-filter + union. DECIMAL × DECIMAL is exact on both engines.
+    */
+  val q30MergeUpsert: String =
+    """WITH snap AS (SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderstatus FROM orders),
+      |upd AS (SELECT k, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.10 AS DOUBLE) AS new_price
+      |  FROM snap WHERE k % 5 = 0),
+      |del AS (SELECT k FROM snap WHERE k % 5 <> 0 AND k % 7 = 0),
+      |kept AS (
+      |  SELECT s.k, s.o_custkey, coalesce(u.new_price, s.o_totalprice) AS o_totalprice,
+      |    s.o_orderstatus
+      |  FROM snap s LEFT JOIN upd u ON s.k = u.k
+      |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.k = s.k)),
+      |ins AS (SELECT -k AS k, o_custkey, o_totalprice, o_orderstatus FROM snap WHERE k % 11 = 0)
+      |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY k""".stripMargin
+
+  /** Partition pruning replay: the partitioned layout changes I/O, not
+    * semantics — the oracle is the plain year-filtered aggregate.
+    */
+  val q31PartitionPruning: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** UNPIVOT replay as the portable long-form UNION ALL. */
   val q28Unpivot: String =
     """WITH long AS (

@@ -734,6 +734,106 @@ object Relational {
       .orderBy($"measure")
   }
 
+  /** MERGE / upsert semantics — apply a change feed (updates, deletes,
+    * inserts) to a snapshot in one pass: the CDC-apply operator every
+    * warehouse needs. The change batch is derived DETERMINISTICALLY from
+    * the snapshot itself (key mod classes, disjoint by construction;
+    * inserts use negated keys so they cannot collide), so the oracle
+    * replays it exactly. Plan shape: ONE key-partitioned left join
+    * (changes are partial-aggregation-sized relative to the snapshot —
+    * AQE broadcasts them while they fit) + a filter for deletes + a
+    * union of inserts; at production scale both sides would be bucketed
+    * on the key (the q22 path) making the merge exchange-free. The
+    * price update multiplies exact DECIMALs.
+    */
+  def q30MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snap = Tables
+      .orders(spark, dir)
+      .select($"o_orderkey".as("k"), $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    val updates = snap
+      .filter($"k" % 5 === 0)
+      .select(
+        $"k",
+        ($"o_totalprice".cast("decimal(18,2)") * lit(BigDecimal("1.10")))
+          .cast("double")
+          .as("new_price"),
+        lit("U").as("op")
+      )
+    val deletes = snap
+      .filter($"k" % 5 =!= 0 && $"k" % 7 === 0)
+      .select($"k", lit(null).cast("double").as("new_price"), lit("D").as("op"))
+    val changes = updates.unionByName(deletes)
+    val merged = snap
+      .join(changes, Seq("k"), "left")
+      .filter($"op".isNull || $"op" === "U")
+      .select(
+        $"k",
+        $"o_custkey",
+        when($"op" === "U", $"new_price").otherwise($"o_totalprice").as("o_totalprice"),
+        $"o_orderstatus"
+      )
+    val inserts = snap
+      .filter($"k" % 11 === 0)
+      .select(-$"k", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+    merged.unionByName(inserts.toDF(merged.columns: _*)).orderBy($"k")
+  }
+
+  /** Partitioned-layout write + partition pruning: orders land in a
+    * managed table partitioned by order year, and a year-filtered query
+    * must touch ONLY that year's directory — the scan's PartitionFilters
+    * (plan-pinned) prove the pruning happens at file-listing time, not
+    * per row. This is the layout lever for time-series corpora at 100 TB:
+    * a day/year-partitioned table turns time filters into O(partitions-
+    * read) I/O regardless of corpus size. Table name carries the q22
+    * content fingerprint so regenerated source data can never reuse a
+    * stale layout.
+    */
+  def q31PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = sourceFingerprint(spark, s"$dir/orders.parquet")
+    val t = s"graft_orders_byyear_$fp"
+    if (!spark.catalog.tableExists(t)) bucketBuildLock.synchronized {
+      if (!spark.catalog.tableExists(t)) {
+        // q22 discipline: retire stale sibling fingerprints through the
+        // catalog first, then sweep on-disk leftovers no catalog knows
+        spark.catalog
+          .listTables()
+          .collect()
+          .map(_.name)
+          .filter(n => n.startsWith("graft_orders_byyear_") && n != t)
+          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+        val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(warehouse)) {
+          fs.listStatus(warehouse)
+            .filter { st =>
+              val n = st.getPath.getName
+              n.startsWith("graft_orders_byyear_") && n != t
+            }
+            .foreach(st => fs.delete(st.getPath, true))
+        }
+        Tables
+          .orders(spark, dir)
+          .withColumn("o_year", year($"o_orderdate"))
+          .write
+          .mode("overwrite")
+          .format("parquet")
+          .partitionBy("o_year")
+          .saveAsTable(t)
+      }
+    }
+    spark
+      .table(t)
+      .filter($"o_year" === 1997)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"o_orderpriority")
+  }
+
   /** Correlated scalar subquery — the optimizer surface the DataFrame
     * queries never reach: orders priced above 2× their own customer's
     * average. Catalyst DECORRELATES the subquery

@@ -349,6 +349,23 @@ class PlanSpec extends AnyFunSuite {
     joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
   }
 
+  test("q31 partition pruning: the year filter is a PartitionFilter, not a data filter") {
+    val scan = scans(Relational.q31PartitionPruning(spark, dir)).head
+    val pf = scan.partitionFilters.map(_.toString).mkString(",")
+    assert(pf.contains("o_year"), s"expected the year predicate in PartitionFilters, got: $pf")
+    // pruning happens at file listing: the data-side schema carries only
+    // the two referenced payload columns, never o_orderdate or o_year
+    val cols = scan.requiredSchema.fieldNames.toSet
+    assert(cols === Set("o_orderpriority", "o_totalprice"), cols)
+  }
+
+  test("q30 merge applies the change feed with one key join and no cartesian") {
+    val plan = Relational.q30MergeUpsert(spark, dir).queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
+  }
+
   test("dedup_clusters: label propagation never re-derives pairs from text") {
     // the iterative phase must run on the checkpointed EDGE list alone —
     // the final plan re-reads documents only for singleton assignment
