@@ -149,7 +149,12 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
         .select($"cid", $"ce", norm($"ce").as("cn"))
     }
-    cents
+    // persisted: the trained quantizer IS the stored artifact of a
+    // production IVF index ("train once, serve many") — ≤ IvfMaxCells
+    // rows, and the CacheManager's canonical-plan dedup lets every
+    // same-session lookup reuse one training run instead of re-running
+    // the Lloyd rounds per query
+    cents.persist()
   }
 
   /** IVF (inverted-file) ANN — the clustering-based scale path beside the
