@@ -342,8 +342,9 @@ object Oracles {
       |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
 
   /** MERGE/upsert replay: the same deterministic change feed (key mod
-    * classes, disjoint; inserts negate keys) applied with a left join +
-    * anti-filter + union. DECIMAL × DECIMAL is exact on both engines.
+    * classes, disjoint; inserts map k → -(k+1), collision-free even for
+    * key 0) applied with a left join + anti-filter + union.
+    * DECIMAL × DECIMAL is exact on both engines.
     */
   val q30MergeUpsert: String =
     """WITH snap AS (SELECT o_orderkey AS k, o_custkey, o_totalprice, o_orderstatus FROM orders),
@@ -355,7 +356,7 @@ object Oracles {
       |    s.o_orderstatus
       |  FROM snap s LEFT JOIN upd u ON s.k = u.k
       |  WHERE NOT EXISTS (SELECT 1 FROM del d WHERE d.k = s.k)),
-      |ins AS (SELECT -k AS k, o_custkey, o_totalprice, o_orderstatus FROM snap WHERE k % 11 = 0)
+      |ins AS (SELECT -(k + 1) AS k, o_custkey, o_totalprice, o_orderstatus FROM snap WHERE k % 11 = 0)
       |SELECT * FROM kept UNION ALL SELECT * FROM ins ORDER BY k""".stripMargin
 
   /** Partition pruning replay: the partitioned layout changes I/O, not

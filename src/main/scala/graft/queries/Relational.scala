@@ -630,6 +630,40 @@ object Relational {
   // fingerprint would otherwise interleave delete + saveAsTable
   private val bucketBuildLock = new Object
 
+  /** Retires every warehouse artifact whose name starts with one of
+    * `prefixes` — shared by q22 and q31 so deletion semantics can't
+    * drift between call sites. Three steps, in q22's original order:
+    * (1) registered sibling tables drop THROUGH the catalog (files +
+    * registration, so nothing this session registered can dangle);
+    * (2) on-disk leftovers no catalog knows (crashed mid-write builds,
+    * dead JVMs) are swept — INCLUDING the current fingerprint's dirs,
+    * which the caller is about to rebuild anyway; (3) the current
+    * tables' own registrations drop if present. Call only from inside a
+    * build-once block under [[bucketBuildLock]].
+    */
+  private def retireWarehouseArtifacts(
+      spark: SparkSession,
+      prefixes: Seq[String],
+      currentTables: Seq[String]
+  ): Unit = {
+    spark.catalog
+      .listTables()
+      .collect()
+      .map(_.name)
+      .filter(n => prefixes.exists(n.startsWith) && !currentTables.contains(n))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(warehouse)) {
+      fs.listStatus(warehouse)
+        .filter(st => prefixes.exists(st.getPath.getName.startsWith))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    currentTables.foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+    }
+  }
+
   def q22BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fp = sourceFingerprint(spark, s"$dir/orders.parquet", s"$dir/lineitem.parquet")
@@ -639,35 +673,14 @@ object Relational {
     // before the lineitem save must not short-circuit the rebuild
     if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) bucketBuildLock.synchronized {
       if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) {
-        // stale SIBLING fingerprints (regenerated source data) are
-        // retired THROUGH the catalog first — DROP TABLE removes a
-        // managed table's files AND its registration, so nothing this
-        // session already registered can dangle with missing files
-        spark.catalog
-          .listTables()
-          .collect()
-          .map(_.name)
-          .filter(n => n.startsWith("graft_orders_bucketed_") || n.startsWith("graft_lineitem_bucketed_"))
-          .filter(n => n != ordersT && n != lineitemT)
-          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-        // then sweep on-disk leftovers no catalog knows (crashed
-        // mid-write builds, dead JVMs): a crashed write leaves
-        // incomplete buckets, and the rewrite costs the same as the
-        // join's one-time staging anyway. (A warehouse shared by
-        // CONCURRENT JVMs would need a lock around the whole build;
-        // this engine's sessions use a per-process warehouse dir.)
-        val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(warehouse)) {
-          val stale = fs.listStatus(warehouse).filter { st =>
-            val n = st.getPath.getName
-            n.startsWith("graft_orders_bucketed_") || n.startsWith("graft_lineitem_bucketed_")
-          }
-          stale.foreach(st => fs.delete(st.getPath, true))
-        }
-        Seq(ordersT, lineitemT).foreach { t =>
-          if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
-        }
+        // (a warehouse shared by CONCURRENT JVMs would need a lock
+        // around the whole build; this engine's sessions use a
+        // per-process warehouse dir)
+        retireWarehouseArtifacts(
+          spark,
+          Seq("graft_orders_bucketed_", "graft_lineitem_bucketed_"),
+          Seq(ordersT, lineitemT)
+        )
         Tables
           .orders(spark, dir)
           .write
@@ -738,8 +751,9 @@ object Relational {
     * inserts) to a snapshot in one pass: the CDC-apply operator every
     * warehouse needs. The change batch is derived DETERMINISTICALLY from
     * the snapshot itself (key mod classes, disjoint by construction;
-    * inserts use negated keys so they cannot collide), so the oracle
-    * replays it exactly. Plan shape: ONE key-partitioned left join
+    * inserts map k → -(k+1) — the PageRank id trick, since plain
+    * negation would collide on key 0, which the fixture contains), so
+    * the oracle replays it exactly. Plan shape: ONE key-partitioned left join
     * (changes are partial-aggregation-sized relative to the snapshot —
     * AQE broadcasts them while they fit) + a filter for deletes + a
     * union of inserts; at production scale both sides would be bucketed
@@ -775,7 +789,7 @@ object Relational {
       )
     val inserts = snap
       .filter($"k" % 11 === 0)
-      .select(-$"k", $"o_custkey", $"o_totalprice", $"o_orderstatus")
+      .select(-($"k" + 1), $"o_custkey", $"o_totalprice", $"o_orderstatus")
     merged.unionByName(inserts.toDF(merged.columns: _*)).orderBy($"k")
   }
 
@@ -795,24 +809,7 @@ object Relational {
     val t = s"graft_orders_byyear_$fp"
     if (!spark.catalog.tableExists(t)) bucketBuildLock.synchronized {
       if (!spark.catalog.tableExists(t)) {
-        // q22 discipline: retire stale sibling fingerprints through the
-        // catalog first, then sweep on-disk leftovers no catalog knows
-        spark.catalog
-          .listTables()
-          .collect()
-          .map(_.name)
-          .filter(n => n.startsWith("graft_orders_byyear_") && n != t)
-          .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-        val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-        val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(warehouse)) {
-          fs.listStatus(warehouse)
-            .filter { st =>
-              val n = st.getPath.getName
-              n.startsWith("graft_orders_byyear_") && n != t
-            }
-            .foreach(st => fs.delete(st.getPath, true))
-        }
+        retireWarehouseArtifacts(spark, Seq("graft_orders_byyear_"), Seq(t))
         Tables
           .orders(spark, dir)
           .withColumn("o_year", year($"o_orderdate"))

@@ -92,13 +92,17 @@ class PipelineSpec extends AnyFunSuite {
     // hash → df-join → reorder → concat round-trip must be the identity
     // — this pins the reassembly (ordering, separator, empty-token)
     // logic independently of the oracle's replay of the same plan
-    val rebuilt = TextAnalysis.segDedup(spark, dir, maxDf = Int.MaxValue)
     val orig = graft.Tables.documents(spark, dir).select($"doc_id", $"text".as("orig"))
-    val joined = rebuilt.join(orig, "doc_id").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      assert(r.getAs[String]("text") === r.getAs[String]("orig"), s"doc ${r.get(0)}")
-      assert(r.getAs[Long]("n_dropped") === 0L)
+    // exercise a non-default segment width too: identity must hold for
+    // ANY window size, and this covers the segWords parameter
+    for (segWords <- Seq(3, TextAnalysis.SegWords)) {
+      val rebuilt = TextAnalysis.segDedup(spark, dir, segWords = segWords, maxDf = Int.MaxValue)
+      val joined = rebuilt.join(orig, "doc_id").collect()
+      assert(joined.nonEmpty)
+      joined.foreach { r =>
+        assert(r.getAs[String]("text") === r.getAs[String]("orig"), s"segWords=$segWords doc ${r.get(0)}")
+        assert(r.getAs[Long]("n_dropped") === 0L)
+      }
     }
   }
 

@@ -362,7 +362,10 @@ class PlanSpec extends AnyFunSuite {
   test("q30 merge applies the change feed with one key join and no cartesian") {
     val plan = Relational.q30MergeUpsert(spark, dir).queryExecution.optimizedPlan
     val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-    assert(joins.nonEmpty)
+    // exactly ONE join: updates and deletes fold through a single
+    // key-partitioned left join — a per-change-type join (or a join-based
+    // anti filter) would multiply the snapshot shuffles
+    assert(joins.size === 1, plan.toString)
     joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
   }
 
