@@ -24,7 +24,14 @@ object Bench {
     // host noise from real regressions mechanically. A query whose run
     // throws reports the sentinel -1 (and lands in "failed") instead of
     // silently contributing its fast failure time.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_pricing_summary,graph_pagerank — optional
+    // comma-separated filter for targeted iteration (detail file still
+    // written; driver runs never set it, so the contract is unchanged)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq
+      .sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -53,7 +60,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(3)(_._2)},"queries_max":${obj(3)(_._3)},"failed":$failed,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"), detail.getBytes("UTF-8"))
+    // a filtered run must not clobber the committed full-set record
+    val detailPath = if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_ONLY.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(2)(_._2)},"failed":$failed,"sf":"$sfDir"}"""
