@@ -244,19 +244,38 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // cluster-assignment cache per (session, dir): unlike the plan-keyed
+  // CacheManager reuse the signature index gets for free, the label
+  // FIXPOINT runs driver-orchestrated actions while the DataFrame is
+  // being CONSTRUCTED — so without an explicit cache every consumer
+  // (clusters, fuzzy curation, the pretraining pipeline) re-runs the
+  // whole LSH → large-star/small-star convergence. The assignment table
+  // is exactly what a production pipeline stores. Stopped sessions are
+  // evicted so the strong references can't pin dead contexts (the
+  // streamSessions discipline).
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** (doc_id, cluster_id) for every document — the label fixpoint alone,
     * without the cluster-size aggregation `clusters` adds on top.
     * Consumers that only need keepers (cluster_id == doc_id) skip a
     * corpus-sized shuffle by starting here.
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val labels = connectedComponents(minhashLsh(spark, dir).select($"id_a", $"id_b"))._1
-    Tables
-      .documents(spark, dir)
-      .select($"doc_id")
-      .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+    labelCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    labelCache.computeIfAbsent(
+      (spark, dir),
+      { case (s, d) =>
+        import s.implicits._
+        val labels = connectedComponents(minhashLsh(s, d).select($"id_a", $"id_b"))._1
+        Tables
+          .documents(s, d)
+          .select($"doc_id")
+          .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+          .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+          .persist()
+      }
+    )
   }
 
   /** Connected components over an undirected (id_a, id_b) pair set by

@@ -374,8 +374,9 @@ class PlanSpec extends AnyFunSuite {
     // the final plan re-reads documents only for singleton assignment
     // (+ its size-count reuse), never the shingle/minhash pipeline
     val df = graft.dedup.Dedup.clusters(spark, dir)
+    // any file scan must be documents-only; on a label-cache hit the
+    // plan reads the persisted assignment artifact and scans nothing
     val s = scans(df)
-    assert(s.nonEmpty)
     assert(s.forall(_.metadata("Location").contains("documents.parquet")), s.mkString("\n"))
     val plan = df.queryExecution.optimizedPlan.toString
     assert(!plan.contains("wordshingles") && !plan.contains("minhash"), plan)
