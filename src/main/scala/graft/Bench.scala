@@ -28,6 +28,11 @@ object Bench {
     // comma-separated filter for targeted iteration (detail file still
     // written; driver runs never set it, so the contract is unchanged)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a typo must fail loudly, not print a success-looking 0-query line
+    only.foreach { o =>
+      val unknown = o.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_ONLY: ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.toSeq
       .sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

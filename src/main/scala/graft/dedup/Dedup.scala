@@ -244,17 +244,18 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  // cluster-assignment cache per (session, dir): unlike the plan-keyed
-  // CacheManager reuse the signature index gets for free, the label
-  // FIXPOINT runs driver-orchestrated actions while the DataFrame is
-  // being CONSTRUCTED — so without an explicit cache every consumer
+  // cluster-assignment cache: unlike the plan-keyed CacheManager reuse
+  // the signature index gets for free, the label FIXPOINT runs
+  // driver-orchestrated actions while the DataFrame is being
+  // CONSTRUCTED — so without an explicit cache every consumer
   // (clusters, fuzzy curation, the pretraining pipeline) re-runs the
   // whole LSH → large-star/small-star convergence. The assignment table
-  // is exactly what a production pipeline stores. Stopped sessions are
-  // evicted so the strong references can't pin dead contexts (the
-  // streamSessions discipline).
+  // is exactly what a production pipeline stores. Keys carry the q22
+  // content fingerprint, so regenerated data under the same path can
+  // never serve stale labels; stopped sessions are evicted so the
+  // strong references can't pin dead contexts.
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** (doc_id, cluster_id) for every document — the label fixpoint alone,
     * without the cluster-size aggregation `clusters` adds on top.
@@ -263,19 +264,26 @@ object Dedup {
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     labelCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    labelCache.computeIfAbsent(
-      (spark, dir),
-      { case (s, d) =>
-        import s.implicits._
-        val labels = connectedComponents(minhashLsh(s, d).select($"id_a", $"id_b"))._1
-        Tables
-          .documents(s, d)
-          .select($"doc_id")
-          .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
-          .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
-          .persist()
+    val key = (spark, dir, graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet"))
+    // build OUTSIDE the map: the fixpoint runs multi-job Spark actions,
+    // far beyond what computeIfAbsent's bin lock should ever hold; a
+    // losing racer just unpersists its duplicate
+    val cached = labelCache.get(key)
+    if (cached != null) cached
+    else {
+      import spark.implicits._
+      val labels = connectedComponents(minhashLsh(spark, dir).select($"id_a", $"id_b"))._1
+      val built = Tables
+        .documents(spark, dir)
+        .select($"doc_id")
+        .join(labels.select($"u".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
+        .persist()
+      Option(labelCache.putIfAbsent(key, built)) match {
+        case Some(winner) => built.unpersist(); winner
+        case None         => built
       }
-    )
+    }
   }
 
   /** Connected components over an undirected (id_a, id_b) pair set by

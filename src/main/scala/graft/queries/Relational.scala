@@ -609,7 +609,7 @@ object Relational {
   /** Hex digest of the source files' (path, length, mtime) triples —
     * cheap (metadata-only) and changes whenever the data is regenerated.
     */
-  private def sourceFingerprint(spark: SparkSession, paths: String*): String = {
+  private[graft] def sourceFingerprint(spark: SparkSession, paths: String*): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val md = java.security.MessageDigest.getInstance("MD5")
     paths.foreach { p =>
