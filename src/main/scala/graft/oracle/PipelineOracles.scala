@@ -541,6 +541,51 @@ object PipelineOracles {
        |FROM ranked WHERE rank <= ${TextAnalysis.TfidfK}
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** Replays rational-idf BM25: identical map-side tf/dl integers,
+    * identical 1-row corpus stats, the IDENTICAL left-associated double
+    * expression per score term summed in query-term order, same
+    * (score DESC, doc_id) top-K cut.
+    */
+  val textBm25: String = {
+    val k1p1 = TextAnalysis.Bm25K1 + 1.0
+    val oneMinusB = 1.0 - TextAnalysis.Bm25B
+    val terms = TextAnalysis.Bm25Query
+    val tfCols = terms.zipWithIndex
+      .map { case (t, i) => s"CAST(len(list_filter(w, t -> t = '$t')) AS BIGINT) AS tf${i + 1}" }
+      .mkString(",\n|  ".stripMargin)
+    val dfCols = terms.indices
+      .map(i => s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}")
+      .mkString(", ")
+    val idfCols = terms.indices
+      .map { i =>
+        val d = i + 1
+        s"(CAST(n_docs AS DOUBLE) - CAST(df$d AS DOUBLE) + 0.5) / (CAST(df$d AS DOUBLE) + 0.5) AS idf$d"
+      }
+      .mkString(",\n  ")
+    val anyHit = terms.indices.map(i => s"tf${i + 1}").mkString(" + ") + " > 0"
+    val satSum = terms.indices
+      .map { i =>
+        val d = i + 1
+        s"idf$d * ((CAST(tf$d AS DOUBLE) * $k1p1) / (CAST(tf$d AS DOUBLE) + nrm))"
+      }
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+       |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfCols FROM tk),
+       |stats0 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |  $dfCols FROM base),
+       |stats AS (SELECT *, CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+       |  $idfCols FROM stats0),
+       |pre AS (SELECT base.*, stats.*,
+       |    ${TextAnalysis.Bm25K1} * ($oneMinusB + ${TextAnalysis.Bm25B} * (CAST(dl AS DOUBLE) / avgdl)) AS nrm
+       |  FROM base, stats WHERE $anyHit),
+       |scored AS (SELECT doc_id, dl, ${round6Sql(satSum)} AS score FROM pre),
+       |ranked AS (SELECT doc_id, dl, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT doc_id, dl AS n_tokens, score, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= ${TextAnalysis.Bm25TopK} ORDER BY rank""".stripMargin
+  }
+
   val textVocab: String =
     s"""WITH $bigramsCte,
        |uni AS (SELECT CAST(1 AS BIGINT) AS arity, t AS ngram, count(*) AS freq

@@ -432,6 +432,74 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  val Bm25K1 = 1.2 // term-frequency saturation
+  val Bm25B = 0.75 // document-length normalization
+  val Bm25TopK = 20 // result rows
+  /** Fixed retrieval query (the "search terms"); constants shared with the oracle. */
+  val Bm25Query: Seq[String] = Seq("spark", "query", "fast")
+
+  /** BM25 retrieval scoring of the corpus against the fixed
+    * [[Bm25Query]] term set — the ranking function behind corpus search
+    * and retrieval-based curation. The idf is the RATIONAL Robertson
+    * form (n − df + ½)/(df + ½) without the usual log wrapper — the
+    * same portability decision as [[tfidf]] (libm log is not
+    * bit-portable; the rational form is exactly replayable and keeps
+    * the saturation shape that makes BM25 BM25).
+    *
+    * Scale shape: the query vocabulary is FIXED and tiny, so per-doc
+    * term frequencies are array-filter counts computed map-side — the
+    * corpus never explodes to (doc, term) rows and never shuffles. The
+    * only aggregates are one 1-row corpus-stats pass (n_docs, Σdl, per-
+    * term df — map-side combined) broadcast back, and the final
+    * TakeOrdered top-[[Bm25TopK]]. The rank window runs on the K-row
+    * TakeOrdered output, never the corpus.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val n = Bm25Query.length
+    val tfs = Bm25Query.zipWithIndex.map { case (t, i) =>
+      size(filter($"w", x => x === lit(t))).cast("long").as(s"tf${i + 1}")
+    }
+    val base = Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", tokens($"text").as("w"))
+      .select($"doc_id" +: size($"w").cast("long").as("dl") +: tfs: _*)
+    val dfs = (1 to n).map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base
+      .agg(count(lit(1)).as("n_docs"), (sum($"dl").as("sum_dl") +: dfs): _*)
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
+    val idfs = (1 to n).map { i =>
+      (($"n_docs".cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))).as(s"idf$i")
+    }
+    val statsIdf = stats.select(col("*") +: idfs: _*)
+    val pre = base
+      .crossJoin(broadcast(statsIdf))
+      .filter((1 to n).map(i => col(s"tf$i")).reduceLeft(_ + _) > 0)
+      .withColumn(
+        "nrm",
+        lit(Bm25K1) * (lit(oneMinusB) + lit(Bm25B) * ($"dl".cast("double") / $"avgdl"))
+      )
+    val score = (1 to n)
+      .map { i =>
+        col(s"idf$i") * ((col(s"tf$i").cast("double") * lit(k1p1)) /
+          (col(s"tf$i").cast("double") + $"nrm"))
+      }
+      .reduceLeft(_ + _)
+    pre
+      .withColumn("score", round6(score))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(Bm25TopK)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long")
+      )
+      .select($"doc_id", $"dl".as("n_tokens"), $"score", $"rank")
+      .orderBy($"rank")
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * h ← (h·31 + codepoint) mod 1e9+7 over the text's characters, seeded
     * with 7 — a distributed-friendly content id that (unlike md5) can be

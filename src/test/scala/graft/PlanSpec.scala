@@ -241,6 +241,31 @@ class PlanSpec extends AnyFunSuite {
     assert(takeOrdered.size === 2, root.toString)
   }
 
+  test("text_bm25: no corpus explode, rank window only over the TakeOrdered top-k") {
+    val df = graft.text.TextAnalysis.bm25(spark, dir)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    val plan = root.toString
+    // per-doc tf is an array-filter count: the corpus never explodes to
+    // (doc, term) rows and never shuffles on terms
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the single-partition rank window is fed by the K-row TakeOrdered
+    // output, never the corpus
+    val windows = root.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, plan)
+    windows.foreach { w =>
+      val bounded = w.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }
+      assert(bounded.nonEmpty, w.toString)
+    }
+  }
+
   test("q27 ranking suite shares one window exchange across both specs") {
     val root = Relational.q27WindowSuite(spark, dir).queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
