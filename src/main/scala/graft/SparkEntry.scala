@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_quantized" -> ((s, d) => Similarity.topKQuantized(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -202,6 +203,7 @@ object SparkEntry {
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
     "sim_ann_ivf" -> PipelineOracles.simAnnIvf,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
+    "sim_quantized" -> PipelineOracles.simQuantized,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

@@ -84,6 +84,44 @@ case class FloatDotConst(child: Expression, consts: Array[Double]) extends Unary
     copy(child = newChild)
 }
 
+/** Integer dot product of two int-array columns accumulated in a long —
+  * the scoring kernel of the scalar-quantized (int8-style) ANN path.
+  * Integer sums are exact and associativity-free, so this one needs no
+  * fold-order contract at all; any engine summing the same products
+  * agrees bit-for-bit.
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Whole LSH bit-signature in ONE expression: bit p of the result is set
   * iff dot(v, planes(p)) > 0, with the dot accumulating doubles in
   * ascending index order — identical per-plane arithmetic to
@@ -143,6 +181,8 @@ case class LshSignature(child: Expression, planes: Array[Array[Double]]) extends
 object VectorExpressions {
   def fdot(a: Column, b: Column): Column =
     Bridge.column(FloatDotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def idot(a: Column, b: Column): Column =
+    Bridge.column(IntDotProduct(Bridge.expression(a), Bridge.expression(b)))
   def fdotConst(a: Column, consts: Array[Double]): Column =
     Bridge.column(FloatDotConst(Bridge.expression(a), consts))
   def lshSig(a: Column, planes: Array[Array[Double]]): Column =

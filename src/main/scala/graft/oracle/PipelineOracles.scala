@@ -57,6 +57,15 @@ object PipelineOracles {
        |  list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
        |  (acc, x) -> acc + x)""".stripMargin
 
+  /** Exact BIGINT dot product of two int-list columns (quantized ANN
+    * path). Integer sums are associativity-free, so unlike dotSql no
+    * fold-order contract is needed — any summation order agrees.
+    */
+  private def idotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
   /** Chained-sum dot product against literal hyperplane constants — left
     * association matches the fold in Portable.dotConst.
     */
@@ -298,6 +307,33 @@ object PipelineOracles {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+
+  /** Replays int8 scalar quantization end-to-end: the same corpus-wide
+    * max|component| scale, the same round-half-up component mapping
+    * (floor(x·scl + 0.5) — double ops in identical order), exact BIGINT
+    * dots, and the boundary-safe floor-based 6dp rounding (quantized
+    * cosines are integer ratios, exactly the class that can land on
+    * decimal-.5 boundaries where the engines' round() disagree).
+    */
+  val simQuantized: String = {
+    val q = Similarity.QuantRange
+    s"""WITH ma AS (SELECT max(list_max(list_transform(embedding, x -> abs(x)))) AS max_abs
+       |  FROM embeddings),
+       |quant0 AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * ($q / CAST(max_abs AS DOUBLE)) + 0.5) AS INT)) AS qe
+       |  FROM embeddings, ma),
+       |quant AS (SELECT vec_id, qe, sqrt(CAST(${idotSql("qe", "qe")} AS DOUBLE)) AS qn FROM quant0),
+       |q AS (SELECT vec_id AS query_id, qe AS qq, qn AS qqn FROM quant WHERE vec_id < ${Similarity.NumQueries}),
+       |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    CAST(${idotSql("q.qq", "n.qe")} AS DOUBLE) / (q.qqn * n.qn) AS cosine
+       |  FROM q, quant n WHERE n.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, ${round6Sql("cosine")} AS cosine
+       |FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
+  }
 
   val simAnnLsh: String =
     s"""WITH $embNorms,

@@ -209,6 +209,69 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  val QuantRange = 127.0 // symmetric int8 range
+
+  /** Scalar-quantized (int8-style) top-k cosine — the memory-reduction
+    * serving path every production vector store ships (FAISS SQ8,
+    * Lucene/Elasticsearch int8_hnsw): each float component maps to an
+    * integer in [−127, 127] under one corpus-wide symmetric scale, and
+    * scoring runs on integer dot products (4× smaller vectors, SIMD-int
+    * kernels). Quantization is round-half-up of x·(127/max|x|); the
+    * similarity is the cosine of the QUANTIZED vectors — exactly
+    * replayable cross-engine because integer dots are associativity-free
+    * (no fold-order contract needed, unlike the float path) and the
+    * division/sqrt are single IEEE ops on exact integer inputs.
+    *
+    * Scale shape: the corpus max|component| is one map-side-combined
+    * 1-row aggregate broadcast back; quantization is map-side; the query
+    * set broadcasts; and the top-k is the TopKByCosine Aggregator (k
+    * rows per partition ship, never every scored row — the same contract
+    * as sim_topk_agg).
+    */
+  def topKQuantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorExpressions.idot
+    val maxAbs = Tables
+      .embeddingsFanned(spark, dir)
+      .agg(max(array_max(transform($"embedding", x => abs(x)))).as("max_abs"))
+    val quant = Tables
+      .embeddingsFanned(spark, dir)
+      .crossJoin(broadcast(maxAbs))
+      .withColumn("scl", lit(QuantRange) / $"max_abs".cast("double"))
+      .withColumn(
+        "qe",
+        transform($"embedding", x => floor(x.cast("double") * $"scl" + lit(0.5)).cast("int"))
+      )
+      .withColumn("qn", sqrt(idot($"qe", $"qe").cast("double")))
+      .select($"vec_id", $"qe", $"qn")
+    val queries = quant
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"qe".as("qq"), $"qn".as("qqn"))
+    quant
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select(
+        $"query_id".as[Long],
+        struct(
+          $"vec_id".as("neighbor_id"),
+          (idot($"qq", $"qe").cast("double") / ($"qqn" * $"qn")).as("cosine")
+        ).as[Scored]
+      )
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKByCosine(TopK).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, s.neighbor_id, i + 1, s.cosine) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
+      .select(
+        $"query_id",
+        $"neighbor_id",
+        $"rank".cast("int").as("rank"),
+        graft.text.TextAnalysis.round6($"cosine").as("cosine")
+      )
+      .orderBy($"query_id", $"rank")
+  }
+
   val GraphK = 3
 
   /** k-NN graph over the WHOLE corpus — the input to graph-based semantic

@@ -212,6 +212,19 @@ class PlanSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
 
+  test("sim_quantized: top-k via the bounded aggregator, no raw-score window") {
+    val df = graft.similarity.Similarity.topKQuantized(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    // the per-query top-k is the TopKByCosine Aggregator (k rows per
+    // partition ship) — a Window here would shuffle every scored row
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, plan.toString)
+    // 1-row quantization stats and the query set broadcast; the corpus
+    // side never sits under a broadcast exchange
+    val physical = planString(df)
+    assert(physical.contains("BroadcastExchange"), physical)
+  }
+
   test("text_repetition is map-side: no exchange before the final result sort") {
     val root = graft.text.TextAnalysis.repetition(spark, dir).queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
