@@ -66,6 +66,7 @@ object SparkEntry {
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
+    "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
     // Event-time windowing
     "events_tumbling" -> ((s, d) => Events.tumbling(s, d)),
     "events_hopping" -> ((s, d) => Events.hopping(s, d)),
@@ -168,6 +169,7 @@ object SparkEntry {
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale
     ),
+    "graph_triangles" -> PipelineOracles.graphTriangles,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
     // the error against exact counts instead).

@@ -351,12 +351,13 @@ object PipelineOracles {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  /** Replays the corpus-wide kNN graph: symmetric band-bucket candidates
-    * (both directions of every collision), exact cosine re-rank, top
-    * GraphK per source vector.
+  /** CTE chain ending in `ranked` — the corpus-wide kNN graph: symmetric
+    * band-bucket candidates (both directions of every collision), exact
+    * cosine re-rank, row_number per source. Shared by simKnnGraph and
+    * graphTriangles so both replay the identical graph.
     */
-  val simKnnGraph: String =
-    s"""WITH $embNorms,
+  private val knnRankedCtes: String =
+    s"""$embNorms,
        |${embBands("norms")},
        |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
        |  FROM bands a JOIN bands b
@@ -366,9 +367,41 @@ object PipelineOracles {
        |  FROM cand JOIN norms s ON s.vec_id = cand.src_id JOIN norms d ON d.vec_id = cand.dst_id),
        |ranked AS (SELECT src_id, dst_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, dst_id) AS INT) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+
+  /** Replays the corpus-wide kNN graph: top GraphK per source vector. */
+  val simKnnGraph: String =
+    s"""WITH $knnRankedCtes
        |SELECT src_id, dst_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= ${Similarity.GraphK} ORDER BY src_id, rank""".stripMargin
+
+  /** Replays degree-ordered triangle counting over the same kNN graph:
+    * identical undirected edge set, identical (degree, id) orientation
+    * and wedge ordering, exact integer counts, one rounded double
+    * division for the clustering coefficient.
+    */
+  val graphTriangles: String =
+    s"""WITH $knnRankedCtes,
+       |knn AS (SELECT src_id, dst_id FROM ranked WHERE rank <= ${Similarity.GraphK}),
+       |und AS (SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b FROM knn),
+       |degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) GROUP BY node),
+       |oe AS (SELECT
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b) THEN und.a ELSE und.b END AS u,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b) THEN und.b ELSE und.a END AS v,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b) THEN db.deg ELSE da.deg END AS dv
+       |  FROM und JOIN degs da ON da.node = und.a JOIN degs db ON db.node = und.b),
+       |w AS (SELECT e1.v AS x, e2.v AS y FROM oe e1 JOIN oe e2
+       |  ON e1.u = e2.u AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))),
+       |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w JOIN oe ON oe.u = w.x AND oe.v = w.y),
+       |vstats AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       |    CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM degs),
+       |estats AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+       |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges > 0
+       |    THEN ${round6Sql("(3.0 * CAST(n_triangles AS DOUBLE)) / CAST(n_wedges AS DOUBLE)")}
+       |    ELSE 0.0 END AS global_clustering
+       |FROM vstats, estats, tri""".stripMargin
 
   /** Replays the IVF pipeline INCLUDING quantizer training: stride-
     * sample init, then Similarity.IvfLloydRounds Lloyd iterations —

@@ -62,6 +62,33 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counting matches a brute-force reference on random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7) // fixed seed: deterministic spec
+    for (_ <- 1 to 3) {
+      val pairs = (1 to 80)
+        .map(_ => (rng.nextInt(14).toLong + 1, rng.nextInt(14).toLong + 1))
+        .filter(p => p._1 != p._2)
+        .distinct
+      val row = Triangles.trianglesOnEdges(pairs.toDF("src_id", "dst_id")).collect().head
+      // reference: canonical undirected edge set, count ordered triples
+      val und = pairs.map(p => (p._1 min p._2, p._1 max p._2)).toSet
+      val nodes = und.flatMap(e => Set(e._1, e._2)).toSeq.sorted
+      val triples = for {
+        i <- nodes; j <- nodes if i < j && und((i, j))
+        k <- nodes if j < k && und((j, k)) && und((i, k))
+      } yield (i, j, k)
+      val wedges = nodes.map { n =>
+        val d = und.count(e => e._1 == n || e._2 == n).toLong
+        d * (d - 1) / 2
+      }.sum
+      assert(row.getAs[Long]("n_vertices") === nodes.size.toLong)
+      assert(row.getAs[Long]("n_edges") === und.size.toLong)
+      assert(row.getAs[Long]("n_wedges") === wedges)
+      assert(row.getAs[Long]("n_triangles") === triples.size.toLong, und.toSeq.sorted)
+    }
+  }
+
   test("the symmetrized graph covers every customer and supplier that traded") {
     import spark.implicits._
     val nodes = PageRank.pagerank(spark, dir).select($"node").collect().map(_.getLong(0)).toSet
