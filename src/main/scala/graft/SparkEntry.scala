@@ -77,6 +77,7 @@ object SparkEntry {
     "events_funnel" -> ((s, d) => Events.funnel(s, d)),
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_json_props" -> ((s, d) => Events.jsonProps(s, d)),
+    "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -182,6 +183,7 @@ object SparkEntry {
     "events_funnel" -> Oracles.eventsFunnel,
     "events_retention" -> Oracles.eventsRetention,
     "events_json_props" -> Oracles.eventsJsonProps,
+    "events_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ),
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window

@@ -420,6 +420,31 @@ object Oracles {
       |FROM r JOIN s ON r.cwk = s.cwk
       |ORDER BY 1, 2""".stripMargin
 
+  /** Replays z-score anomaly detection: identical fixed-point value
+    * scaling, exact integer window sums over the identical
+    * (epoch-µs, event_id) frame order — integer sums are immune to the
+    * engines' differing sliding-frame summation strategies — and the
+    * identical double op sequence for mean/var/z. DuckDB's HUGEINT
+    * window sums cast back to BIGINT before the double math.
+    */
+  def eventsAnomaly(window: Int, minPrior: Int, zThreshold: Double): String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
+       |st AS (SELECT event_id, user_id, v,
+       |    CAST(count(v) OVER w AS BIGINT) AS n_prior,
+       |    CAST(sum(v) OVER w AS BIGINT) AS s,
+       |    CAST(sum(v * v) OVER w AS BIGINT) AS ss
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id
+       |    ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)),
+       |m AS (SELECT *, CAST(s AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mean FROM st),
+       |vr AS (SELECT *, CAST(ss AS DOUBLE) / CAST(n_prior AS DOUBLE) - mean * mean AS varr
+       |  FROM m WHERE n_prior >= $minPrior),
+       |z AS (SELECT *, (CAST(v AS DOUBLE) - mean) / sqrt(varr) AS zval
+       |  FROM vr WHERE varr > 0)
+       |SELECT event_id, user_id, v AS value_scaled, n_prior,
+       |  floor(zval * 1e6 + 0.5) / 1e6 AS z
+       |FROM z WHERE abs(zval) > $zThreshold ORDER BY event_id""".stripMargin
+
   /** JSON extraction parity: Spark's from_json(k BIGINT) yields NULL for
     * anything but an integral JSON number (quoted "12", 3.7, missing key,
     * malformed document) — the json_type guard mirrors exactly that, and

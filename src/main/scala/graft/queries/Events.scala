@@ -212,6 +212,67 @@ object Events {
       .orderBy($"cohort_start", $"week_offset")
   }
 
+  val AnomWindow = 10 // trailing window (events) the baseline is fit on
+  val AnomMinPrior = 5 // minimum prior events before an event is scored
+  val AnomZ = 3.0 // |z| flag threshold
+
+  /** Trailing-window z-score anomaly detection — the telemetry-stream
+    * outlier flagger: each event is scored against the mean/std of its
+    * user's previous [[AnomWindow]] event values, and events with
+    * |z| > [[AnomZ]] (given ≥ [[AnomMinPrior]] priors and nonzero
+    * variance) are emitted.
+    *
+    * Values are fixed-point scaled (×10⁴, round-half-up) so the window
+    * sums Σv and Σv² are EXACT integers: Spark evaluates sliding frames
+    * incrementally while DuckDB uses segment trees, and a double-sum
+    * window would diverge between those summation orders — integer
+    * sums cannot. The mean/var/z doubles then derive from exact
+    * integers through one fixed op sequence each.
+    *
+    * Scale shape: one shuffle on user_id; per-user partitions are
+    * bounded by a user's own history; the frame is O(window) per row.
+    * No global window, no unbounded frame (the running-total frame in
+    * q11 is the contrasting case).
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"tu", $"event_id")
+      .rowsBetween(-AnomWindow, -1)
+    Tables
+      .events(spark, dir)
+      .select(
+        $"event_id",
+        $"user_id",
+        unix_micros($"ts").as("tu"),
+        floor($"value" * lit(10000.0) + lit(0.5)).cast("long").as("v")
+      )
+      // all three aggregates in ONE projection over the SAME spec, so
+      // Catalyst plans a single Window (one sort, one pass)
+      .select(
+        $"event_id",
+        $"user_id",
+        $"v",
+        count($"v").over(w).as("n_prior"),
+        sum($"v").over(w).as("s"),
+        sum($"v" * $"v").over(w).as("ss")
+      )
+      .withColumn("mean", $"s".cast("double") / $"n_prior".cast("double"))
+      .withColumn("varr", $"ss".cast("double") / $"n_prior".cast("double") - $"mean" * $"mean")
+      .filter($"n_prior" >= AnomMinPrior && $"varr" > 0)
+      .withColumn("z", ($"v".cast("double") - $"mean") / sqrt($"varr"))
+      .filter(abs($"z") > AnomZ)
+      .select(
+        $"event_id",
+        $"user_id",
+        $"v".as("value_scaled"),
+        $"n_prior",
+        graft.text.TextAnalysis.round6($"z").as("z")
+      )
+      .orderBy($"event_id")
+  }
+
   /** Semi-structured extraction: parse the JSON `props` payload with a
     * declared schema (`from_json`) and aggregate the extracted field per
     * event type — the schema-on-read path every telemetry pipeline

@@ -212,6 +212,19 @@ class PlanSpec extends AnyFunSuite {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
   }
 
+  test("events_anomaly: one user-keyed window, bounded frame, pushdown-friendly scan") {
+    val df = graft.queries.Events.anomaly(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // all three aggregates share ONE window (one sort, one pass) …
+    assert(windows.size === 1, plan.toString)
+    // … partitioned on user_id — never a global (single-task) window …
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    // … with the bounded trailing row frame, not an unbounded one
+    assert(plan.toString.contains("RowFrame, -10, -1"), plan.toString)
+    assert(!plan.toString.toLowerCase.contains("unboundedpreceding"), plan.toString)
+  }
+
   test("sim_quantized: top-k via the bounded aggregator, no raw-score window") {
     val df = graft.similarity.Similarity.topKQuantized(spark, dir)
     val plan = df.queryExecution.optimizedPlan
