@@ -274,6 +274,16 @@ object Similarity {
 
   val GraphK = 3
 
+  // The kNN graph IS a stored artifact in production (retrieval index /
+  // semantic-dedup input — built once, consumed by many) — so, like the
+  // minhash signature index, the cluster-assignment fixpoint, and the
+  // Lloyd quantizer, it is persisted per (session, dir, content
+  // fingerprint): sim_knn_graph and graph_triangles share one
+  // materialization instead of re-running LSH + re-rank each. Stopped
+  // sessions are evicted so strong references can't pin dead contexts.
+  private val knnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   /** k-NN graph over the WHOLE corpus — the input to graph-based semantic
     * dedup (SemDeDup-style clustering) and retrieval index builds: per
     * vector, its top-GraphK neighbors among LSH band-bucket candidates,
@@ -289,6 +299,26 @@ object Similarity {
     * lists ever outgrow a window partition.
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    knnCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val key = (
+      spark,
+      dir,
+      graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    )
+    // build OUTSIDE the map (multi-job Spark work, same discipline as
+    // Dedup.clusterLabels); a losing racer just unpersists its duplicate
+    val cached = knnCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = knnGraphUncached(spark, dir).persist()
+      Option(knnCache.putIfAbsent(key, built)) match {
+        case Some(winner) => built.unpersist(); winner
+        case None         => built
+      }
+    }
+  }
+
+  private[graft] def knnGraphUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val planes = hyperplanes(Dedup.EmbedPlanes, 64)
     val emb = corpusWithNorm(spark, dir)

@@ -203,7 +203,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sim_knn_graph: corpus×corpus candidates are an equi-join, never a cartesian product") {
-    val plan = graft.similarity.Similarity.knnGraph(spark, dir).queryExecution.optimizedPlan
+    // pin the BUILD plan: the public knnGraph serves the session-cached
+    // artifact, whose own plan is substituted by its InMemoryRelation
+    val plan = graft.similarity.Similarity.knnGraphUncached(spark, dir).queryExecution.optimizedPlan
     val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.nonEmpty)
     joins.foreach(j => assert(j.condition.nonEmpty, j.toString))
