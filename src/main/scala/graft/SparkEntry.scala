@@ -86,6 +86,7 @@ object SparkEntry {
     "stream_dedup" -> ((s, d) => StreamingQueries.dedupStream(s, d)),
     "stream_curate" -> ((s, d) => StreamingQueries.curateStream(s, d)),
     "stream_enrich" -> ((s, d) => StreamingQueries.enrichStream(s, d)),
+    "stream_anomaly" -> ((s, d) => StreamingQueries.anomalyStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -192,6 +193,8 @@ object SparkEntry {
     "stream_dedup" -> PipelineOracles.streamDedup,
     "stream_curate" -> PipelineOracles.streamCurate,
     "stream_enrich" -> PipelineOracles.streamEnrich,
+    // the drained streaming scorer equals the batch anomaly operator
+    "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ),
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     "dedup_containment" -> PipelineOracles.dedupContainment,

@@ -13,6 +13,14 @@ case class UserStat(n_events: Long, sum_value: Double)
 /** Open-session state for StreamingQueries.sessionize. */
 case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
 
+/** Ring-buffer state for StreamingQueries.anomalyStream: the user's last
+  * AnomWindow fixed-point values in event-time order.
+  */
+case class AnomState(ring: Seq[Long])
+
+/** An anomaly flagged by the streaming scorer. */
+case class AnomFlag(event_id: Long, user_id: Long, value_scaled: Long, n_prior: Long, z: Double)
+
 /** A closed session emitted by the sessionizer. */
 case class ClosedSession(
     user_id: Long,
@@ -325,6 +333,78 @@ object StreamingQueries {
     runToMemory(agg, "stream_user_stats", "update")
       .select($"user_id", $"n_events", round($"sum_raw", 4).as("sum_value"))
       .orderBy($"user_id")
+  }
+
+  /** Streaming z-score anomaly detection — the continuous twin of
+    * Events.anomaly: each user's last [[graft.queries.Events.AnomWindow]]
+    * fixed-point values ride in a typed ring-buffer GroupState, arriving
+    * events are scored against that ring (the IDENTICAL integer-sum →
+    * double mean/var/z sequence as the batch operator, so the same
+    * DuckDB oracle applies), and |z| > AnomZ flags emit in append mode.
+    *
+    * State is O(users × window) longs — bounded regardless of stream
+    * length — and needs no watermark or timeout to be correct (a
+    * production deployment would add an idle-user timeout purely to
+    * shed dead keys). Within a batch events are sorted by
+    * (event-time, event_id); like the sessionizer, cross-batch event-
+    * time regressions are the watermark's job — with the synchronous
+    * parquet drain the whole history is one in-order batch and the
+    * result equals the batch operator exactly.
+    */
+  def anomalyStream(spark: SparkSession, dir: String): DataFrame =
+    anomalyOnStream(eventStream(spark, dir))
+
+  /** The scorer over an already-constructed event stream (specs stage
+    * multi-batch arrivals through it).
+    */
+  private[graft] def anomalyOnStream(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    import graft.queries.Events.{AnomMinPrior, AnomWindow, AnomZ}
+    val fn = (
+        userId: Long,
+        events: Iterator[(Long, Long, java.sql.Timestamp, Double)],
+        state: GroupState[AnomState]
+    ) => {
+      val flags = scala.collection.mutable.ListBuffer.empty[AnomFlag]
+      var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty[Long])
+      val sorted = events.toArray
+        .map { case (_, id, t, value) =>
+          (DateTimeUtils.fromJavaTimestamp(t), id, math.floor(value * 10000.0 + 0.5).toLong)
+        }
+        .sortBy(e => (e._1, e._2))
+      sorted.foreach { case (_, id, v) =>
+        val n = ring.length
+        if (n >= AnomMinPrior) {
+          // the batch operator's exact op sequence on exact integer sums
+          var s = 0L; var ss = 0L
+          ring.foreach { r => s += r; ss += r * r }
+          val mean = s.toDouble / n.toDouble
+          val varr = ss.toDouble / n.toDouble - mean * mean
+          if (varr > 0) {
+            val z = (v.toDouble - mean) / math.sqrt(varr)
+            if (math.abs(z) > AnomZ)
+              flags += AnomFlag(id, userId, v, n.toLong, math.floor(z * 1e6 + 0.5) / 1e6)
+          }
+        }
+        ring = (ring :+ v).takeRight(AnomWindow)
+      }
+      state.update(AnomState(ring))
+      flags.iterator
+    }
+    val agg = stream
+      .select(
+        $"user_id".as[Long],
+        $"event_id".as[Long],
+        $"ts".as[java.sql.Timestamp],
+        $"value".as[Double]
+      )
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    runToMemory(agg.toDF, "stream_anomaly", "append")
+      .select($"event_id", $"user_id", $"value_scaled", $"n_prior", $"z")
+      .orderBy($"event_id")
   }
 
   /** Streaming curation: the language/quality gate of `pipeline_curate`

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.count() < batch.count(), "windows beyond the watermark must be withheld")
   }
 
+  test("streaming anomaly scorer carries ring state across batches and equals batch") {
+    import spark.implicits._
+    val src = twoBatchDir()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$src/batch0.parquet").schema
+    // two triggers split at the median timestamp: every user's ring
+    // buffer must survive the batch boundary for the result to match
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val got = graft.streaming.StreamingQueries
+      .anomalyOnStream(stream)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val want = graft.queries.Events
+      .anomaly(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    assert(got.sameElements(want))
+  }
+
   test("streaming sessionization (flatMapGroupsWithState + event-time timeout) matches batch sessions") {
     import spark.implicits._
     val emitted = StreamingQueries.sessionize(spark, dir)
