@@ -184,7 +184,7 @@ object SparkEntry {
     "events_funnel" -> Oracles.eventsFunnel,
     "events_retention" -> Oracles.eventsRetention,
     "events_json_props" -> Oracles.eventsJsonProps,
-    "events_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ),
+    "events_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window
@@ -194,7 +194,7 @@ object SparkEntry {
     "stream_curate" -> PipelineOracles.streamCurate,
     "stream_enrich" -> PipelineOracles.streamEnrich,
     // the drained streaming scorer equals the batch anomaly operator
-    "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ),
+    "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     "dedup_containment" -> PipelineOracles.dedupContainment,

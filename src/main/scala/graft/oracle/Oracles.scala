@@ -427,9 +427,9 @@ object Oracles {
     * identical double op sequence for mean/var/z. DuckDB's HUGEINT
     * window sums cast back to BIGINT before the double math.
     */
-  def eventsAnomaly(window: Int, minPrior: Int, zThreshold: Double): String =
+  def eventsAnomaly(window: Int, minPrior: Int, zThreshold: Double, scale: Double): String =
     s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tu,
-       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v FROM events),
+       |    CAST(floor(value * $scale + 0.5) AS BIGINT) AS v FROM events),
        |st AS (SELECT event_id, user_id, v,
        |    CAST(count(v) OVER w AS BIGINT) AS n_prior,
        |    CAST(sum(v) OVER w AS BIGINT) AS s,

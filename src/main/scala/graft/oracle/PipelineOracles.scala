@@ -323,7 +323,8 @@ object PipelineOracles {
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * ($q / CAST(max_abs AS DOUBLE)) + 0.5) AS INT)) AS qe
        |  FROM embeddings, ma),
-       |quant AS (SELECT vec_id, qe, sqrt(CAST(${idotSql("qe", "qe")} AS DOUBLE)) AS qn FROM quant0),
+       |quant1 AS (SELECT vec_id, qe, sqrt(CAST(${idotSql("qe", "qe")} AS DOUBLE)) AS qn FROM quant0),
+       |quant AS (SELECT * FROM quant1 WHERE qn > 0),
        |q AS (SELECT vec_id AS query_id, qe AS qq, qn AS qqn FROM quant WHERE vec_id < ${Similarity.NumQueries}),
        |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
        |    CAST(${idotSql("q.qq", "n.qe")} AS DOUBLE) / (q.qqn * n.qn) AS cosine

@@ -216,6 +216,14 @@ object Events {
   val AnomMinPrior = 5 // minimum prior events before an event is scored
   val AnomZ = 3.0 // |z| flag threshold
 
+  /** Fixed-point scale for anomaly values — shared by the batch operator,
+    * the streaming scorer, and the oracle. Domain bound: Σv² over the
+    * window must stay inside a long, i.e. |value| ≲ 9.6e4 at this scale
+    * (beyond it DuckDB errors loudly on BIGINT overflow while Spark
+    * wraps silently) — lower the scale for wider value domains.
+    */
+  val AnomScale = 10000.0
+
   /** Trailing-window z-score anomaly detection — the telemetry-stream
     * outlier flagger: each event is scored against the mean/std of its
     * user's previous [[AnomWindow]] event values, and events with
@@ -246,7 +254,7 @@ object Events {
         $"event_id",
         $"user_id",
         unix_micros($"ts").as("tu"),
-        floor($"value" * lit(10000.0) + lit(0.5)).cast("long").as("v")
+        floor($"value" * lit(AnomScale) + lit(0.5)).cast("long").as("v")
       )
       // all three aggregates in ONE projection over the SAME spec, so
       // Catalyst plans a single Window (one sort, one pass)

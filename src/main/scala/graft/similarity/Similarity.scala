@@ -77,6 +77,20 @@ object Similarity {
           (dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cosine")
         ).as[Scored]
       )
+    rankTopK(scored, round($"cosine", 6))
+  }
+
+  /** Shared top-k assembly: bounded TopKByCosine aggregation per query,
+    * flattened to (query_id, neighbor_id, rank, cosine) with the given
+    * rounding applied. Both the float and the quantized aggregator paths
+    * end here, so tie-break/rank semantics can never diverge.
+    */
+  private def rankTopK(
+      scored: org.apache.spark.sql.Dataset[(Long, Scored)],
+      roundedCosine: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     scored
       .groupByKey(_._1)
       .mapValues(_._2)
@@ -85,7 +99,7 @@ object Similarity {
         top.zipWithIndex.map { case (s, i) => (qid, s.neighbor_id, i + 1, s.cosine) }
       }
       .toDF("query_id", "neighbor_id", "rank", "cosine")
-      .select($"query_id", $"neighbor_id", $"rank".cast("int").as("rank"), round($"cosine", 6).as("cosine"))
+      .select($"query_id", $"neighbor_id", $"rank".cast("int").as("rank"), roundedCosine.as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -243,11 +257,17 @@ object Similarity {
         transform($"embedding", x => floor(x.cast("double") * $"scl" + lit(0.5)).cast("int"))
       )
       .withColumn("qn", sqrt(idot($"qe", $"qe").cast("double")))
+      // a vector whose every |component| < max_abs/254 quantizes to all
+      // zeros (qn = 0) and has no defined cosine — excluded on both
+      // engines, or the 0/0 NaN would rank nondeterministically here and
+      // first in the oracle's DESC sort. The float paths can't hit this
+      // (only an exactly-zero vector has norm 0); quantization can.
+      .filter($"qn" > 0)
       .select($"vec_id", $"qe", $"qn")
     val queries = quant
       .filter($"vec_id" < NumQueries)
       .select($"vec_id".as("query_id"), $"qe".as("qq"), $"qn".as("qqn"))
-    quant
+    val scored = quant
       .join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select(
         $"query_id".as[Long],
@@ -256,20 +276,9 @@ object Similarity {
           (idot($"qq", $"qe").cast("double") / ($"qqn" * $"qn")).as("cosine")
         ).as[Scored]
       )
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new TopKByCosine(TopK).toColumn)
-      .flatMap { case (qid, top) =>
-        top.zipWithIndex.map { case (s, i) => (qid, s.neighbor_id, i + 1, s.cosine) }
-      }
-      .toDF("query_id", "neighbor_id", "rank", "cosine")
-      .select(
-        $"query_id",
-        $"neighbor_id",
-        $"rank".cast("int").as("rank"),
-        graft.text.TextAnalysis.round6($"cosine").as("cosine")
-      )
-      .orderBy($"query_id", $"rank")
+    // round6, not round(_, 6): quantized cosines are integer ratios —
+    // exactly the class that can land on decimal-.5 boundaries
+    rankTopK(scored, graft.text.TextAnalysis.round6($"cosine"))
   }
 
   val GraphK = 3

@@ -361,7 +361,7 @@ object StreamingQueries {
     val spark = stream.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    import graft.queries.Events.{AnomMinPrior, AnomWindow, AnomZ}
+    import graft.queries.Events.{AnomMinPrior, AnomScale, AnomWindow, AnomZ}
     val fn = (
         userId: Long,
         events: Iterator[(Long, Long, java.sql.Timestamp, Double)],
@@ -371,7 +371,7 @@ object StreamingQueries {
       var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty[Long])
       val sorted = events.toArray
         .map { case (_, id, t, value) =>
-          (DateTimeUtils.fromJavaTimestamp(t), id, math.floor(value * 10000.0 + 0.5).toLong)
+          (DateTimeUtils.fromJavaTimestamp(t), id, math.floor(value * AnomScale + 0.5).toLong)
         }
         .sortBy(e => (e._1, e._2))
       sorted.foreach { case (_, id, v) =>
