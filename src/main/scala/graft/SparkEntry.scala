@@ -78,6 +78,7 @@ object SparkEntry {
     "events_retention" -> ((s, d) => Events.retention(s, d)),
     "events_json_props" -> ((s, d) => Events.jsonProps(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
+    "events_top_paths" -> ((s, d) => Events.topPaths(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -185,6 +186,7 @@ object SparkEntry {
     "events_retention" -> Oracles.eventsRetention,
     "events_json_props" -> Oracles.eventsJsonProps,
     "events_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
+    "events_top_paths" -> Oracles.eventsTopPaths(Events.PathsTopK),
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window

@@ -420,6 +420,20 @@ object Oracles {
       |FROM r JOIN s ON r.cwk = s.cwk
       |ORDER BY 1, 2""".stripMargin
 
+  /** Replays the transition ranking: identical per-user
+    * (epoch-µs, event_id) lead order, exact integer counts, same
+    * (count DESC, from, to) top-K cut.
+    */
+  def eventsTopPaths(k: Int): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu, event_type FROM events),
+       |nx AS (SELECT event_type AS from_type,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS to_type
+       |  FROM e),
+       |t AS (SELECT from_type, to_type, count(*) AS n_transitions
+       |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT from_type, to_type, n_transitions FROM t
+       |ORDER BY n_transitions DESC, from_type, to_type LIMIT $k""".stripMargin
+
   /** Replays z-score anomaly detection: identical fixed-point value
     * scaling, exact integer window sums over the identical
     * (epoch-µs, event_id) frame order — integer sums are immune to the

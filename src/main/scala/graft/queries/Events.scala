@@ -281,6 +281,36 @@ object Events {
       .orderBy($"event_id")
   }
 
+  val PathsTopK = 20 // transition pairs kept
+
+  /** Top event-type transitions (the Markov-path / user-journey
+    * operator behind "what do users do after X" product analytics):
+    * per user, consecutive events ordered by (event-time, event_id)
+    * form (from_type, to_type) transitions; the corpus-wide transition
+    * counts are ranked and the top [[PathsTopK]] emitted.
+    *
+    * Scale shape: one shuffle on user_id for the lead() window (frames
+    * are per-user, bounded by a user's own history); the transition
+    * aggregate partial-combines to at most #types² rows before its
+    * exchange; the final cut is TakeOrdered. Counts are exact integers —
+    * nothing here needs a rounding contract.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"tu", $"event_id")
+    Tables
+      .events(spark, dir)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("tu"), $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy($"n_transitions".desc, $"from_type", $"to_type")
+      .limit(PathsTopK)
+  }
+
   /** Semi-structured extraction: parse the JSON `props` payload with a
     * declared schema (`from_json`) and aggregate the extracted field per
     * event type — the schema-on-read path every telemetry pipeline

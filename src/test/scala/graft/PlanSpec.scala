@@ -227,6 +227,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toString.toLowerCase.contains("unboundedpreceding"), plan.toString)
   }
 
+  test("events_top_paths: user-keyed lead window, partial-agg transitions, TakeOrdered cut") {
+    val df = graft.queries.Events.topPaths(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.size === 1, plan.toString)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    val physical = planString(df)
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+    assert(physical.contains("partial_count"), physical) // map-side combine before the exchange
+  }
+
   test("sim_quantized: top-k via the bounded aggregator, no raw-score window") {
     val df = graft.similarity.Similarity.topKQuantized(spark, dir)
     val plan = df.queryExecution.optimizedPlan
