@@ -98,6 +98,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
@@ -207,6 +208,7 @@ object SparkEntry {
     "dedup_simhash" -> PipelineOracles.dedupSimhash,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
     "dedup_clusters" -> PipelineOracles.dedupClusters,
+    "dedup_lsh_recall" -> PipelineOracles.dedupLshRecall,
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,

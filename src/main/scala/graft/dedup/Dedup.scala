@@ -548,4 +548,40 @@ object Dedup {
       .select($"id_a", $"id_b", round($"cosine", 6).as("cosine"))
       .orderBy($"id_a", $"id_b")
   }
+
+  /** LSH recall evaluation — the QA gate every production fuzzy-dedup
+    * pipeline runs before trusting its index: the verified MinHash-LSH
+    * pair set measured against the exact inverted-index truth at the
+    * same Jaccard threshold. Since verification re-scores candidates
+    * with true Jaccard, LSH pairs ⊆ exact pairs and the one number that
+    * matters is recall (what the banding missed); n_hit is kept as the
+    * structural check that the containment actually holds.
+    *
+    * Scale shape: both inputs are near-dup PAIR sets (orders of
+    * magnitude below the corpus); the semi-join keys on the id pair and
+    * the counts are 1-row map-side-combined aggregates. The expensive
+    * parts — signatures and the exact index — are the operators under
+    * evaluation, not overhead added by it (and at 100 TB the exact side
+    * would run on a SAMPLE of the corpus: the estimator is unchanged).
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = ngramJaccard(spark, dir).select($"id_a", $"id_b")
+    val lsh = minhashLsh(spark, dir).select($"id_a", $"id_b")
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+    val hit = exact
+      .join(lsh, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    ne.crossJoin(nl)
+      .crossJoin(hit)
+      .select(
+        $"n_exact",
+        $"n_lsh",
+        $"n_hit",
+        when($"n_exact" > 0, graft.text.TextAnalysis.round6($"n_hit" / $"n_exact"))
+          .otherwise(lit(1.0))
+          .as("recall")
+      )
+  }
 }

@@ -213,6 +213,22 @@ object PipelineOracles {
     s"""WITH $minhashCtes
        |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
 
+  /** Replays the recall evaluation off the SAME shared CTEs: exact
+    * pairs from the inverted index (`common`), verified LSH pairs from
+    * the band candidates (`cand`), exact integer counts, one rounded
+    * division.
+    */
+  val dedupLshRecall: String =
+    s"""WITH $minhashCtes,
+       |ex AS (SELECT id_a, id_b FROM (${jaccardSelect("common", Dedup.NgramThreshold, ordered = false)})),
+       |lv AS (SELECT id_a, id_b FROM (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)})),
+       |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lv),
+       |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM ex JOIN lv USING (id_a, id_b))
+       |SELECT n_exact, n_lsh, n_hit,
+       |  CASE WHEN n_exact > 0 THEN ${round6Sql("n_hit / n_exact")} ELSE 1.0 END AS recall
+       |FROM ne, nl, h""".stripMargin
+
   /** Connected components over the minhash-LSH pair set via a recursive
     * min-reachable-label CTE: `reach` accumulates, for every doc, every
     * label reachable over pair edges (seeded with the doc's own id);
