@@ -35,6 +35,20 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
+  test("int8-quantized top-k recalls at least 80% of the exact float top-k") {
+    import spark.implicits._
+    // the quantization error bound (2^-8 per component) should barely
+    // perturb neighbor ranking; large recall loss would mean the scale
+    // or rounding is wrong even though the oracle replay still matches
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.similarity.Similarity.topKBruteForce(spark, dir))
+    val quant = pairs(graft.similarity.Similarity.topKQuantized(spark, dir))
+    assert(exact.nonEmpty)
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall (${(exact & quant).size}/${exact.size})")
+  }
+
   test("KMV distinct estimate within 3 standard errors of the exact count") {
     import spark.implicits._
     val est = Relational.q23KmvDistinct(spark, dir).collect()
