@@ -185,7 +185,14 @@ object Similarity {
     * O(corpus × probes / cells), never a full scan. Ties in the
     * argmax break to the lowest centroid id on both engines.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, IvfProbes)
+
+  /** `probes` is the recall/cost knob: each additional probe scans one
+    * more inverted list per query (cost ∝ probes/cells of the corpus);
+    * ApproxSpec pins that recall is monotone in it.
+    */
+  def annIvf(spark: SparkSession, dir: String, probes: Int): DataFrame = {
     import spark.implicits._
     val emb = corpusWithNorm(spark, dir)
     val cents = lloydCentroids(emb)
@@ -202,7 +209,7 @@ object Similarity {
     val qprobe = scoredCells
       .filter($"vec_id" < NumQueries)
       .withColumn("rn", row_number().over(wProbe))
-      .filter($"rn" <= IvfProbes)
+      .filter($"rn" <= probes)
       .select($"vec_id".as("query_id"), $"cid")
     val cand = cell
       .join(broadcast(qprobe), "cid")

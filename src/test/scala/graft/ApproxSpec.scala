@@ -49,6 +49,33 @@ class ApproxSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"quantized recall $recall (${(exact & quant).size}/${exact.size})")
   }
 
+  test("IVF recall is monotone in the probe count with sane floors") {
+    import spark.implicits._
+    // the coarse quantizer trades recall for cell-bounded probe cost and
+    // `probes` is the knob — a quantizer regression (bad centroids,
+    // wrong probe ranking) breaks the monotone curve or the floors.
+    // Measured on this corpus: 0.3 / 0.5 / 0.8 for probes 1 / 2 / 4 of
+    // the ~10 cells (near-uniform synthetic embeddings scatter true
+    // neighbors across cells, so recall ≈ probed corpus fraction plus
+    // the structure the quantizer finds).
+    def pairs(df: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Long)] =
+      df.filter($"rank" <= k)
+        .select($"query_id", $"neighbor_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    val exact = pairs(graft.similarity.Similarity.topKBruteForce(spark, dir), 3)
+    assert(exact.nonEmpty)
+    def recall(probes: Int): Double = {
+      val ivf = pairs(graft.similarity.Similarity.annIvf(spark, dir, probes), 3)
+      (exact & ivf).size.toDouble / exact.size
+    }
+    val (r1, r2, r4) = (recall(1), recall(2), recall(4))
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1 / $r2 / $r4")
+    assert(r2 >= 0.4, s"probe=2 recall $r2")
+    assert(r4 >= 0.7, s"probe=4 recall $r4")
+  }
+
   test("KMV distinct estimate within 3 standard errors of the exact count") {
     import spark.implicits._
     val est = Relational.q23KmvDistinct(spark, dir).collect()
