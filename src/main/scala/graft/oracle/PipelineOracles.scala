@@ -216,12 +216,14 @@ object PipelineOracles {
   /** Replays the recall evaluation off the SAME shared CTEs: exact
     * pairs from the inverted index (`common`), verified LSH pairs from
     * the band candidates (`cand`), exact integer counts, one rounded
-    * division.
+    * division. The pair sets are MATERIALIZED — each is referenced
+    * twice, and DuckDB would otherwise inline (re-evaluate) the whole
+    * shingle + minhash chain per reference (see graphTriangles).
     */
   val dedupLshRecall: String =
     s"""WITH $minhashCtes,
-       |ex AS (SELECT id_a, id_b FROM (${jaccardSelect("common", Dedup.NgramThreshold, ordered = false)})),
-       |lv AS (SELECT id_a, id_b FROM (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)})),
+       |ex AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSelect("common", Dedup.NgramThreshold, ordered = false)})),
+       |lv AS MATERIALIZED (SELECT id_a, id_b FROM (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)})),
        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lv),
        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM ex JOIN lv USING (id_a, id_b))
@@ -396,14 +398,19 @@ object PipelineOracles {
     * identical undirected edge set, identical (degree, id) orientation
     * and wedge ordering, exact integer counts, one rounded double
     * division for the clustering coefficient.
+    *
+    * The small intermediate sets are MATERIALIZED: DuckDB inlines
+    * plain CTEs per reference, so the multiply-referenced edge list
+    * would re-evaluate the entire 64-plane kNN chain each time (~25×
+    * slower and an OOM risk under a loaded oracle session).
     */
   val graphTriangles: String =
     s"""WITH $knnRankedCtes,
-       |knn AS (SELECT src_id, dst_id FROM ranked WHERE rank <= ${Similarity.GraphK}),
-       |und AS (SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b FROM knn),
-       |degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       |knn AS MATERIALIZED (SELECT src_id, dst_id FROM ranked WHERE rank <= ${Similarity.GraphK}),
+       |und AS MATERIALIZED (SELECT DISTINCT least(src_id, dst_id) AS a, greatest(src_id, dst_id) AS b FROM knn),
+       |degs AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg
        |  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) GROUP BY node),
-       |oe AS (SELECT
+       |oe AS MATERIALIZED (SELECT
        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b) THEN und.a ELSE und.b END AS u,
        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b) THEN und.b ELSE und.a END AS v,
        |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND und.a < und.b) THEN db.deg ELSE da.deg END AS dv
