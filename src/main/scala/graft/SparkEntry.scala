@@ -54,6 +54,7 @@ object SparkEntry {
     "q19_lag_lead" -> ((s, d) => Relational.q19LagLead(s, d)),
     "q20_percentiles" -> ((s, d) => Relational.q20Percentiles(s, d)),
     "q21_approx_sketches" -> ((s, d) => Relational.q21ApproxSketches(s, d)),
+    "q21_sketch_gate" -> ((s, d) => Relational.q21SketchGate(s, d)),
     "q22_bucketed_join" -> ((s, d) => Relational.q22BucketedJoin(s, d)),
     "q23_kmv_distinct" -> ((s, d) => Relational.q23KmvDistinct(s, d)),
     "q24_set_ops" -> ((s, d) => Relational.q24SetOps(s, d)),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q18_collect_list" -> Oracles.q18CollectList,
     "q19_lag_lead" -> Oracles.q19LagLead,
     "q20_percentiles" -> Oracles.q20Percentiles,
+    "q21_sketch_gate" -> Oracles.q21SketchGate,
     "q22_bucketed_join" -> Oracles.q22BucketedJoin,
     "q23_kmv_distinct" -> Oracles.q23KmvDistinct,
     "q24_set_ops" -> Oracles.q24SetOps,
@@ -176,7 +178,8 @@ object SparkEntry {
     "graph_triangles" -> PipelineOracles.graphTriangles,
     // q21_approx_sketches intentionally has no oracle: HLL/KLL sketch
     // internals are engine-specific (rows-only check; ApproxSpec bounds
-    // the error against exact counts instead).
+    // the error against exact counts, and q21_sketch_gate hash-checks
+    // the exact columns + the error-bound invariants).
     "events_tumbling" -> Oracles.eventsTumbling,
     "events_hopping" -> Oracles.eventsHopping,
     "events_sessions" -> Oracles.eventsSessions,

@@ -264,10 +264,20 @@ object Dedup {
     */
   private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     labelCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val key = (spark, dir, graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet"))
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val key = (spark, dir, fp)
+    // evict superseded fingerprints for this (spark, dir): regenerated
+    // source data must not leave the old labels pinned in executor memory
+    val it = labelCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2 == dir && e.getKey._3 != fp) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
     // build OUTSIDE the map: the fixpoint runs multi-job Spark actions,
-    // far beyond what computeIfAbsent's bin lock should ever hold; a
-    // losing racer just unpersists its duplicate
+    // far beyond what computeIfAbsent's bin lock should ever hold
     val cached = labelCache.get(key)
     if (cached != null) cached
     else {
@@ -280,7 +290,10 @@ object Dedup {
         .select($"doc_id", coalesce($"lbl", $"doc_id").as("cluster_id"))
         .persist()
       Option(labelCache.putIfAbsent(key, built)) match {
-        case Some(winner) => built.unpersist(); winner
+        // the loser must NOT unpersist: CacheManager keys entries by
+        // canonicalized plan and both racers' plans are identical, so
+        // unpersisting the duplicate would evict the winner's cache too
+        case Some(winner) => winner
         case None         => built
       }
     }

@@ -72,8 +72,11 @@ object PageRank {
     // 5-round chain evaluate lazily as one job was ~15% SLOWER at sf0.1
     // (Catalyst + AQE re-optimize the deep nested plan at every stage);
     // materializing each round keeps every optimization pass O(one
-    // round's plan), and the superseded checkpoint unpersists so cached
-    // blocks never accumulate with the round count
+    // round's plan). Superseded checkpoints are NOT explicitly
+    // unpersisted — Dataset.unpersist is a no-op for a localCheckpoint
+    // (CacheManager has no entry for its LogicalRDD); once this loop
+    // drops the reference, the ContextCleaner reclaims the blocks after
+    // GC, which is fine for a fixed 5 rounds of node-sized rank tables
     for (_ <- 1 to Iterations) {
       val contrib = wedges
         .join(ranks, $"src" === $"node")
@@ -87,7 +90,6 @@ object PageRank {
           (lit(15L * Scale / 100L) + expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank")
         )
         .localCheckpoint()
-      ranks.unpersist()
       ranks = next
     }
     ranks.orderBy($"node")

@@ -55,14 +55,20 @@ object Triangles {
       .join(degs.select($"node".as("a"), $"deg".as("da")), "a")
       .join(degs.select($"node".as("b"), $"deg".as("db")), "b")
     val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
-    // oriented edge u → v with v's degree carried for the wedge ordering
+    // oriented edge u → v with v's degree carried for the wedge ordering.
+    // localCheckpoint (not persist): it is read three times below (both
+    // wedge sides + the closing join), and a persist() entry would live
+    // in CacheManager keyed by plan for the JVM lifetime with no safe
+    // point to unpersist before the lazy result materializes; checkpoint
+    // blocks are instead reclaimed by the ContextCleaner once callers
+    // drop the returned plan, so repeated calls don't accumulate caches
     val oe = j
       .select(
         when(lowFirst, $"a").otherwise($"b").as("u"),
         when(lowFirst, $"b").otherwise($"a").as("v"),
         when(lowFirst, $"db").otherwise($"da").as("dv")
       )
-      .persist()
+      .localCheckpoint()
     val wedges = oe
       .as("e1")
       .join(

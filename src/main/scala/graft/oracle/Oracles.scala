@@ -225,6 +225,19 @@ object Oracles {
       |  round(max(l_extendedprice), 4) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The sketch-bound booleans are literal TRUE: the oracle's power is
+    * the invariant itself — if Spark's sketch estimate leaves its bound,
+    * the Spark side computes FALSE and the hash goes red.
+    */
+  val q21SketchGate: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_in_bound,
+      |  TRUE AS orders_in_bound,
+      |  TRUE AS median_in_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val eventsAsof: String =
     """SELECT c.event_id, c.user_id, p.ts AS purchase_ts, p.value AS purchase_value
       |FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -526,6 +526,56 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Companion hash-gate for q21 (VERDICT r7 task #4): the raw HLL/KLL
+    * estimates are engine-internal and stay oracle-free in
+    * q21_approx_sketches, but this query IS fully hash-checked — it
+    * emits (a) the EXACT per-group distinct counts and (b) one boolean
+    * per sketch asserting the estimate landed inside its documented
+    * error bound (±5% of exact for the 2%-rsd HLLs; exact [p40, p60]
+    * corridor for the accuracy-10000 median). The DuckDB oracle emits
+    * the exact counts and literal TRUE for each bound, so any sketch
+    * drift — an engine upgrade changing HLL internals, a bad merge —
+    * flips the hash red instead of hiding behind a rows-only check.
+    *
+    * Scale: two partial-aggregable passes over lineitem (exact
+    * count-distinct expands to the standard two-level aggregate) joined
+    * on the 3-row group key — the join is a broadcast of single-digit
+    * rows. Sketch accuracy itself does not degrade with corpus size
+    * (HLL rsd is a function of register count only).
+    */
+  def q21SketchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val exact = li
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        percentile($"l_extendedprice", lit(0.4)).as("p40"),
+        percentile($"l_extendedprice", lit(0.6)).as("p60")
+      )
+    val approx = li
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median")
+      )
+    exact
+      .join(approx, Seq("l_returnflag"))
+      .select(
+        $"l_returnflag",
+        $"exact_parts",
+        $"exact_orders",
+        (abs($"approx_parts" - $"exact_parts") <= lit(0.05) * $"exact_parts")
+          .as("parts_in_bound"),
+        (abs($"approx_orders" - $"exact_orders") <= lit(0.05) * $"exact_orders")
+          .as("orders_in_bound"),
+        ($"approx_median" >= $"p40" && $"approx_median" <= $"p60").as("median_in_bound")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** Set operations (INTERSECT / EXCEPT): urgent-priority orders vs
     * high-value orders. Both plan as aggregated semi/anti joins —
     * shuffle on the full row as key — so they inherit the join family's

@@ -316,19 +316,31 @@ object Similarity {
     */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     knnCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    val key = (
-      spark,
-      dir,
-      graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
-    )
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val key = (spark, dir, fp)
+    // evict superseded fingerprints for this (spark, dir): if the source
+    // under dir is regenerated mid-session, the stale entry would
+    // otherwise pin its persisted blocks for the session's lifetime
+    val it = knnCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2 == dir && e.getKey._3 != fp) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
     // build OUTSIDE the map (multi-job Spark work, same discipline as
-    // Dedup.clusterLabels); a losing racer just unpersists its duplicate
+    // Dedup.clusterLabels)
     val cached = knnCache.get(key)
     if (cached != null) cached
     else {
       val built = knnGraphUncached(spark, dir).persist()
       Option(knnCache.putIfAbsent(key, built)) match {
-        case Some(winner) => built.unpersist(); winner
+        // the loser must NOT unpersist: CacheManager keys entries by
+        // canonicalized plan and both racers' plans are identical, so
+        // unpersisting the duplicate would evict the winner's cache too.
+        // persist() is idempotent per plan — dropping the handle is free.
+        case Some(winner) => winner
         case None         => built
       }
     }
