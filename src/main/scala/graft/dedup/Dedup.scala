@@ -51,12 +51,18 @@ object Dedup {
     * Uses the native one-pass WordShingles expression (same set semantics
     * as Portable.shingles/the oracle; ~10× the declarative HOF chain).
     */
-  private def shingleRows(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables
-      .documentsFanned(spark, dir)
-      .select($"doc_id", explode(graft.functions.TextExpressions.wordShingles(lower($"text"))).as("sh"))
-  }
+  /** (doc_id, sh) shingle rows of an arbitrary documents slice — the
+    * incremental path shingles only its batch + candidate slices, never
+    * the whole corpus, so the generator must be subset-capable.
+    */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(graft.functions.TextExpressions.wordShingles(lower(col("text")))).as("sh")
+    )
+
+  private def shingleRows(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documentsFanned(spark, dir))
 
   /** Pairwise intersection sizes via the inverted index: one shingle-key
     * join + count aggregation — never materializes per-pair shingle
@@ -398,6 +404,36 @@ object Dedup {
 
   val NewBatchMod = 5 // incremental split: doc_id % NewBatchMod == 0 is the new batch
 
+  /** Builds (once per corpus fingerprint) the PERSISTED dedup index the
+    * incremental path joins against: one row per EXISTING-corpus
+    * document with its exact-dup md5 and its 32-long minhash signature.
+    * This is the production artifact — written at corpus build time,
+    * appended per accepted ingest — so incremental dedup never touches
+    * corpus text except to verify candidates. Reuses q22's fingerprinted
+    * build-once machinery (stale fingerprints are retired, concurrent
+    * first callers serialize); the one corpus-wide signature pass it
+    * costs is shared with every other dedup query via the session-cached
+    * [[minhashSignatures]].
+    */
+  private[graft] def incrementalIndexTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val t = s"graft_dedup_index_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_dedup_index_"), Seq(t)) {
+      Tables
+        .documents(spark, dir)
+        .filter($"doc_id" % NewBatchMod =!= 0)
+        .select($"doc_id", md5($"text").as("h"))
+        .join(minhashSignatures(spark, dir), Seq("doc_id"))
+        .select($"doc_id", $"h", $"mh")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
   /** Incremental ingest dedup — the production shape: dedup a NEW BATCH
     * against the EXISTING corpus instead of re-deduping everything.
     * Per new-batch document: whether its exact text hash already exists
@@ -405,32 +441,47 @@ object Dedup {
     * candidates between batch and corpus only, exact-Jaccard verified),
     * and the resulting keep/drop verdict.
     *
-    * Scale: the exact check is a semi-join of 16-byte hashes; the LSH
-    * candidate join pairs BATCH bands against CORPUS bands — never
-    * corpus×corpus — so candidate volume scales with the batch, not the
-    * corpus. In production the corpus side's signatures/hashes are a
-    * persisted index (written once, appended per ingest); here both
-    * sides derive from one table split by NewBatchMod so the oracle can
-    * replay the whole flow.
+    * Scale: the corpus side is the PERSISTED signature index
+    * ([[incrementalIndexTable]]) — the corpus is never re-hashed or
+    * re-shingled on this path (PlanSpec pins the index scan and the
+    * absence of a corpus-wide signature aggregate). The exact check is
+    * a semi-join of 16-byte hashes; the LSH candidate join pairs BATCH
+    * bands against INDEX bands — never corpus×corpus — so candidate
+    * volume scales with the batch; exact-Jaccard verification
+    * re-shingles only the candidate corpus docs, fetched by a
+    * batch-bounded semi-join (at 100 TB: a keyed point-read against
+    * doc_id-partitioned storage, not a corpus scan). The candidate pair
+    * set is evaluated twice (fetch + verify) — both evaluations are
+    * batch-bounded banded equi-joins; a production pipeline would
+    * materialize it per ingest tick.
     */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = Tables.documents(spark, dir).select($"doc_id", md5($"text").as("h"))
-    val exactDup = hashes
-      .filter($"doc_id" % NewBatchMod === 0)
-      .join(hashes.filter($"doc_id" % NewBatchMod =!= 0).select($"h"), Seq("h"), "left_semi")
+    val index = spark.table(incrementalIndexTable(spark, dir))
+    val batchDocs = Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0)
+    val exactDup = batchDocs
+      .select($"doc_id", md5($"text").as("h"))
+      .join(index.select($"h"), Seq("h"), "left_semi")
       .select($"doc_id", lit(1L).as("exact_hit"))
-    val banded = bandedSignatures(minhashSignatures(spark, dir))
-    val cand = banded
-      .filter($"doc_id" % NewBatchMod === 0)
+    val batchSh = shinglesOf(batchDocs)
+    val batchSig = batchSh
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+    val cand = bandedSignatures(batchSig)
       .as("a")
       .join(
-        banded.filter($"doc_id" % NewBatchMod =!= 0).as("b"),
+        bandedSignatures(index.select($"doc_id", $"mh")).as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
       )
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val near = jaccardFilter(spark, dir, shingleRows(spark, dir), cand, JaccardThreshold)
+    // verification shingles: the batch plus ONLY the candidate corpus
+    // docs (semi-join-bounded fetch) — never the whole corpus
+    val candCorpus = Tables
+      .documentsFanned(spark, dir)
+      .filter($"doc_id" % NewBatchMod =!= 0)
+      .join(cand.select($"id_b".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+    val near = jaccardFilter(spark, dir, batchSh.unionAll(shinglesOf(candCorpus)), cand, JaccardThreshold)
       .groupBy($"id_a")
       .agg(min($"id_b").as("near_dup_of"))
       .select($"id_a".as("doc_id"), $"near_dup_of")

@@ -714,40 +714,57 @@ object Relational {
     }
   }
 
+  /** Build-once guard for fingerprinted warehouse artifacts: if any of
+    * `tables` is missing, retire stale siblings under `prefixes` and run
+    * `build` exactly once under [[bucketBuildLock]] (double-checked so
+    * concurrent first callers don't interleave delete + saveAsTable).
+    * Shared by q22 (bucketed layout), q31 (partitioned layout) and the
+    * incremental-dedup signature index so the build/retire semantics
+    * can't drift between call sites.
+    */
+  private[graft] def buildOnce(
+      spark: SparkSession,
+      prefixes: Seq[String],
+      tables: Seq[String]
+  )(build: => Unit): Unit =
+    if (!tables.forall(spark.catalog.tableExists)) bucketBuildLock.synchronized {
+      if (!tables.forall(spark.catalog.tableExists)) {
+        retireWarehouseArtifacts(spark, prefixes, tables)
+        build
+      }
+    }
+
   def q22BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fp = sourceFingerprint(spark, s"$dir/orders.parquet", s"$dir/lineitem.parquet")
     val ordersT = s"graft_orders_bucketed_$fp"
     val lineitemT = s"graft_lineitem_bucketed_$fp"
     // guard on BOTH tables: a prior attempt that created orders but threw
-    // before the lineitem save must not short-circuit the rebuild
-    if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) bucketBuildLock.synchronized {
-      if (!spark.catalog.tableExists(ordersT) || !spark.catalog.tableExists(lineitemT)) {
-        // (a warehouse shared by CONCURRENT JVMs would need a lock
-        // around the whole build; this engine's sessions use a
-        // per-process warehouse dir)
-        retireWarehouseArtifacts(
-          spark,
-          Seq("graft_orders_bucketed_", "graft_lineitem_bucketed_"),
-          Seq(ordersT, lineitemT)
-        )
-        Tables
-          .orders(spark, dir)
-          .write
-          .mode("overwrite")
-          .format("parquet")
-          .bucketBy(8, "o_orderkey")
-          .sortBy("o_orderkey")
-          .saveAsTable(ordersT)
-        Tables
-          .lineitem(spark, dir)
-          .write
-          .mode("overwrite")
-          .format("parquet")
-          .bucketBy(8, "l_orderkey")
-          .sortBy("l_orderkey")
-          .saveAsTable(lineitemT)
-      }
+    // before the lineitem save must not short-circuit the rebuild.
+    // (a warehouse shared by CONCURRENT JVMs would need a lock around
+    // the whole build; this engine's sessions use a per-process
+    // warehouse dir)
+    buildOnce(
+      spark,
+      Seq("graft_orders_bucketed_", "graft_lineitem_bucketed_"),
+      Seq(ordersT, lineitemT)
+    ) {
+      Tables
+        .orders(spark, dir)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(ordersT)
+      Tables
+        .lineitem(spark, dir)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(lineitemT)
     }
     spark
       .table(lineitemT)
@@ -857,18 +874,15 @@ object Relational {
     import spark.implicits._
     val fp = sourceFingerprint(spark, s"$dir/orders.parquet")
     val t = s"graft_orders_byyear_$fp"
-    if (!spark.catalog.tableExists(t)) bucketBuildLock.synchronized {
-      if (!spark.catalog.tableExists(t)) {
-        retireWarehouseArtifacts(spark, Seq("graft_orders_byyear_"), Seq(t))
-        Tables
-          .orders(spark, dir)
-          .withColumn("o_year", year($"o_orderdate"))
-          .write
-          .mode("overwrite")
-          .format("parquet")
-          .partitionBy("o_year")
-          .saveAsTable(t)
-      }
+    buildOnce(spark, Seq("graft_orders_byyear_"), Seq(t)) {
+      Tables
+        .orders(spark, dir)
+        .withColumn("o_year", year($"o_orderdate"))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .partitionBy("o_year")
+        .saveAsTable(t)
     }
     spark
       .table(t)

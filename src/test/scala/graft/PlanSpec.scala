@@ -185,6 +185,33 @@ class PlanSpec extends AnyFunSuite {
     assert(s"% ${graft.dedup.Dedup.NewBatchMod}".r.findAllIn(plan.toString).size >= 2, plan.toString)
   }
 
+  test("dedup_incremental reads the persisted index — the corpus is never re-signatured") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    val df = graft.dedup.Dedup.incremental(spark, dir) // triggers the build-once index
+    val plan = df.queryExecution.optimizedPlan
+    // corpus-side hashes + signatures come from the fingerprinted
+    // warehouse table, not a recompute
+    assert(plan.toString.contains("graft_dedup_index_"), plan.toString.take(3000))
+    val batchFilter = s"% ${graft.dedup.Dedup.NewBatchMod}) = 0"
+    // every minhash aggregate is batch-bounded (no corpus-wide signature pass)
+    val mhAggs = plan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.exists(_.isInstanceOf[graft.functions.MinhashAgg])) =>
+        a
+    }
+    assert(mhAggs.nonEmpty, plan.toString.take(3000))
+    mhAggs.foreach(a => assert(a.toString.contains(batchFilter), a.toString.take(2000)))
+    // every shingle generator is batch-bounded or candidate-semi-join-bounded
+    val gens = plan.collect {
+      case g: Generate if g.generator.exists(_.isInstanceOf[graft.functions.WordShingles]) => g
+    }
+    assert(gens.nonEmpty, plan.toString.take(3000))
+    gens.foreach { g =>
+      val sub = g.toString
+      assert(sub.contains(batchFilter) || sub.contains("LeftSemi"), sub.take(2000))
+    }
+  }
+
   test("text_stratified_topk selects per-stratum k-mins via bounded aggregation — no Window funnel") {
     val df = graft.text.Sampling.stratifiedTopK(spark, dir)
     val windows = df.queryExecution.optimizedPlan
