@@ -144,6 +144,21 @@ object StreamingQueries {
       gapMinutes: Int
   ): DataFrame = {
     import spark.implicits._
+    runToMemory(sessionAgg(spark, stream, gapMinutes), "stream_sessions", "append")
+      .select($"user_id", $"session_start", $"n_events", round($"sum_value", 4).as("sum_value"))
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** The pre-sink sessionizer Dataset — exposed so StreamingSpec can
+    * attach its own sink and read per-batch state-store metrics
+    * (numRowsTotal) off the query handle to prove watermark eviction.
+    */
+  private[graft] def sessionAgg(
+      spark: SparkSession,
+      stream: DataFrame,
+      gapMinutes: Int
+  ): DataFrame = {
+    import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
@@ -193,9 +208,7 @@ object StreamingQueries {
       )
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
-    runToMemory(agg.toDF, "stream_sessions", "append")
-      .select($"user_id", $"session_start", $"n_events", round($"sum_value", 4).as("sum_value"))
-      .orderBy($"user_id", $"session_start")
+    agg.toDF
   }
 
   /** sessionize with a COMPLETE emitted set: the real event directory is
@@ -360,6 +373,18 @@ object StreamingQueries {
   private[graft] def anomalyOnStream(stream: DataFrame): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    runToMemory(anomalyAgg(stream), "stream_anomaly", "append")
+      .select($"event_id", $"user_id", $"value_scaled", $"n_prior", $"z")
+      .orderBy($"event_id")
+  }
+
+  /** The pre-sink scorer Dataset — exposed so StreamingSpec can attach
+    * its own sink and assert the state-store row count tracks DISTINCT
+    * USERS (the documented O(users × window) bound), not event volume.
+    */
+  private[graft] def anomalyAgg(stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     import graft.queries.Events.{AnomMinPrior, AnomScale, AnomWindow, AnomZ}
     val fn = (
@@ -402,9 +427,7 @@ object StreamingQueries {
       )
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-    runToMemory(agg.toDF, "stream_anomaly", "append")
-      .select($"event_id", $"user_id", $"value_scaled", $"n_prior", $"z")
-      .orderBy($"event_id")
+    agg.toDF
   }
 
   /** Streaming curation: the language/quality gate of `pipeline_curate`

@@ -17,31 +17,45 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local(4, "streaming-spec")
   private val dir = "/root/testdata/sf0.001"
 
-  /** Splits events into two single-file batches by time into a temp dir,
-    * returning (srcDir, cutover µs-timestamp).
+  /** Writes one single-file parquet batch named `name` into `src`.
+    * The stream schema expects raw nanos long for ts (Tables.events
+    * converts); `df` carries a real timestamp ts column.
     */
-  private def twoBatchDir(): String = {
+  private def writeOne(src: String, df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    import spark.implicits._
+    val stage = Files.createTempDirectory("graft-stage").toString
+    df.select($"event_id", unix_micros($"ts").*(1000L).as("ts"), $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(stage)
+    val part = Files.list(Paths.get(stage)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(src, name))
+  }
+
+  /** Splits events into `n` single-file batches by time quantile into a
+    * temp dir — micro-batch arrival in event-time order.
+    */
+  private def nBatchDir(n: Int): String = {
     import spark.implicits._
     val src = Files.createTempDirectory("graft-stream-src").toString
     val ev = Tables.events(spark, dir)
-    val cut = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0).toLong
-    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      val stage = Files.createTempDirectory("graft-stage").toString
-      // stream schema expects raw nanos long for ts (Tables.events converts)
-      df.select($"event_id", unix_micros($"ts").*(1000L).as("ts"), $"user_id", $"event_type", $"value", $"props")
-        .coalesce(1)
-        .write
-        .mode("overwrite")
-        .parquet(stage)
-      val part = Files.list(Paths.get(stage)).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, Paths.get(src, name))
+    val qs = (1 until n).map(i => i.toDouble / n)
+    val cuts = ev
+      .agg(expr(s"percentile(unix_micros(ts), array(${qs.mkString(",")}))"))
+      .head()
+      .getSeq[Double](0)
+      .map(_.toLong)
+    val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      if (i > 0) Thread.sleep(1100) // file-source orders batches by modification time
+      writeOne(src, ev.filter(unix_micros($"ts") >= lo && unix_micros($"ts") < hi), s"batch$i.parquet")
     }
-    writeOne(ev.filter(unix_micros($"ts") < cut), "batch0.parquet")
-    Thread.sleep(1100) // file-source orders batches by modification time
-    writeOne(ev.filter(unix_micros($"ts") >= cut), "batch1.parquet")
     src
   }
+
+  private def twoBatchDir(): String = nBatchDir(2)
 
   test("append-mode tumbling windows close as the watermark advances across batches") {
     import spark.implicits._
@@ -126,6 +140,86 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(emitted === batch)
+  }
+
+  test("session state evicts with the watermark: bounded numRowsTotal over 4 batches, drained by timeouts") {
+    import spark.implicits._
+    val src = nBatchDir(4)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$src/batch0.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingQueries
+      .sessionAgg(spark, stream, 30)
+      .writeStream
+      .format("memory")
+      .queryName("evict_sessions")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // sentinel far past the data pushes the watermark beyond every
+    // session's gap-extended end, so event-time timeouts must REMOVE
+    // all remaining per-user state (the production idle-key drain)
+    val ev = Tables.events(spark, dir)
+    val maxTs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+    val sentinel = ev
+      .limit(1)
+      .select(
+        lit(-1L).as("event_id"),
+        timestamp_micros(lit(maxTs + 10L * 86400L * 1000000L)).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        $"props"
+      )
+    writeOne(src, sentinel, "sentinel.parquet")
+    q.processAllAvailable()
+    val rows = q.recentProgress.filter(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+    val removed = q.recentProgress.filter(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsRemoved).sum
+    q.stop()
+    val nUsers = ev.select($"user_id").distinct().count()
+    assert(rows.length >= 4, s"expected ≥4 micro-batches, got ${rows.length}")
+    // keyed state: bounded by user cardinality in EVERY batch, never by
+    // event volume (4 batches of events, ≤1 open session entry per user)
+    assert(rows.max <= nUsers + 1, s"state rows ${rows.max} exceed user count $nUsers")
+    assert(removed > 0, "watermark timeouts must remove session state")
+    // after the sentinel advances the watermark, only the sentinel's own
+    // open session may remain — everything else evicted
+    assert(rows.last <= 2, s"state not drained: ${rows.mkString(",")}")
+    assert(rows.last < rows.max, s"no eviction observed: ${rows.mkString(",")}")
+  }
+
+  test("anomaly ring state is key-bounded: rows track distinct users, not event volume, over 4 batches") {
+    import spark.implicits._
+    val src = nBatchDir(4)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$src/batch0.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.StreamingQueries
+      .anomalyAgg(stream)
+      .writeStream
+      .format("memory")
+      .queryName("evict_anomaly")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val progs = q.recentProgress.filter(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+    q.stop()
+    val rows = progs.map(_.stateOperators.head.numRowsTotal)
+    val nUsers = Tables.events(spark, dir).select($"user_id").distinct().count()
+    assert(rows.length >= 3, s"expected ≥3 data micro-batches, got ${rows.length}")
+    // the documented O(users × window) bound: state rows never exceed
+    // key cardinality and saturate at it — thousands of further events
+    // add ZERO state rows once every user has a ring
+    assert(rows.max <= nUsers, s"state rows ${rows.max} exceed user count $nUsers")
+    assert(rows.last === nUsers, s"state should saturate at $nUsers users: ${rows.mkString(",")}")
   }
 
   test("checkpointed parquet sink resumes exactly-once across restarts") {
