@@ -54,6 +54,56 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("hot near-dup cluster: AQE splits the skewed band-bucket join inside the REAL minhash plan") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      // thresholds scaled down so test-sized data exercises the same
+      // mechanism production relies on at real partition sizes
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // 600 of 800 docs are copies of one boilerplate page (crawl-mirror
+      // hot cluster): identical minhash signatures put all 600 into the
+      // SAME 16 band buckets, so the banded candidate join's shuffle has
+      // a few giant key partitions next to thousands of singletons —
+      // the genuine skew shape SCALING.md's dedup posture cites
+      val dir = java.nio.file.Files.createTempDirectory("graft-hotcluster-").toString
+      spark
+        .range(800)
+        .select(
+          $"id".as("doc_id"),
+          when(
+            $"id" < 600,
+            lit("the same boilerplate navigation text repeated across every mirror of the crawl")
+          ).otherwise(
+            concat(lit("unique page "), $"id", lit(" body "), md5($"id".cast("string")), lit(" tail "), md5(concat(lit("s"), $"id")))
+          ).as("text")
+        )
+        .write
+        .parquet(s"$dir/documents.parquet")
+      val df = graft.dedup.Dedup.minhashLsh(spark, dir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other                    => other.toString
+      }
+      // the skew mechanism by name: AQE's OptimizeSkewedJoin marks the
+      // split reader — the engine's dedup plans inherit it unmodified
+      assert(finalPlan.contains("skew=true"), finalPlan.take(6000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("stop-shingle cap bounds every join in the pruned-index dedup plan at Σ min(df,cap)²") {
     import spark.implicits._
     import graft.dedup.Dedup
