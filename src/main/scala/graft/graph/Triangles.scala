@@ -56,19 +56,22 @@ object Triangles {
       .join(degs.select($"node".as("b"), $"deg".as("db")), "b")
     val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
     // oriented edge u → v with v's degree carried for the wedge ordering.
-    // localCheckpoint (not persist): it is read three times below (both
-    // wedge sides + the closing join), and a persist() entry would live
-    // in CacheManager keyed by plan for the JVM lifetime with no safe
-    // point to unpersist before the lazy result materializes; checkpoint
-    // blocks are instead reclaimed by the ContextCleaner once callers
-    // drop the returned plan, so repeated calls don't accumulate caches
+    // persist(), deliberately: oe is read three times below (both wedge
+    // sides + the closing join) AND CacheManager's canonicalized-plan
+    // match lets a REPEATED call over the same edge set reuse the
+    // materialization — on the production path (the session-cached kNN
+    // graph) exactly one entry ever accrues. The measured alternative,
+    // localCheckpoint, avoids the JVM-lifetime cache entry but loses
+    // cross-call reuse: graph_triangles 2.0 → 9.1 s at sf0.1 (min-of-2).
+    // Known cost: a caller driving arbitrary DISTINCT edge sets (as
+    // GraphSpec does) accrues one cache entry per distinct input plan.
     val oe = j
       .select(
         when(lowFirst, $"a").otherwise($"b").as("u"),
         when(lowFirst, $"b").otherwise($"a").as("v"),
         when(lowFirst, $"db").otherwise($"da").as("dv")
       )
-      .localCheckpoint()
+      .persist()
     val wedges = oe
       .as("e1")
       .join(
