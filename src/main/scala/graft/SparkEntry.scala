@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccard(s, d, maxShingleDf = Some(Dedup.NgramDfCap))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_capped" -> ((s, d) => Dedup.minhashLsh(s, d, Some(Dedup.MinhashBucketCap))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
@@ -208,6 +209,7 @@ object SparkEntry {
     // the extreme-scale stop-shingle-capped path, verified uncapped
     "dedup_ngram_capped" -> PipelineOracles.dedupNgramCapped(Dedup.NgramDfCap),
     "dedup_minhash" -> PipelineOracles.dedupMinhash,
+    "dedup_minhash_capped" -> PipelineOracles.dedupMinhashCapped,
     "dedup_simhash" -> PipelineOracles.dedupSimhash,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
     "dedup_clusters" -> PipelineOracles.dedupClusters,

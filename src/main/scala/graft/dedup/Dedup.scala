@@ -26,6 +26,7 @@ object Dedup {
   val JaccardThreshold = 0.5
   val NgramThreshold = 0.5
   val NgramDfCap = 20 // stop-shingle cap for the registered capped variant
+  val MinhashBucketCap = 32 // hot-band-bucket cap for the registered capped LSH variant
   val SimhashBits = 64
   val SimhashMaxHamming = 3
   val SimhashBands = 4 // hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)
@@ -201,10 +202,35 @@ object Dedup {
       ).as(Seq("band", "bv"))
     )
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir, maxBandBucket = None)
+
+  /** `maxBandBucket` is the extreme-scale knob, the LSH analog of the
+    * stop-shingle cap: band buckets holding more than `cap` documents
+    * are dropped BEFORE the candidate self-join, bounding its output at
+    * Σ_kept-buckets df² ≤ #buckets·cap² — without it, one hot bucket (a
+    * boilerplate/mirror cluster, or background collisions on a
+    * vocabulary that doesn't grow with the corpus — the sf1 probe
+    * measured 15.7× at 10× data on exactly that) costs df² pairs. What
+    * a giant bucket holds at web scale IS the boilerplate cluster, the
+    * same content class the stop-shingle cap drops; recall on small
+    * true near-dup groups (bucket df 2-3) is untouched (SkewSpec pins
+    * both properties on a hot-cluster corpus).
+    */
+  def minhashLsh(spark: SparkSession, dir: String, maxBandBucket: Option[Int]): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
-    val banded = bandedSignatures(minhashSignatures(spark, dir))
+    val banded0 = bandedSignatures(minhashSignatures(spark, dir))
+    val banded = maxBandBucket match {
+      case Some(cap) =>
+        val keep = banded0
+          .groupBy($"band", $"bv")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" <= cap)
+          .select($"band", $"bv")
+        banded0.join(keep, Seq("band", "bv"), "left_semi")
+      case None => banded0
+    }
     val cand = banded
       .as("a")
       .join(

@@ -213,6 +213,22 @@ object PipelineOracles {
     s"""WITH $minhashCtes
        |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
 
+  /** Replays the band-bucket-capped LSH variant: buckets holding more
+    * than MinhashBucketCap docs are dropped before the candidate
+    * self-join (joining the kept-bucket set on side a suffices — the
+    * join key forces side b into the same bucket).
+    */
+  val dedupMinhashCapped: String =
+    s"""WITH $minhashBandCtes,
+       |bandsm AS MATERIALIZED (SELECT * FROM bands),
+       |bdf AS (SELECT band, v1, v2 FROM bandsm
+       |  GROUP BY 1, 2, 3 HAVING count(*) <= ${Dedup.MinhashBucketCap}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsm a
+       |  JOIN bdf ON bdf.band = a.band AND bdf.v1 = a.v1 AND bdf.v2 = a.v2
+       |  JOIN bandsm b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+       |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
+
   /** Replays the recall evaluation off the SAME shared CTEs: exact
     * pairs from the inverted index (`common`), verified LSH pairs from
     * the band candidates (`cand`), exact integer counts, one rounded

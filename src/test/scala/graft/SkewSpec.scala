@@ -161,6 +161,49 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("band-bucket cap bounds the LSH candidate join on a hot cluster, keeping small-group recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // hot cluster: 300 exact mirrors of one page (one giant band bucket
+    // per band) + unique docs + ONE planted small near-dup pair that the
+    // cap must keep finding (its buckets hold 2 docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotbucket-").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi"
+    spark
+      .range(400)
+      .select(
+        $"id".as("doc_id"),
+        when($"id" < 300, lit("mirror boilerplate page body repeated across the crawl again and again and again"))
+          .when($"id" === 398, lit(base + " rho"))
+          .when($"id" === 399, lit(base + " sigma"))
+          .otherwise(concat(lit("unique page "), $"id", lit(" "), md5($"id".cast("string")), lit(" "), md5(concat(lit("t"), $"id"))))
+          .as("text")
+      )
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    def maxJoinRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val joins = df.queryExecution.executedPlan.collect { case j: BaseJoinExec => j }
+      joins.map(_.metrics("numOutputRows").value).max
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val cap = graft.dedup.Dedup.MinhashBucketCap
+      val capped = graft.dedup.Dedup.minhashLsh(spark, dir, Some(cap))
+      val cappedMax = maxJoinRows(capped)
+      val uncappedMax = maxJoinRows(graft.dedup.Dedup.minhashLsh(spark, dir, None))
+      // the hot bucket costs ~300²×16 band-pair rows uncapped; capped,
+      // every surviving bucket contributes ≤ cap² per band
+      assert(uncappedMax >= 300L * 299 / 2, s"hot bucket should drive ~C(300,2) pairs, got $uncappedMax")
+      assert(cappedMax < uncappedMax / 10, s"cap not load-bearing: capped=$cappedMax uncapped=$uncappedMax")
+      // and the planted small near-dup group survives the cap
+      val pairs = capped.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((398L, 399L)), s"planted pair lost by the cap: ${pairs.take(20).mkString(",")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("connected components converge in O(log n) rounds on the worst-case chain topology") {
     import spark.implicits._
     // a 512-node path (crawl mirrors of mirrors) is the adversarial shape
