@@ -118,6 +118,7 @@ object SparkEntry {
     "text_seg_dedup" -> ((s, d) => TextAnalysis.segDedup(s, d)),
     "text_decontaminate" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
@@ -229,6 +230,7 @@ object SparkEntry {
     "text_seg_dedup" -> PipelineOracles.textSegDedup(TextAnalysis.SegWords, TextAnalysis.SegMaxDf),
     "text_decontaminate" -> PipelineOracles.textDecontaminate,
     "text_tfidf" -> PipelineOracles.textTfidf,
+    "text_lm_score" -> PipelineOracles.textLmScore,
     "text_bm25" -> PipelineOracles.textBm25,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,

@@ -38,6 +38,32 @@ object PipelineOracles {
        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
+  /** Replays the pooled reference-LM bigram score: distinct bigrams per
+    * doc, bigram/unigram document frequencies over the en reference
+    * slice, exact BIGINT sums, one round6'd division.
+    */
+  val textLmScore: String =
+    s"""WITH toks AS (SELECT doc_id, lang, $toks AS w FROM documents),
+       |bsets AS (SELECT doc_id, lang,
+       |  CASE WHEN len(w) >= 2
+       |    THEN list_distinct(list_transform(generate_series(1, len(w)-1), i -> w[i]||' '||w[i+1]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS bgs
+       |  FROM toks),
+       |bgx AS MATERIALIZED (SELECT doc_id, lang, unnest(bgs) AS bg FROM bsets),
+       |bcnt AS (SELECT bg, CAST(count(*) AS BIGINT) AS bc FROM bgx WHERE lang = 'en' GROUP BY 1),
+       |ucnt AS (SELECT w1, CAST(count(*) AS BIGINT) AS uc FROM (
+       |  SELECT doc_id, unnest(list_distinct(w)) AS w1 FROM toks WHERE lang = 'en') GROUP BY 1),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ucnt)
+       |SELECT bgx.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  ${round6Sql("CAST(sum(coalesce(bc, 0) + 1) AS DOUBLE) / CAST(sum(coalesce(uc, 0) + v) AS DOUBLE)")} AS lm_score
+       |FROM bgx
+       |LEFT JOIN bcnt USING (bg)
+       |LEFT JOIN ucnt ON ucnt.w1 = string_split(bgx.bg, ' ')[1]
+       |CROSS JOIN vv
+       |GROUP BY bgx.doc_id
+       |ORDER BY bgx.doc_id""".stripMargin
+
   private def jaccardSelect(candTable: String, threshold: Double, ordered: Boolean = true): String = {
     val candJoin =
       if (candTable == "common") ""

@@ -252,6 +252,64 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** Reference-LM quality scoring (the CCNet-style filter every crawl
+    * pipeline runs: score each document against a language model
+    * trained on a clean reference corpus, keep the head of the score
+    * distribution). The reference here is the `lang = 'en'` slice
+    * (stand-in for Wikipedia/books); the model is document-frequency
+    * bigram statistics with add-V smoothing. To keep the score
+    * engine-exact (a per-bigram mean of log-probs would sum doubles in
+    * shuffle order, and ln() is not guaranteed identically rounded
+    * across engines), the score is POOLED in integer space:
+    *
+    *   lm_score = round6( Σ_b (bdf(b)+1)  /  Σ_b (udf(w1(b))+V) )
+    *
+    * over the doc's distinct bigrams b with prefix token w1 — exact
+    * BIGINT sums, one rounded division. Higher = more reference-like;
+    * a doc of never-seen bigrams scores ~n/(n·V) = 1/V.
+    *
+    * Scale: the model IS an aggregate over the reference slice — bigram
+    * and unigram df tables, vocabulary-sized, broadcastable (at web
+    * scale the standard move is feature hashing into a fixed 2^k id
+    * space, which keeps both model tables bounded by construction — the
+    * same hashing the DSIR/CCNet implementations use). Scoring is a
+    * map-side broadcast join over the corpus bigram rows, partial-agg
+    * combined per doc; the corpus never shuffles its text.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsFanned(spark, dir)
+    val bg = docs
+      .select(
+        $"doc_id",
+        $"lang",
+        explode(graft.functions.TextExpressions.wordShingles(lower($"text"), 2)).as("bg")
+      )
+      .withColumn("w1", split($"bg", " ").getItem(0))
+    val bcnt = bg.filter($"lang" === "en").groupBy($"bg").agg(count(lit(1)).as("bc"))
+    val ucnt = docs
+      .filter($"lang" === "en")
+      .select($"doc_id", explode(graft.functions.TextExpressions.distinctTokens(lower($"text"))).as("w1"))
+      .groupBy($"w1")
+      .agg(count(lit(1)).as("uc"))
+    val v = ucnt.agg(count(lit(1)).as("v"))
+    bg.join(broadcast(bcnt), Seq("bg"), "left")
+      .join(broadcast(ucnt), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce($"bc", lit(0L)) + lit(1L)).as("num"),
+        sum(coalesce($"uc", lit(0L)) + $"v").as("den")
+      )
+      .select(
+        $"doc_id",
+        $"n_bigrams",
+        round6($"num".cast("double") / $"den".cast("double")).as("lm_score")
+      )
+      .orderBy($"doc_id")
+  }
+
   val EvalMod = 97 // held-out eval split: doc_id % EvalMod == 0 …
   val EvalMaxDocs = 10000L // … capped: a benchmark set is fixed-size, not corpus-proportional
   val ContamThreshold = 0.1 // training doc is dirty above this overlap

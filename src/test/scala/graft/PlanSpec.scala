@@ -212,6 +212,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("text_lm_score scores map-side: model tables broadcast, corpus bigrams never shuffle-join") {
+    val plan = planString(graft.text.TextAnalysis.lmScore(spark, dir))
+    // bigram-df, unigram-df, and V all broadcast (vocabulary-sized
+    // model tables; feature hashing bounds them at web scale)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 1, plan) // the 1-row V
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"), plan) // map-side combine per doc
+  }
+
   test("text_stratified_topk selects per-stratum k-mins via bounded aggregation — no Window funnel") {
     val df = graft.text.Sampling.stratifiedTopK(spark, dir)
     val windows = df.queryExecution.optimizedPlan
