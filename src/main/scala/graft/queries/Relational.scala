@@ -531,17 +531,21 @@ object Relational {
     * q21_approx_sketches, but this query IS fully hash-checked — it
     * emits (a) the EXACT per-group distinct counts and (b) one boolean
     * per sketch asserting the estimate landed inside its documented
-    * error bound (±5% of exact for the 2%-rsd HLLs; exact [p40, p60]
-    * corridor for the accuracy-10000 median). The DuckDB oracle emits
-    * the exact counts and literal TRUE for each bound, so any sketch
-    * drift — an engine upgrade changing HLL internals, a bad merge —
-    * flips the hash red instead of hiding behind a rows-only check.
+    * error bound (±5% of exact for the 2%-rsd HLLs; for the
+    * accuracy-10000 median, its exact RANK POSITION must land in the
+    * [0.40, 0.60] quantile corridor). The DuckDB oracle emits the exact
+    * counts and literal TRUE for each bound, so any sketch drift — an
+    * engine upgrade changing HLL internals, a bad merge — flips the
+    * hash red instead of hiding behind a rows-only check.
     *
-    * Scale: two partial-aggregable passes over lineitem (exact
-    * count-distinct expands to the standard two-level aggregate) joined
-    * on the 3-row group key — the join is a broadcast of single-digit
-    * rows. Sketch accuracy itself does not degrade with corpus size
-    * (HLL rsd is a function of register count only).
+    * Scale: every pass is partial-aggregable — exact count-distinct
+    * expands to the standard two-level aggregate, and the median check
+    * counts rows below the (broadcast, 3-row) sketch value rather than
+    * buffering values for an exact percentile (the full-group value
+    * buffer q20 exists to avoid; the sf1 probe measured that buffer at
+    * 36 s min / 208 s max before this formulation). Sketch accuracy
+    * itself does not degrade with corpus size (HLL rsd is a function
+    * of register count only).
     */
   def q21SketchGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -550,9 +554,7 @@ object Relational {
       .groupBy($"l_returnflag")
       .agg(
         countDistinct($"l_partkey").as("exact_parts"),
-        countDistinct($"l_orderkey").as("exact_orders"),
-        percentile($"l_extendedprice", lit(0.4)).as("p40"),
-        percentile($"l_extendedprice", lit(0.6)).as("p60")
+        countDistinct($"l_orderkey").as("exact_orders")
       )
     val approx = li
       .groupBy($"l_returnflag")
@@ -561,8 +563,16 @@ object Relational {
         approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("approx_median")
       )
+    val rankCheck = li
+      .join(broadcast(approx.select($"l_returnflag", $"approx_median")), Seq("l_returnflag"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when($"l_extendedprice" < $"approx_median", 1)).as("below")
+      )
     exact
       .join(approx, Seq("l_returnflag"))
+      .join(rankCheck, Seq("l_returnflag"))
       .select(
         $"l_returnflag",
         $"exact_parts",
@@ -571,7 +581,8 @@ object Relational {
           .as("parts_in_bound"),
         (abs($"approx_orders" - $"exact_orders") <= lit(0.05) * $"exact_orders")
           .as("orders_in_bound"),
-        ($"approx_median" >= $"p40" && $"approx_median" <= $"p60").as("median_in_bound")
+        ($"below".cast("double") / $"n" >= 0.40 && $"below".cast("double") / $"n" <= 0.60)
+          .as("median_in_bound")
       )
       .orderBy($"l_returnflag")
   }

@@ -163,6 +163,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q21_sketch_gate verifies the sketch median by rank counting, not an exact percentile buffer") {
+    val plan = Relational.q21SketchGate(spark, dir).queryExecution.optimizedPlan.toString
+    // percentile_approx (the sketch under test) is allowed; the exact
+    // Percentile aggregate (per-group value buffer) is not
+    val exactPercentiles = "(?i)\\bpercentile\\(".r.findAllIn(plan).size
+    assert(exactPercentiles === 0, plan)
+    assert(plan.toLowerCase.contains("percentile_approx"), plan)
+  }
+
   test("q25 grouping sets plan one Expand over one scan (no per-set re-scan)") {
     val df = Relational.q25GroupingSets(spark, dir)
     val plan = planString(df)
