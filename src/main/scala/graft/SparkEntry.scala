@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "dedup_containment_capped" -> ((s, d) => Dedup.containment(s, d, Some(Dedup.NgramDfCap))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_capped" -> ((s, d) => Dedup.ngramJaccard(s, d, maxShingleDf = Some(Dedup.NgramDfCap))),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     "dedup_containment" -> PipelineOracles.dedupContainment,
+    "dedup_containment_capped" -> PipelineOracles.dedupContainmentCapped(Dedup.NgramDfCap),
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,
     // the extreme-scale stop-shingle-capped path, verified uncapped
     "dedup_ngram_capped" -> PipelineOracles.dedupNgramCapped(Dedup.NgramDfCap),

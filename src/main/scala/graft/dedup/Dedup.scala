@@ -414,12 +414,29 @@ object Dedup {
     * envelope) as ngramJaccard — the same stop-shingle cap applies
     * unchanged at extreme scale.
     */
-  def containment(spark: SparkSession, dir: String): DataFrame = {
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containment(spark, dir, maxShingleDf = None)
+
+  /** `maxShingleDf` mirrors the capped-jaccard knob for the asymmetric
+    * measure (the sf1 probe measured the uncapped Σ df² index at ~21×
+    * on 10× data under the fixed-vocabulary data-law): intersections
+    * come from the df-pruned index while sizes stay uncapped, so the
+    * reported containment is a conservative lower bound and the join is
+    * bounded at Σ min(df,cap)². Same single-pass shape as the uncapped
+    * path.
+    */
+  def containment(spark: SparkSession, dir: String, maxShingleDf: Option[Int]): DataFrame = {
     import spark.implicits._
     val sh = shingleRows(spark, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val r6 = graft.text.TextAnalysis.round6 _
-    pairCommonCounts(sh)
+    val common = maxShingleDf match {
+      case None => pairCommonCounts(sh)
+      case Some(cap) =>
+        val keep = sh.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" <= cap).select($"sh")
+        pairCommonCounts(sh.join(keep, "sh"))
+    }
+    common
       .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
       .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
       .withColumn("containment", r6(greatest($"inter" / $"na", $"inter" / $"nb")))

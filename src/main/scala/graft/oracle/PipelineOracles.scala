@@ -176,6 +176,24 @@ object PipelineOracles {
        |WHERE round(c / (sa.n + sb.n - c), 6) >= ${Dedup.NgramThreshold}
        |ORDER BY 1, 2""".stripMargin
 
+  /** Replays the df-capped containment variant: intersections over the
+    * pruned index, sizes over the full sets (conservative lower bound —
+    * same construction as dedupNgramCapped for the asymmetric measure).
+    */
+  def dedupContainmentCapped(cap: Int): String =
+    s"""WITH $shingleSets,
+       |dfreq AS (SELECT sh, count(*) AS df FROM shx GROUP BY sh),
+       |shc AS (SELECT shx.doc_id, shx.sh FROM shx JOIN dfreq USING (sh) WHERE df <= $cap),
+       |candc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT candc.id_a, candc.id_b,
+       |  ${round6Sql("greatest(c / sa.n, c / sb.n)")} AS containment
+       |FROM candc
+       |JOIN sizes sa ON sa.doc_id = candc.id_a
+       |JOIN sizes sb ON sb.doc_id = candc.id_b
+       |WHERE ${round6Sql("greatest(c / sa.n, c / sb.n)")} >= ${Dedup.ContainmentThreshold}
+       |ORDER BY 1, 2""".stripMargin
+
   /** Replays the minhash signatures (8 md5 seeds × 4 hex chunks = 32
     * hashes) and the b=16/r=2 banding (a band matches when BOTH of its
     * two member hashes agree), then the same exact-Jaccard verification.

@@ -61,6 +61,22 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment cap: conservative — capped pairs ⊆ uncapped, capped value ≤ true containment") {
+    val full = Dedup
+      .containment(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val capped = Dedup
+      .containment(spark, dir, maxShingleDf = Some(5))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    capped.foreach { case (pair, c) =>
+      assert(full.contains(pair), s"capped pair $pair not in uncapped result")
+      assert(c <= full(pair) + 1e-9, s"capped containment $c exceeds true ${full(pair)} for $pair")
+    }
+  }
+
   test("decode parses real PNG/JPEG header dimensions; text payloads take the deterministic fallback") {
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
