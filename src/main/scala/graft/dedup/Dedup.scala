@@ -27,6 +27,7 @@ object Dedup {
   val NgramThreshold = 0.5
   val NgramDfCap = 20 // stop-shingle cap for the registered capped variant
   val MinhashBucketCap = 32 // hot-band-bucket cap for the registered capped LSH variant
+  val SimhashBucketCap = 64 // hot-band-bucket cap for the registered capped simhash variant
   val SimhashBits = 64
   val SimhashMaxHamming = 3
   val SimhashBands = 4 // hamming ≤ 3 ⇒ ≥1 band equal (pigeonhole)
@@ -592,10 +593,24 @@ object Dedup {
     * (an 8-bit band space would collapse to 256 buckets — quadratic in
     * practice at web scale).
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir, maxBandBucket = None)
+
+  /** `maxBandBucket` completes the cap matrix for the banded family
+    * (jaccard/containment df caps, minhash bucket cap): 16-bit band
+    * buckets holding more than `cap` docs are dropped before the
+    * candidate self-join. The pigeonhole exactness guarantee then
+    * holds for any pair with at least one non-hot matching band —
+    * what a hot bucket contains at web scale is a boilerplate cluster
+    * whose members agree on that band value, the content class the
+    * other caps drop too. The sf1 probe measured the uncapped join's
+    * fixed-vocabulary n² growth (BASELINE.md); the cap bounds it at
+    * Σ_kept min(df,cap)² per band.
+    */
+  def simhash(spark: SparkSession, dir: String, maxBandBucket: Option[Int]): DataFrame = {
     import spark.implicits._
     val sig = simhashSignatures(spark, dir)
-    val banded = sig.select(
+    val banded0 = sig.select(
       $"doc_id",
       $"simhash",
       posexplode(
@@ -607,6 +622,16 @@ object Dedup {
         )
       ).as(Seq("band", "bucket"))
     )
+    val banded = maxBandBucket match {
+      case Some(cap) =>
+        val keep = banded0
+          .groupBy($"band", $"bucket")
+          .agg(count(lit(1)).as("df"))
+          .filter($"df" <= cap)
+          .select($"band", $"bucket")
+        banded0.join(keep, Seq("band", "bucket"), "left_semi")
+      case None => banded0
+    }
     banded
       .as("a")
       .join(
