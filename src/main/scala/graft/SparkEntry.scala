@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_capped" -> ((s, d) => Dedup.minhashLsh(s, d, Some(Dedup.MinhashBucketCap))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_capped" -> ((s, d) => Dedup.simhash(s, d, Some(Dedup.SimhashBucketCap))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "dedup_minhash" -> PipelineOracles.dedupMinhash,
     "dedup_minhash_capped" -> PipelineOracles.dedupMinhashCapped,
     "dedup_simhash" -> PipelineOracles.dedupSimhash,
+    "dedup_simhash_capped" -> PipelineOracles.dedupSimhashCapped,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
     "dedup_clusters" -> PipelineOracles.dedupClusters,
     "dedup_lsh_recall" -> PipelineOracles.dedupLshRecall,

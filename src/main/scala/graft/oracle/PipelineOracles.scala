@@ -318,11 +318,11 @@ object PipelineOracles {
        |FROM cc JOIN cs USING (cluster_id)
        |ORDER BY cc.doc_id""".stripMargin
 
-  /** Brute-force hamming pairs over replayed 32-bit simhash signatures
-    * (the Spark side's banding is exact by pigeonhole, so brute force is
-    * the same set).
+  /** Shared simhash signature CTE chain (toks → per-token md5 nibbles →
+    * 64 signed bit sums → packed 64-bit signature), replaying
+    * `Dedup.simhashSignatures` bit-for-bit.
     */
-  val dedupSimhash: String = {
+  private val simhashSigCtes: String = {
     val nibbleCols = (1 to Dedup.SimhashBits / 4)
       .map(p => s"CAST('0x' || substr(md5(t), $p, 1) AS INT) AS n$p")
       .mkString(", ")
@@ -332,14 +332,46 @@ object PipelineOracles {
     val sigExpr = (0 until Dedup.SimhashBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, list_distinct($toks) AS w FROM documents),
+    s"""toks AS (SELECT doc_id, list_distinct($toks) AS w FROM documents),
        |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
        |nib AS (SELECT doc_id, $nibbleCols FROM tok),
        |sums AS (SELECT doc_id, $sumCols FROM nib GROUP BY doc_id),
-       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM sums)
+       |sig AS (SELECT doc_id, $sigExpr AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Brute-force hamming pairs over replayed 64-bit simhash signatures
+    * (the Spark side's banding is exact by pigeonhole, so brute force is
+    * the same set).
+    */
+  val dedupSimhash: String =
+    s"""WITH $simhashSigCtes
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Replays the band-bucket-capped simhash variant: the 4×16-bit band
+    * layout, band buckets holding more than SimhashBucketCap docs dropped
+    * before the candidate self-join (joining the kept-bucket set on side
+    * a suffices — the join key forces side b into the same bucket), then
+    * the exact hamming ≤ MaxHamming verification. The band CTE is
+    * MATERIALIZED: it is referenced three times and DuckDB would
+    * otherwise re-evaluate the whole signature chain per reference.
+    */
+  val dedupSimhashCapped: String = {
+    val mask = (1L << Dedup.SimhashBandBits) - 1
+    s"""WITH $simhashSigCtes,
+       |bands AS MATERIALIZED (SELECT doc_id, simhash, bb.b AS band,
+       |    ((simhash >> (${Dedup.SimhashBandBits} * bb.b)) & $mask) AS bucket
+       |  FROM sig, (SELECT unnest(generate_series(0, ${Dedup.SimhashBands - 1})) AS b) bb),
+       |keep AS (SELECT band, bucket FROM bands
+       |  GROUP BY 1, 2 HAVING count(*) <= ${Dedup.SimhashBucketCap})
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM bands a
+       |JOIN keep ON keep.band = a.band AND keep.bucket = a.bucket
+       |JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Dedup.SimhashMaxHamming}
        |ORDER BY id_a, id_b""".stripMargin
   }

@@ -77,6 +77,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash band cap: conservative — capped pairs ⊆ uncapped; survivors have a non-hot matching band") {
+    import spark.implicits._
+    val full = Dedup
+      .simhash(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val cap = 3 // tiny cap so hot buckets exist even at sf0.001
+    val capped = Dedup
+      .simhash(spark, dir, Some(cap))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    assert(capped.nonEmpty, "capped simhash should retain some near-dup pairs at sf0.001")
+    capped.foreach { case (pair, h) =>
+      assert(full.contains(pair), s"capped pair $pair not in uncapped result")
+      assert(h === full(pair), s"capped hamming $h differs from uncapped ${full(pair)} for $pair")
+    }
+    // the conditional pigeonhole guarantee under the cap: every surviving
+    // pair collides in at least one band whose bucket df ≤ cap
+    val sig = Dedup.simhashSignatures(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mask = (1L << Dedup.SimhashBandBits) - 1
+    def bucket(s: Long, b: Int): Long = (s >>> (b * Dedup.SimhashBandBits)) & mask
+    val df = (for {
+      (_, s) <- sig.toSeq; b <- 0 until Dedup.SimhashBands
+    } yield (b, bucket(s, b))).groupBy(identity).map { case (k, v) => k -> v.size }
+    capped.foreach { case ((ia, ib), _) =>
+      val hasColdBand = (0 until Dedup.SimhashBands).exists { b =>
+        bucket(sig(ia), b) == bucket(sig(ib), b) && df((b, bucket(sig(ia), b))) <= cap
+      }
+      assert(hasColdBand, s"surviving pair ($ia,$ib) has no non-hot matching band at cap=$cap")
+    }
+  }
+
   test("decode parses real PNG/JPEG header dimensions; text payloads take the deterministic fallback") {
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

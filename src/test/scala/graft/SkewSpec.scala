@@ -204,6 +204,47 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("simhash band cap bounds the candidate join on a boilerplate cluster, keeping small-pair recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // 300 byte-identical boilerplate mirrors share one simhash → one
+    // 300-doc bucket in every band (the C(300,2)-pair hot spot the cap
+    // exists for) + unique docs + ONE planted identical pair whose
+    // buckets hold exactly 2 docs — the cap must keep finding it
+    val dir = java.nio.file.Files.createTempDirectory("graft-simhash-hot-").toString
+    val planted = "planted near duplicate page about spark catalyst expressions and shuffles"
+    spark
+      .range(400)
+      .select(
+        $"id".as("doc_id"),
+        when($"id" < 300, lit("mirror boilerplate page body repeated across the crawl again and again and again"))
+          .when($"id" >= 398, lit(planted))
+          .otherwise(concat(lit("unique page "), $"id", lit(" "), md5($"id".cast("string")), lit(" "), md5(concat(lit("t"), $"id"))))
+          .as("text")
+      )
+      .write
+      .parquet(s"$dir/documents.parquet")
+
+    def maxJoinRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val joins = df.queryExecution.executedPlan.collect { case j: BaseJoinExec => j }
+      joins.map(_.metrics("numOutputRows").value).max
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val capped = graft.dedup.Dedup.simhash(spark, dir, Some(graft.dedup.Dedup.SimhashBucketCap))
+      val cappedMax = maxJoinRows(capped)
+      val uncappedMax = maxJoinRows(graft.dedup.Dedup.simhash(spark, dir, None))
+      // uncapped: the mirror bucket alone yields C(300,2) pairs per band;
+      // capped: every surviving bucket contributes ≤ cap² per band
+      assert(uncappedMax >= 300L * 299 / 2, s"mirror bucket should drive ~C(300,2) pairs, got $uncappedMax")
+      assert(cappedMax < uncappedMax / 10, s"cap not load-bearing: capped=$cappedMax uncapped=$uncappedMax")
+      val pairs = capped.select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.contains((398L, 399L)), s"planted pair lost by the cap: ${pairs.take(20).mkString(",")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("connected components converge in O(log n) rounds on the worst-case chain topology") {
     import spark.implicits._
     // a 512-node path (crawl mirrors of mirrors) is the adversarial shape
