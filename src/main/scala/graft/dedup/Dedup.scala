@@ -469,13 +469,18 @@ object Dedup {
       val counts = shinglesOf(Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n"))
+      // LEFT joins: a corpus doc with <3 words has zero shingles and
+      // therefore no signature/count row, but it MUST still be in the
+      // index (mh null, n=0) or an exact byte-duplicate of it arriving
+      // in a batch would slip past the md5 semi-join. The LSH path
+      // filters mh IS NOT NULL.
       Tables
         .documents(spark, dir)
         .filter($"doc_id" % NewBatchMod =!= 0)
         .select($"doc_id", md5($"text").as("h"))
-        .join(minhashSignatures(spark, dir), Seq("doc_id"))
-        .join(counts, Seq("doc_id"))
-        .select($"doc_id", $"h", $"mh", $"n")
+        .join(minhashSignatures(spark, dir), Seq("doc_id"), "left")
+        .join(counts, Seq("doc_id"), "left")
+        .select($"doc_id", $"h", $"mh", coalesce($"n", lit(0L)).as("n"))
         .write
         .mode("overwrite")
         .format("parquet")
@@ -501,11 +506,18 @@ object Dedup {
     * re-shingles only the candidate corpus docs, fetched by a
     * batch-bounded semi-join (at 100 TB: a keyed point-read against
     * doc_id-partitioned storage, not a corpus scan). The candidate pair
-    * set is evaluated twice (fetch + verify) — both evaluations are
-    * batch-bounded banded equi-joins; a production pipeline would
-    * materialize it per ingest tick.
+    * set — referenced by BOTH the fetch semi-join and the verify join —
+    * is materialized once per call via localCheckpoint (the per-ingest-
+    * tick materialization a production pipeline does), so the banded
+    * candidate join runs exactly once; PlanSpec pins both references
+    * resolving to the same checkpointed RDD. `materializeCandidates =
+    * false` keeps the candidate subtree lazy so plan tests can inspect
+    * the banded join it contains.
     */
-  def incremental(spark: SparkSession, dir: String): DataFrame = {
+  def incremental(spark: SparkSession, dir: String): DataFrame =
+    incremental(spark, dir, materializeCandidates = true)
+
+  def incremental(spark: SparkSession, dir: String, materializeCandidates: Boolean): DataFrame = {
     import spark.implicits._
     val index = spark.table(incrementalIndexTable(spark, dir))
     val batchDocs = Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0)
@@ -517,14 +529,19 @@ object Dedup {
     val batchSig = batchSh
       .groupBy($"doc_id")
       .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
-    val cand = bandedSignatures(batchSig)
+    val cand0 = bandedSignatures(batchSig)
       .as("a")
       .join(
-        bandedSignatures(index.select($"doc_id", $"mh")).as("b"),
+        bandedSignatures(index.filter($"mh".isNotNull).select($"doc_id", $"mh")).as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
       )
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // the per-tick candidate materialization: one eager local checkpoint
+    // (batch-bounded — thousands of pairs, not corpus-scale) that the
+    // fetch semi-join and the verify join both read, instead of each
+    // re-running the banded join + batch signature aggregation
+    val cand = if (materializeCandidates) cand0.localCheckpoint() else cand0
     // verification shingles: ONLY the candidate corpus docs, fetched by
     // a batch-bounded semi-join — never the whole corpus. The Jaccard
     // arithmetic is inlined (identical formula to jaccardFilter) instead

@@ -77,6 +77,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index covers zero-shingle corpus docs: exact dup of a tiny doc is caught") {
+    import spark.implicits._
+    // a <3-word corpus doc has zero shingles → no signature/count row;
+    // the index must still carry its md5 (mh null, n=0) or an exact
+    // byte-duplicate arriving in a batch slips past the exact check
+    val dir = java.nio.file.Files.createTempDirectory("graft-tinydoc-").toString
+    Seq(
+      (1L, "tiny doc"), // corpus (1 % 5 != 0), zero shingles
+      (2L, "an ordinary corpus document with enough words to shingle properly today"),
+      (3L, "another ordinary corpus document with plenty of words for shingling paths"),
+      (5L, "tiny doc"), // batch (5 % 5 == 0): byte-duplicate of doc 1
+      (10L, "a fresh batch document with enough words and no match in the corpus")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Dedup
+      .incremental(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(out(5L) === ((1L, 0L)), s"exact dup of the zero-shingle corpus doc must be flagged+dropped: $out")
+    assert(out(10L) === ((0L, 1L)), s"non-duplicate batch doc must be kept: $out")
+  }
+
   test("simhash band cap: conservative — capped pairs ⊆ uncapped; survivors have a non-hot matching band") {
     import spark.implicits._
     val full = Dedup

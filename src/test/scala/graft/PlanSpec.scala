@@ -186,7 +186,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup_incremental pairs batch bands against corpus bands only (no cartesian)") {
-    val plan = graft.dedup.Dedup.incremental(spark, dir).queryExecution.optimizedPlan
+    // materializeCandidates = false keeps the candidate subtree in the
+    // logical plan so the banded join is inspectable
+    val plan =
+      graft.dedup.Dedup.incremental(spark, dir, materializeCandidates = false).queryExecution.optimizedPlan
     val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
     assert(joins.nonEmpty)
     joins.foreach(j => assert(j.condition.nonEmpty || j.joinType.toString.contains("Semi"), j.toString))
@@ -196,7 +199,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup_incremental reads the persisted index — the corpus is never re-signatured") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
-    val df = graft.dedup.Dedup.incremental(spark, dir) // triggers the build-once index
+    // lazy-candidate variant: the build-once index still triggers, and
+    // the signature/shingle subtrees stay inspectable
+    val df = graft.dedup.Dedup.incremental(spark, dir, materializeCandidates = false)
     val plan = df.queryExecution.optimizedPlan
     // corpus-side hashes + signatures come from the fingerprinted
     // warehouse table, not a recompute
@@ -219,6 +224,24 @@ class PlanSpec extends AnyFunSuite {
       val sub = g.toString
       assert(sub.contains(batchFilter) || sub.contains("LeftSemi"), sub.take(2000))
     }
+  }
+
+  test("dedup_incremental materializes the candidate pair set once per tick") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = graft.dedup.Dedup.incremental(spark, dir).queryExecution.optimizedPlan
+    // fetch and verify must both read ONE checkpointed candidate RDD —
+    // the banded join ran exactly once, inside the checkpoint
+    val rddIds = plan.collect { case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id }
+    assert(rddIds.size >= 2, s"expected both candidate references checkpointed, got $rddIds\n$plan")
+    assert(rddIds.distinct.size === 1, s"expected one materialized candidate set, got $rddIds")
+    // and no minhash aggregate survives in the outer plan (the one
+    // signature pass happened inside the checkpointed subtree)
+    val mhAggs = plan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.exists(_.isInstanceOf[graft.functions.MinhashAgg])) =>
+        a
+    }
+    assert(mhAggs.isEmpty, mhAggs.mkString("\n"))
   }
 
   test("text_lm_score scores map-side: model tables broadcast, corpus bigrams never shuffle-join") {
