@@ -89,6 +89,7 @@ object SparkEntry {
     "stream_curate" -> ((s, d) => StreamingQueries.curateStream(s, d)),
     "stream_enrich" -> ((s, d) => StreamingQueries.enrichStream(s, d)),
     "stream_anomaly" -> ((s, d) => StreamingQueries.anomalyStream(s, d)),
+    "stream_ingest_dedup" -> ((s, d) => StreamingQueries.ingestDedupStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -203,6 +204,7 @@ object SparkEntry {
     "stream_dedup" -> PipelineOracles.streamDedup,
     "stream_curate" -> PipelineOracles.streamCurate,
     "stream_enrich" -> PipelineOracles.streamEnrich,
+    "stream_ingest_dedup" -> PipelineOracles.streamIngestDedup,
     // the drained streaming scorer equals the batch anomaly operator
     "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "dedup_exact" -> PipelineOracles.dedupExact,

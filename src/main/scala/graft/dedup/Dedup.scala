@@ -190,18 +190,20 @@ object Dedup {
     * the r=2 member hashes (each < 2^32) into one long. Shared by the
     * self-dedup and incremental paths so the banding can't drift.
     */
-  private def bandedSignatures(sig: DataFrame): DataFrame =
-    sig.select(
-      col("doc_id"),
-      posexplode(
-        array(
-          (0 until MinhashK / MinhashBandRows).map(b =>
-            shiftleft(element_at(col("mh"), 2 * b + 1), 32)
-              .bitwiseOR(element_at(col("mh"), 2 * b + 2))
-          ): _*
-        )
-      ).as(Seq("band", "bv"))
+  /** The 16 band values of a minhash signature column (each band packs
+    * its two 32-bit rows into one long) — shared by every LSH consumer
+    * so the band layout can't drift between batch and streaming paths.
+    */
+  private[graft] def bandArray(mh: Column): Column =
+    array(
+      (0 until MinhashK / MinhashBandRows).map(b =>
+        shiftleft(element_at(mh, 2 * b + 1), 32)
+          .bitwiseOR(element_at(mh, 2 * b + 2))
+      ): _*
     )
+
+  private[graft] def bandedSignatures(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), posexplode(bandArray(col("mh"))).as(Seq("band", "bv")))
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir, maxBandBucket = None)
@@ -489,6 +491,30 @@ object Dedup {
     t
   }
 
+  /** Appends `docs` (doc_id, text) to the persisted signature index —
+    * the accept step of the production ingest tick (see
+    * [[dedupBatchAgainstIndex]] for the loop). Computes md5 + minhash
+    * signature + distinct-shingle count for the NEW docs only (cost
+    * bounded by the batch; the existing index is untouched) with the
+    * same LEFT-join shape as the builder, so zero-shingle docs land
+    * with (mh null, n=0) and stay visible to the exact-hash check.
+    */
+  def appendToIndex(spark: SparkSession, indexTable: String, docs: DataFrame): Unit = {
+    import spark.implicits._
+    val sh = shinglesOf(docs)
+    val sig = sh.groupBy($"doc_id").agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    docs
+      .select($"doc_id", md5($"text").as("h"))
+      .join(sig, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select($"doc_id", $"h", $"mh", coalesce($"n", lit(0L)).as("n"))
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(indexTable)
+  }
+
   /** Incremental ingest dedup — the production shape: dedup a NEW BATCH
     * against the EXISTING corpus instead of re-deduping everything.
     * Per new-batch document: whether its exact text hash already exists
@@ -519,8 +545,41 @@ object Dedup {
 
   def incremental(spark: SparkSession, dir: String, materializeCandidates: Boolean): DataFrame = {
     import spark.implicits._
-    val index = spark.table(incrementalIndexTable(spark, dir))
-    val batchDocs = Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0)
+    dedupBatchAgainstIndex(
+      spark,
+      incrementalIndexTable(spark, dir),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0),
+      materializeCandidates
+    )
+  }
+
+  /** The production ingest-tick core: dedup `batchDocs` (doc_id, text)
+    * against the persisted signature index `indexTable`, fetching
+    * candidate verification text from `corpusDocs` — the doc store that
+    * covers every doc_id in the index (at 100 TB a doc_id-partitioned
+    * table; the fetch is a batch-bounded semi-join, i.e. a keyed
+    * point-read, never a corpus scan). The tick loop is:
+    *
+    * {{{
+    * val verdicts = Dedup.dedupBatchAgainstIndex(spark, t, batch, store)
+    * val accepted = batch.join(verdicts.filter($"keep" === 1L), "doc_id", "left_semi")
+    * Dedup.appendToIndex(spark, t, accepted)   // next tick sees them
+    * }}}
+    *
+    * so each tick dedups against the original corpus PLUS every prior
+    * tick's survivors, with per-tick cost bounded by the batch
+    * (IngestSpec drives two ticks end-to-end and pins index reuse).
+    */
+  def dedupBatchAgainstIndex(
+      spark: SparkSession,
+      indexTable: String,
+      batchDocs: DataFrame,
+      corpusDocs: DataFrame,
+      materializeCandidates: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    val index = spark.table(indexTable)
     val exactDup = batchDocs
       .select($"doc_id", md5($"text").as("h"))
       .join(index.select($"h"), Seq("h"), "left_semi")
@@ -551,9 +610,7 @@ object Dedup {
     // per reference (measured 10.1 s vs 2-3 s at sf0.1). Denominators:
     // na from the batch shingles, nb from the index's stored n.
     val candSh = shinglesOf(
-      Tables
-        .documentsFanned(spark, dir)
-        .filter($"doc_id" % NewBatchMod =!= 0)
+      corpusDocs
         .join(cand.select($"id_b".as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
     )
     val inter = cand
@@ -569,10 +626,8 @@ object Dedup {
       .groupBy($"id_a")
       .agg(min($"id_b").as("near_dup_of"))
       .select($"id_a".as("doc_id"), $"near_dup_of")
-    Tables
-      .documents(spark, dir)
+    batchDocs
       .select($"doc_id")
-      .filter($"doc_id" % NewBatchMod === 0)
       .join(exactDup, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(

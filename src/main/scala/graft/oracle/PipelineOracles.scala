@@ -253,6 +253,33 @@ object PipelineOracles {
        |WHERE d.doc_id % ${Dedup.NewBatchMod} = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Replays the streaming ingest gate: batch-split docs against the
+    * corpus-derived index — exact md5 hits, plus the smallest corpus doc
+    * sharing any LSH band (bucket-min lookup, UNVERIFIED candidate by
+    * design — the stream gate is the admission filter; verification is
+    * the batch compaction dedupIncremental replays).
+    */
+  val streamIngestDedup: String =
+    s"""WITH $minhashBandCtes,
+       |bandmin AS (SELECT band, v1, v2, min(doc_id) AS cand_id FROM bands
+       |  WHERE doc_id % ${Dedup.NewBatchMod} <> 0 GROUP BY 1, 2, 3),
+       |near AS (SELECT a.doc_id, min(bm.cand_id) AS lsh_candidate_of
+       |  FROM bands a JOIN bandmin bm ON bm.band = a.band AND bm.v1 = a.v1 AND bm.v2 = a.v2
+       |  WHERE a.doc_id % ${Dedup.NewBatchMod} = 0 GROUP BY 1),
+       |ex AS (SELECT DISTINCT n.doc_id
+       |  FROM documents n JOIN documents o
+       |    ON md5(n.text) = md5(o.text) AND o.doc_id % ${Dedup.NewBatchMod} <> 0
+       |  WHERE n.doc_id % ${Dedup.NewBatchMod} = 0)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       |  near.lsh_candidate_of,
+       |  CAST(CASE WHEN ex.doc_id IS NULL AND near.lsh_candidate_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN near ON near.doc_id = d.doc_id
+       |WHERE d.doc_id % ${Dedup.NewBatchMod} = 0
+       |ORDER BY d.doc_id""".stripMargin
+
   val dedupMinhash: String =
     s"""WITH $minhashCtes
        |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin

@@ -21,6 +21,14 @@ case class AnomState(ring: Seq[Long])
 /** An anomaly flagged by the streaming scorer. */
 case class AnomFlag(event_id: Long, user_id: Long, value_scaled: Long, n_prior: Long, z: Double)
 
+/** Banded lookup row feeding the streaming ingest gate's per-doc
+  * reduction (top-level for encoder codegen).
+  */
+case class IngestBandRow(doc_id: Long, exact_hit: Option[Long], cand_id: Option[Long])
+
+/** Admission verdict emitted by the streaming ingest gate. */
+case class IngestVerdict(doc_id: Long, is_exact_dup: Long, lsh_candidate_of: Option[Long], keep: Long)
+
 /** A closed session emitted by the sessionizer. */
 case class ClosedSession(
     user_id: Long,
@@ -487,5 +495,87 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 4).as("sum_value"))
     runToMemory(agg, "stream_enrich", "complete")
       .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  /** Streaming ingest-dedup gate: arriving documents stream-static-join
+    * the PERSISTED signature index (`graft_dedup_index_<fp>`) — the
+    * streaming face of [[graft.dedup.Dedup.incremental]]'s admission
+    * decision. Per arriving doc: an exact md5 hit against the index, and
+    * the smallest index doc sharing an LSH band (`lsh_candidate_of` — an
+    * UNVERIFIED candidate by design: the stream gate is the cheap
+    * admission filter; exact-Jaccard verification is the periodic batch
+    * compaction `dedup_incremental` runs). Every operator is stateless:
+    * the per-doc signature is the scalar [[graft.functions.MinhashArray]]
+    * (no streaming aggregation), both index joins are stream-static
+    * (broadcast while the lookup sides fit; at 100 TB the band-min and
+    * md5 sides are index-derived dimension tables), and the final
+    * per-doc min-reduction runs in flatMapGroupsWithState WITHOUT ever
+    * storing state — all banded rows of a doc live in its own
+    * micro-batch, so the state store stays EMPTY across batches
+    * (StreamingSpec pins numRowsTotal == 0 over a 3-batch drain).
+    */
+  def ingestDedupStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir).schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter($"doc_id" % graft.dedup.Dedup.NewBatchMod === 0)
+    val gate = ingestDedupOn(spark, graft.dedup.Dedup.incrementalIndexTable(spark, dir), docs)
+    runToMemory(gate, "stream_ingest_dedup", "append").orderBy($"doc_id")
+  }
+
+  /** The pre-sink ingest-gate transform on an arbitrary (doc_id, text)
+    * stream — exposed so StreamingSpec can attach its own sink and read
+    * per-batch state metrics off the query handle.
+    */
+  private[graft] def ingestDedupOn(
+      spark: SparkSession,
+      indexTable: String,
+      docs: DataFrame
+  ): DataFrame = {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val index = spark.table(indexTable)
+    // static lookup sides, re-planned per micro-batch: distinct corpus
+    // md5s, and each LSH band bucket's smallest member
+    val exactKeys = index.select($"h").distinct().withColumn("exact_hit", lit(1L))
+    val bandMin = Dedup
+      .bandedSignatures(index.filter($"mh".isNotNull).select($"doc_id", $"mh"))
+      .groupBy($"band", $"bv")
+      .agg(min($"doc_id").as("cand_id"))
+    val sig = docs.select(
+      $"doc_id",
+      md5($"text").as("h"),
+      graft.functions.MinhashArray
+        .minhashArray(graft.functions.TextExpressions.wordShingles(lower($"text")), Dedup.MinhashSeeds)
+        .as("mh")
+    )
+    val banded = sig
+      .join(exactKeys, Seq("h"), "left")
+      // posexplode_outer: a zero-shingle doc (mh null) still emits its
+      // 16 null-bucket rows, so the doc survives to the verdict with its
+      // exact flag intact (null buckets match nothing in bandMin)
+      .select($"doc_id", $"exact_hit", posexplode_outer(Dedup.bandArray($"mh")).as(Seq("band", "bv")))
+      .join(bandMin, Seq("band", "bv"), "left")
+    val reduce = (id: Long, rows: Iterator[IngestBandRow], state: GroupState[Boolean]) => {
+      // stateless by construction: every banded row of a doc derives
+      // from the doc's single input row, so the whole group is present
+      // in one micro-batch and `state` is never written
+      var exact = 0L
+      var cand = Option.empty[Long]
+      rows.foreach { r =>
+        if (r.exact_hit.contains(1L)) exact = 1L
+        r.cand_id.foreach(c => cand = Some(cand.fold(c)(math.min(c, _))))
+      }
+      Iterator(IngestVerdict(id, exact, cand, if (exact == 0L && cand.isEmpty) 1L else 0L))
+    }
+    banded
+      .select($"doc_id", $"exact_hit", $"cand_id")
+      .as[IngestBandRow]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(reduce)
+      .toDF
   }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the production ingest-tick loop end-to-end: build the
+  * persisted signature index once, run two sequential batches through
+  * [[Dedup.dedupBatchAgainstIndex]], append each tick's survivors with
+  * [[Dedup.appendToIndex]], and pin that (a) tick 2 dedups against
+  * tick-1 survivors purely via the index, and (b) the build-once
+  * machinery REUSES the appended table instead of rebuilding it.
+  */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "ingest-spec")
+
+  test("two ingest ticks: tick 2 dedups against tick-1 survivors via the appended index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-").toString
+    // corpus ids avoid doc_id % NewBatchMod == 0 so the builder indexes all three
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different corpus document speaking about spark shuffles and partitions"),
+      (3L, "third corpus document full of ordinary words that do not match the batches")
+    )
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val t = Dedup.incrementalIndexTable(spark, dir)
+    assert(spark.table(t).count() === 3L)
+
+    val store1 = corpus.toDF("doc_id", "text")
+    val dup100 = "a brand new page about catalyst expressions codegen and tungsten memory formats"
+    val near101 = "another brand new page with its own unique vocabulary of streaming watermarks"
+    val batch1 = Seq(
+      (100L, dup100),
+      (101L, near101),
+      (102L, "ok bye") // zero-shingle survivor — must still be appendable and findable
+    ).toDF("doc_id", "text")
+    val v1 = Dedup
+      .dedupBatchAgainstIndex(spark, t, batch1, store1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    assert(v1 === Map(100L -> 1L, 101L -> 1L, 102L -> 1L), s"fresh batch must be kept: $v1")
+    val accepted1 = batch1.join(
+      Dedup.dedupBatchAgainstIndex(spark, t, batch1, store1).filter($"keep" === 1L).select($"doc_id"),
+      Seq("doc_id"),
+      "left_semi"
+    )
+    Dedup.appendToIndex(spark, t, accepted1)
+    assert(spark.table(t).count() === 6L, "append must add exactly the accepted docs")
+
+    // tick 2: a byte-dup of tick-1 doc 100, a near-dup (one word changed)
+    // of 101, a byte-dup of the zero-shingle 102, and a fresh doc
+    val batch2 = Seq(
+      (200L, dup100),
+      (201L, near101.replace("watermarks", "checkpoints")),
+      (203L, "ok bye"),
+      (202L, "a totally fresh document about graph pagerank and triangle counting at scale")
+    ).toDF("doc_id", "text")
+    val store2 = store1.union(batch1) // the doc store after tick-1 accepts
+    val v2 = Dedup
+      .dedupBatchAgainstIndex(spark, t, batch2, store2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))))
+      .toMap
+    // a byte-dup is also an LSH near-dup (jaccard 1.0), so both flags fire
+    assert(v2(200L) === ((1L, 100L, 0L)), s"byte-dup of a tick-1 survivor must be exact-flagged: $v2")
+    assert(v2(201L)._2 === 101L, s"near-dup of a tick-1 survivor must be LSH-flagged via the index: $v2")
+    assert(v2(201L)._3 === 0L, v2.toString)
+    assert(v2(203L) === ((1L, -1L, 0L)), s"byte-dup of the zero-shingle survivor must be caught: $v2")
+    assert(v2(202L) === ((0L, -1L, 1L)), s"fresh doc must be kept: $v2")
+
+    // reuse, not rebuild: a fresh build-once call for the same corpus
+    // fingerprint returns the SAME table, appended rows intact
+    assert(Dedup.incrementalIndexTable(spark, dir) === t)
+    assert(spark.table(t).count() === 6L, "build-once must not clobber appended rows")
+  }
+}

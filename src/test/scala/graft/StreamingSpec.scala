@@ -222,6 +222,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.last === nUsers, s"state should saturate at $nUsers users: ${rows.mkString(",")}")
   }
 
+  test("ingest gate is stateless: state store stays EMPTY over a 3-batch drain; verdicts equal the batch gate") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val t = Dedup.incrementalIndexTable(spark, dir)
+    val batchDocs = Tables.documents(spark, dir).filter($"doc_id" % Dedup.NewBatchMod === 0)
+    // 3 single-file arrival batches of the new-doc split
+    val src = Files.createTempDirectory("graft-ingest-stream").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft-ingest-stage").toString
+      batchDocs.filter($"doc_id" % 3 === i).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(src, s"batch$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = StreamingQueries
+      .ingestDedupOn(spark, t, stream)
+      .writeStream
+      .format("memory")
+      .queryName("ingest_gate")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val progs = q.recentProgress.filter(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+    q.stop()
+    assert(progs.length >= 3, s"expected ≥3 data micro-batches, got ${progs.length}")
+    // the whole point of the scalar-signature design: NOTHING is ever
+    // stored — the gate's state is empty in every batch, so the stream
+    // keeps up with ingest regardless of how many documents have passed
+    progs.foreach(p =>
+      assert(p.stateOperators.head.numRowsTotal === 0L, s"gate stored state: ${p.stateOperators.head}")
+    )
+    // and the multi-batch drained verdicts equal the one-shot batch gate
+    // (flatMapGroupsWithState composes on batch Datasets too)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))).toSet
+    val streamed = canon(spark.table("ingest_gate").collect())
+    val batch = canon(StreamingQueries.ingestDedupOn(spark, t, batchDocs).collect())
+    assert(streamed === batch)
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     import spark.implicits._
     // incremental ingestion: drain 4 document shards, land 4 more, drain
