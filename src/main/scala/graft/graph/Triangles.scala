@@ -32,6 +32,49 @@ object Triangles {
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesOnEdges(Similarity.knnGraph(spark, dir).select("src_id", "dst_id"))
 
+  // Bounded LRU registry of the persisted oriented-edge sets, keyed by
+  // the canonicalized input plan (the same identity CacheManager uses).
+  // Repeated calls over the same edge set — the production kNN path —
+  // reuse ONE materialization (the localCheckpoint alternative measured
+  // 2.0 → 9.1 s at sf0.1 by losing exactly this reuse), while a caller
+  // driving many DISTINCT edge sets (GraphSpec's adversarial
+  // topologies) evicts the eldest instead of accruing JVM-lifetime
+  // cached blocks. Keys are distinct canonical plans, so an eviction
+  // can never drop a live entry's CacheManager data.
+  private[graph] val MaxCachedEdgeSets = 4
+  private[graph] val oeCache =
+    new java.util.LinkedHashMap[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame
+    ](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+            DataFrame
+          ]
+      ): Boolean = {
+        val evict = size() > MaxCachedEdgeSets
+        if (evict && !e.getKey._1.sparkContext.isStopped) e.getValue.unpersist()
+        evict
+      }
+    }
+
+  private def cachedOrientedEdges(oe0: DataFrame): DataFrame = {
+    val spark = oe0.sparkSession
+    // key on the canonicalized plan OBJECT, not its string: plan equality
+    // includes LocalRelation data (toString does not), matching the
+    // sameResult identity CacheManager itself uses
+    val key = (spark, oe0.queryExecution.analyzed.canonicalized)
+    oeCache.synchronized {
+      oeCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      Option(oeCache.get(key)).getOrElse {
+        val p = oe0.persist()
+        oeCache.put(key, p)
+        p
+      }
+    }
+  }
+
   /** Degree-ordered triangle count over an arbitrary (src_id, dst_id)
     * edge list (direction and duplicates ignored). Split out so specs
     * can drive it with adversarial topologies.
@@ -56,22 +99,18 @@ object Triangles {
       .join(degs.select($"node".as("b"), $"deg".as("db")), "b")
     val lowFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
     // oriented edge u → v with v's degree carried for the wedge ordering.
-    // persist(), deliberately: oe is read three times below (both wedge
-    // sides + the closing join) AND CacheManager's canonicalized-plan
-    // match lets a REPEATED call over the same edge set reuse the
-    // materialization — on the production path (the session-cached kNN
-    // graph) exactly one entry ever accrues. The measured alternative,
-    // localCheckpoint, avoids the JVM-lifetime cache entry but loses
-    // cross-call reuse: graph_triangles 2.0 → 9.1 s at sf0.1 (min-of-2).
-    // Known cost: a caller driving arbitrary DISTINCT edge sets (as
-    // GraphSpec does) accrues one cache entry per distinct input plan.
-    val oe = j
-      .select(
+    // persisted through the bounded LRU registry above: oe is read three
+    // times below (both wedge sides + the closing join), and repeated
+    // calls over the same edge set reuse one materialization while
+    // distinct edge sets evict the eldest entry instead of accruing
+    // cached blocks for the JVM's lifetime.
+    val oe = cachedOrientedEdges(
+      j.select(
         when(lowFirst, $"a").otherwise($"b").as("u"),
         when(lowFirst, $"b").otherwise($"a").as("v"),
         when(lowFirst, $"db").otherwise($"da").as("dv")
       )
-      .persist()
+    )
     val wedges = oe
       .as("e1")
       .join(

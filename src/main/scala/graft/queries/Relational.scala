@@ -568,7 +568,8 @@ object Relational {
       .groupBy($"l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        count(when($"l_extendedprice" < $"approx_median", 1)).as("below")
+        count(when($"l_extendedprice" < $"approx_median", 1)).as("below"),
+        count(when($"l_extendedprice" === $"approx_median", 1)).as("ties")
       )
     exact
       .join(approx, Seq("l_returnflag"))
@@ -581,7 +582,12 @@ object Relational {
           .as("parts_in_bound"),
         (abs($"approx_orders" - $"exact_orders") <= lit(0.05) * $"exact_orders")
           .as("orders_in_bound"),
-        ($"below".cast("double") / $"n" >= 0.40 && $"below".cast("double") / $"n" <= 0.60)
+        // tie-robust rank corridor: on tie-heavy columns many rows EQUAL
+        // the true median, so strictly-below alone can sit under 0.40
+        // even for an exact sketch — the corridor admits any value whose
+        // tie span covers the midpoint
+        ($"below".cast("double") / $"n" <= 0.60 &&
+          ($"below" + $"ties").cast("double") / $"n" >= 0.40)
           .as("median_in_bound")
       )
       .orderBy($"l_returnflag")

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraphSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = GraftSession.local(4, "graph-spec")
+  private val MaxEdgeSetProbe = 7 // > Triangles.MaxCachedEdgeSets distinct inputs
   private val dir = "/root/testdata/sf0.001"
 
   test("pagerank is bit-exact deterministic across runs") {
@@ -87,6 +88,33 @@ class GraphSpec extends AnyFunSuite {
       assert(row.getAs[Long]("n_wedges") === wedges)
       assert(row.getAs[Long]("n_triangles") === triples.size.toLong, und.toSeq.sorted)
     }
+  }
+
+  test("the oriented-edge registry is bounded: distinct edge sets evict, repeats reuse") {
+    import spark.implicits._
+    // drive more distinct topologies than the registry holds
+    (1 to MaxEdgeSetProbe).foreach { seed =>
+      val pairs = (1 to 30).map(i => ((i % 9).toLong + seed * 100, ((i * 7) % 9).toLong + seed * 100))
+        .filter(p => p._1 != p._2)
+      Triangles.trianglesOnEdges(pairs.toDF("src_id", "dst_id")).collect()
+    }
+    Triangles.oeCache.synchronized {
+      assert(
+        Triangles.oeCache.size() <= Triangles.MaxCachedEdgeSets,
+        s"registry grew past its bound: ${Triangles.oeCache.size()}"
+      )
+    }
+    // persisted blocks track the registry, not the call count: cached
+    // RDD count must stay well below the number of distinct inputs
+    val cachedNow = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedNow
+    val pairs = (1 to 30).map(i => (i.toLong % 7, (i * 3).toLong % 7)).filter(p => p._1 != p._2)
+    Triangles.trianglesOnEdges(pairs.toDF("src_id", "dst_id")).collect()
+    Triangles.trianglesOnEdges(pairs.toDF("src_id", "dst_id")).collect() // repeat reuses
+    assert(
+      spark.sparkContext.getPersistentRDDs.size <= before + 2,
+      "a repeated edge set must reuse its materialization, not add one per call"
+    )
   }
 
   test("the symmetrized graph covers every customer and supplier that traded") {
