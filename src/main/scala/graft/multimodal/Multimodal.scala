@@ -83,13 +83,106 @@ object Multimodal {
     } else None
   }
 
-  /** Decoder — parses real dimensions out of a PNG/JPEG header when the
-    * payload carries one; otherwise a deterministic md5-derived fake
-    * stands in for a full decode (the container ships no codecs). The
-    * feature vector is always payload-derived. Swap the fallback for a
-    * real decoder (JNI/ffmpeg/javacv) without touching the pipeline.
+  /** Full pure-JVM pixel decode of the two uncompressed raster formats
+    * that need no codec: BMP (24/32-bit, BI_RGB, bottom-up or top-down)
+    * and binary PPM (P6, maxval 255). Returns (width, height, packed
+    * top-down RGB triples). Anything else → None (the compressed
+    * formats fall back to header parsing + the documented stub).
+    */
+  private[multimodal] def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def le16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+      val dataOff = le32(10).toInt
+      val w = le32(18).toInt
+      val hRaw = le32(22).toInt // negative height = top-down row order
+      val h = math.abs(hRaw)
+      val bpp = le16(28)
+      val compression = le32(30)
+      if (w <= 0 || h == 0 || compression != 0 || (bpp != 24 && bpp != 32) || dataOff < 54) return None
+      val bytesPp = bpp / 8
+      val rowStride = ((w * bytesPp + 3) / 4) * 4 // rows pad to 4 bytes
+      if (dataOff.toLong + rowStride.toLong * h > p.length) return None
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = dataOff + (if (hRaw > 0) (h - 1 - y) else y) * rowStride
+        var x = 0
+        while (x < w) {
+          val s = srcRow + x * bytesPp // pixel order is BGR(A)
+          val d = (y * w + x) * 3
+          out(d) = p(s + 2)
+          out(d + 1) = p(s + 1)
+          out(d + 2) = p(s)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    } else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') {
+      // P6 header: three ASCII ints (w, h, maxval) separated by
+      // whitespace, '#' comments allowed, ONE whitespace before raster
+      var i = 2
+      def nextInt(): Int = {
+        while (i < p.length && (p(i) == ' ' || p(i) == '\t' || p(i) == '\n' || p(i) == '\r' || p(i) == '#')) {
+          if (p(i) == '#') while (i < p.length && p(i) != '\n') i += 1
+          else i += 1
+        }
+        var v = 0
+        var any = false
+        while (i < p.length && p(i) >= '0' && p(i) <= '9') { v = v * 10 + (p(i) - '0'); any = true; i += 1 }
+        if (any) v else -1
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      i += 1 // the single whitespace after maxval
+      if (w <= 0 || h <= 0 || maxval != 255 || i.toLong + 3L * w * h > p.length) return None
+      Some((w, h, java.util.Arrays.copyOfRange(p, i, i + 3 * w * h)))
+    } else None
+  }
+
+  /** Real 8-dim feature vector from decoded pixels (all in [0,1]):
+    * mean R/G/B, mean/min/max luma, mean |horizontal luma gradient|
+    * (edge density), fraction of bright (luma > 0.5) pixels.
+    */
+  private[multimodal] def pixelFeatures(w: Int, h: Int, rgb: Array[Byte]): Array[Float] = {
+    val n = w * h
+    var sr = 0L; var sg = 0L; var sb = 0L; var sy = 0L
+    var minY = 255; var maxY = 0; var bright = 0L; var grad = 0L
+    var i = 0
+    var prevY = -1
+    while (i < n) {
+      val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+      val y = (299 * r + 587 * g + 114 * b) / 1000
+      sr += r; sg += g; sb += b; sy += y
+      if (y < minY) minY = y
+      if (y > maxY) maxY = y
+      if (y > 127) bright += 1
+      if (i % w != 0 && prevY >= 0) grad += math.abs(y - prevY)
+      prevY = y
+      i += 1
+    }
+    val gradDenom = math.max(1L, (w - 1).toLong * h)
+    Array(
+      sr.toFloat / n / 255f, sg.toFloat / n / 255f, sb.toFloat / n / 255f,
+      sy.toFloat / n / 255f, minY / 255f, maxY / 255f,
+      grad.toFloat / gradDenom / 255f, bright.toFloat / n
+    )
+  }
+
+  /** Decoder — a REAL end-to-end decode for uncompressed BMP/PPM
+    * payloads (pixels → real color/luma/edge features via
+    * [[decodePixels]]/[[pixelFeatures]]); real header dimensions for
+    * PNG/JPEG; and for everything else a deterministic md5-derived fake
+    * stands in (the container ships no compressed-format codecs). Swap
+    * the fallback for a full decoder (JNI/ffmpeg/javacv) without
+    * touching the pipeline — the batched partition-local plumbing is
+    * format-agnostic.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    decodePixels(payload) match {
+      case Some((w, h, rgb)) => return (w, h, 1, pixelFeatures(w, h, rgb))
+      case None              => ()
+    }
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val h1 = java.lang.Integer.toUnsignedLong(
       ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)

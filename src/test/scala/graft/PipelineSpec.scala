@@ -157,6 +157,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(w3 >= 1 && w3 <= 1920 && h3 >= 1 && h3 <= 1080)
   }
 
+  test("uncompressed BMP and PPM decode end-to-end: real pixels, real features, format-agnostic") {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = le16(v & 0xffff) ++ le16((v >> 16) & 0xffff)
+    // 2×2 logical image, row-major: red green / blue white
+    // BMP stores it bottom-up in BGR with rows padded to 4 bytes
+    val bmp = Array[Byte]('B', 'M') ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++ // DIB: 2×2, 24bpp, BI_RGB
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      // stored row 0 = logical bottom row: blue(BGR FF 00 00), white, pad
+      Array[Byte](0xff.toByte, 0, 0, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0, 0) ++
+      // stored row 1 = logical top row: red(BGR 00 00 FF), green, pad
+      Array[Byte](0, 0, 0xff.toByte, 0, 0xff.toByte, 0, 0, 0)
+    val (bw, bh, bf, bfeat) = Multimodal.decodeStub(bmp)
+    assert((bw, bh, bf) === (2, 2, 1))
+    // means of the four pixels: R=G=B=(255+255)/4/255=0.5; half bright
+    assert(math.abs(bfeat(0) - 0.5f) < 1e-6, bfeat.mkString(","))
+    assert(math.abs(bfeat(1) - 0.5f) < 1e-6)
+    assert(math.abs(bfeat(2) - 0.5f) < 1e-6)
+    assert(bfeat(4) === 29f / 255f) // min luma = pure blue
+    assert(bfeat(5) === 1.0f) // max luma = white
+    assert(bfeat(7) === 0.5f) // green + white are bright
+    // the SAME logical image as binary PPM (P6, top-down RGB, a comment
+    // in the header) must decode to the IDENTICAL feature vector
+    val ppm = "P6\n# tiny fixture\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](0xff.toByte, 0, 0, 0, 0xff.toByte, 0, 0, 0, 0xff.toByte,
+        0xff.toByte, 0xff.toByte, 0xff.toByte)
+    val (pw, ph, pf, pfeat) = Multimodal.decodeStub(ppm)
+    assert((pw, ph, pf) === (2, 2, 1))
+    assert(pfeat.toSeq === bfeat.toSeq, "identical pixels must give identical features across formats")
+    // a top-down BMP (negative height) decodes to the same image too
+    val bmpTd = bmp.clone()
+    le32(-2).copyToArray(bmpTd, 22) // height = -2 → rows stored top-down
+    val tmp = bmpTd.slice(54, 62).clone() // swap the two stored rows
+    Array.copy(bmpTd, 62, bmpTd, 54, 8)
+    Array.copy(tmp, 0, bmpTd, 62, 8)
+    val (tw, th, _, tfeat) = Multimodal.decodeStub(bmpTd)
+    assert((tw, th) === (2, 2))
+    assert(tfeat.toSeq === bfeat.toSeq)
+  }
+
   test("seg dedup with an unreachable df threshold reassembles every document verbatim") {
     import spark.implicits._
     // with maxDf = MaxValue nothing is boilerplate, so the split →
