@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
+    "dedup_cap_profile" -> ((s, d) => Dedup.capProfile(s, d)),
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
@@ -221,6 +222,7 @@ object SparkEntry {
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
     "dedup_clusters" -> PipelineOracles.dedupClusters,
     "dedup_lsh_recall" -> PipelineOracles.dedupLshRecall,
+    "dedup_cap_profile" -> PipelineOracles.dedupCapProfile,
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,

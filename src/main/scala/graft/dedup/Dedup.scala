@@ -36,6 +36,7 @@ object Dedup {
   val EmbedBands = 8 // 8 bands × 8 bits: 256 buckets/band, OR-amplified recall
   val EmbedBandBits = 8
   val EmbedCosThreshold = 0.4
+  val CapGrid = Seq(5, 20, 100) // candidate caps dedup_cap_profile costs out
 
   /** Exact dedup: group by md5(text); keeper = min doc_id per hash. One
     * shuffle on the 128-bit hash — the canonical 100 TB-safe exact dedup.
@@ -446,6 +447,50 @@ object Dedup {
       .filter($"containment" >= ContainmentThreshold)
       .select($"id_a", $"id_b", $"containment")
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Cap-selection ledger for the df-capped dedup family: for each
+    * candidate stop-shingle cap, the EXACT cost/benefit of applying it —
+    * how many shingles go hot (df > cap), and the uncapped vs capped
+    * candidate-pair mass (Σ C(df,2) vs Σ C(min(df,cap),2) — the actual
+    * row counts of the inverted-index self-join, the quantity SkewSpec
+    * bounds). This is how a production pipeline PICKS NgramDfCap from
+    * data instead of folklore: run the profile on a corpus sample, read
+    * the saved-pair fraction against the hot-shingle fraction.
+    *
+    * Scale: one pass over the shingle index (map-side-combined count per
+    * shingle — the df table is vocabulary-sized, not corpus-sized), then
+    * a broadcast of the |CapGrid| candidate caps and a second bounded
+    * aggregation. No windows, no joins beyond the 3-row cap broadcast.
+    */
+  def capProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dfs = shingleRows(spark, dir).groupBy($"sh").agg(count(lit(1)).as("df"))
+    val caps = CapGrid.toDF("cap").select($"cap".cast("long"))
+    val r6 = graft.text.TextAnalysis.round6 _
+    dfs
+      .crossJoin(broadcast(caps))
+      .groupBy($"cap")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"df" > $"cap", 1L).otherwise(0L)).as("n_hot"),
+        // df·(df−1) is even, so `div` is exact — no double roundtrip
+        sum(expr("df * (df - 1) div 2")).as("pairs_uncapped"),
+        sum(expr("least(df, cap) * (least(df, cap) - 1) div 2")).as("pairs_capped")
+      )
+      .select(
+        $"cap",
+        $"n_shingles",
+        $"n_hot",
+        r6($"n_hot".cast("double") / $"n_shingles".cast("double")).as("hot_frac"),
+        $"pairs_uncapped",
+        $"pairs_capped",
+        when(
+          $"pairs_uncapped" > 0,
+          r6(($"pairs_uncapped" - $"pairs_capped").cast("double") / $"pairs_uncapped".cast("double"))
+        ).otherwise(lit(0.0)).as("pairs_saved_frac")
+      )
+      .orderBy($"cap")
   }
 
   val NewBatchMod = 5 // incremental split: doc_id % NewBatchMod == 0 is the new batch

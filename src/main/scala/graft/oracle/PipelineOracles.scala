@@ -253,6 +253,29 @@ object PipelineOracles {
        |WHERE d.doc_id % ${Dedup.NewBatchMod} = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Replays the cap-selection ledger: exact per-shingle df, the 3-cap
+    * grid, and the C(df,2)-mass arithmetic in BIGINT (df·(df−1) is even,
+    * so // 2 is exact in both engines).
+    */
+  val dedupCapProfile: String = {
+    val unc = "sum(df * (df - 1) // 2)"
+    val cap = "sum(least(df, cap) * (least(df, cap) - 1) // 2)"
+    s"""WITH $shingleSets,
+       |dfs AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shx GROUP BY 1),
+       |caps AS (SELECT CAST(unnest([${Dedup.CapGrid.mkString(", ")}]) AS BIGINT) AS cap)
+       |SELECT cap,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN df > cap THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       |  ${round6Sql("CAST(sum(CASE WHEN df > cap THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS hot_frac,
+       |  CAST($unc AS BIGINT) AS pairs_uncapped,
+       |  CAST($cap AS BIGINT) AS pairs_capped,
+       |  CASE WHEN $unc > 0
+       |    THEN ${round6Sql(s"CAST($unc - $cap AS DOUBLE) / CAST($unc AS DOUBLE)")}
+       |    ELSE 0.0 END AS pairs_saved_frac
+       |FROM dfs, caps
+       |GROUP BY cap ORDER BY cap""".stripMargin
+  }
+
   /** Replays the streaming ingest gate: batch-split docs against the
     * corpus-derived index — exact md5 hits, plus the smallest corpus doc
     * sharing any LSH band (bucket-min lookup, UNVERIFIED candidate by

@@ -244,6 +244,44 @@ class PlanSpec extends AnyFunSuite {
     assert(mhAggs.isEmpty, mhAggs.mkString("\n"))
   }
 
+  test("dedup_cap_profile is two bounded aggregations + a broadcast cap grid — no windows, no data joins") {
+    val df = graft.dedup.Dedup.capProfile(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, plan.toString)
+    val phys = planString(df)
+    // the only join is the |CapGrid|-row broadcast; the shingle df table
+    // aggregates with map-side combine before any shuffle
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("ShuffledHashJoin"), phys)
+    assert(phys.contains("partial_count") || phys.contains("partial_sum"), phys)
+  }
+
+  test("stream_ingest_dedup's gate never re-signatures the corpus: index scan + scalar batch signature") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val t = graft.dedup.Dedup.incrementalIndexTable(spark, dir)
+    val batch = graft.Tables
+      .documentsFanned(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % graft.dedup.Dedup.NewBatchMod === 0)
+    val plan = graft.streaming.StreamingQueries
+      .ingestDedupOn(spark, t, batch)
+      .queryExecution
+      .optimizedPlan
+    // corpus signatures come from the persisted index table
+    assert(plan.toString.contains("graft_dedup_index_"), plan.toString.take(3000))
+    // the batch side uses the scalar MinhashArray — NO signature
+    // aggregate anywhere (the stateless-streaming requirement)
+    val mhAggs = plan.collect {
+      case a: Aggregate
+          if a.aggregateExpressions.exists(_.exists(_.isInstanceOf[graft.functions.MinhashAgg])) =>
+        a
+    }
+    assert(mhAggs.isEmpty, mhAggs.mkString("\n"))
+    assert(
+      plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[graft.functions.MinhashArray]))),
+      plan.toString.take(3000)
+    )
+  }
+
   test("text_lm_score scores map-side: model tables broadcast, corpus bigrams never shuffle-join") {
     val plan = planString(graft.text.TextAnalysis.lmScore(spark, dir))
     // bigram-df, unigram-df, and V all broadcast (vocabulary-sized
