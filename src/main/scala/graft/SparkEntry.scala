@@ -105,6 +105,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_cap_profile" -> ((s, d) => Dedup.capProfile(s, d)),
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
@@ -223,6 +224,7 @@ object SparkEntry {
     "dedup_clusters" -> PipelineOracles.dedupClusters,
     "dedup_lsh_recall" -> PipelineOracles.dedupLshRecall,
     "dedup_cap_profile" -> PipelineOracles.dedupCapProfile,
+    "dedup_semantic" -> PipelineOracles.dedupSemantic,
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,

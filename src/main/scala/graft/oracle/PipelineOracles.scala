@@ -577,7 +577,13 @@ object PipelineOracles {
     * and therefore identical across engines regardless of row order.
     * Then: nprobe nearest cells per query, exact cosine re-rank.
     */
-  val simAnnIvf: String = {
+  /** Shared IVF replay prefix: embNorms + stride-sample init +
+    * IvfLloydRounds deterministic Lloyd rounds + every vector's nearest
+    * cell (`cell`), exactly as `Similarity.lloydCentroids` computes them.
+    * Used by simAnnIvf (probe path) and dedupSemantic (cluster-bounded
+    * pair path).
+    */
+  private val ivfCellCtes: String = {
     val s = Similarity.IvfMeanScale
     def lloydCtes(i: Int): String =
       s"""sc$i AS (SELECT n.vec_id, n.embedding, c.cid,
@@ -593,7 +599,7 @@ object PipelineOracles {
          |cl$i AS (SELECT cid, list(cx ORDER BY j) AS ce FROM cm$i GROUP BY cid),
          |c$i AS (SELECT cid, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM cl$i)""".stripMargin
     val rounds = Similarity.IvfLloydRounds
-    s"""WITH $embNorms,
+    s"""$embNorms,
        |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
        |  FROM norms WHERE vec_id % ${Similarity.IvfStride} = 0
        |    AND vec_id < ${Similarity.IvfStride.toLong * Similarity.IvfMaxCells}),
@@ -602,10 +608,15 @@ object PipelineOracles {
        |scored_cells AS (SELECT n.vec_id, cents.cid,
        |    ${dotSql("n.embedding", "cents.ce")} / (n.nrm * cents.cn) AS ccos
        |  FROM norms n, cents),
-       |cell_rank AS (SELECT vec_id, cid, ccos,
+       |cell_rank AS MATERIALIZED (SELECT vec_id, cid, ccos,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
        |  FROM scored_cells),
-       |cell AS (SELECT vec_id, cid FROM cell_rank WHERE rn = 1),
+       |cell AS (SELECT vec_id, cid FROM cell_rank WHERE rn = 1)""".stripMargin
+  }
+
+  /** IVF probe-path replay (training shared via [[ivfCellCtes]]). */
+  val simAnnIvf: String =
+    s"""WITH $ivfCellCtes,
        |qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
        |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
        |cand AS (SELECT DISTINCT qprobe.query_id, cell.vec_id
@@ -619,7 +630,25 @@ object PipelineOracles {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** Replays SemDeDup: the shared quantizer training + cell assignment,
+    * exact cosine pairs WITHIN each cell, min-id duplicate groups, keep
+    * flags. `cell` is re-read three times — it comes from the
+    * MATERIALIZED cell_rank, so the Lloyd chain runs once.
+    */
+  val dedupSemantic: String =
+    s"""WITH $ivfCellCtes,
+       |pairs AS (SELECT b.vec_id, a.vec_id AS id_a,
+       |    ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN norms na ON na.vec_id = a.vec_id
+       |  JOIN norms nb ON nb.vec_id = b.vec_id),
+       |dups AS (SELECT vec_id, min(id_a) AS sem_dup_of FROM pairs
+       |  WHERE cosine >= ${Dedup.EmbedCosThreshold} GROUP BY 1)
+       |SELECT cell.vec_id, cell.cid, dups.sem_dup_of,
+       |  CAST(CASE WHEN dups.sem_dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM cell LEFT JOIN dups ON dups.vec_id = cell.vec_id
+       |ORDER BY cell.vec_id""".stripMargin
 
   // ---- text analysis ----------------------------------------------------
 

@@ -230,6 +230,55 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    * the embedding corpus with the SAME deterministically-trained Lloyd
+    * quantizer the IVF index uses, then find near-duplicate pairs ONLY
+    * within each cluster (exact cosine ≥ the embed near-dup threshold)
+    * and keep the smallest id of every duplicate group. The
+    * cluster-bounded pairwise join is the scale mechanism: candidates
+    * are O(Σ cluster_size²), never corpus², and in production k grows
+    * with the corpus (IvfMaxCells is the test-scale constant) so cluster
+    * sizes — and the per-cluster join — stay bounded. Complements
+    * `dedup_embedding`: LSH buckets catch near-identical vectors
+    * globally; semantic clusters catch same-meaning redundancy locally.
+    *
+    * Output: one verdict per vector — its cluster, the smallest
+    * same-cluster semantic duplicate below it (null if none), and the
+    * keep flag. The trained quantizer is the shared session-cached
+    * artifact, so this costs one assignment pass + the bounded join.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val cents = lloydCentroids(emb)
+    val cell = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"))
+    val withVec = cell.join(emb, "vec_id")
+    val pairs = withVec
+      .as("a")
+      .join(
+        withVec.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id")
+      )
+      .withColumn("cosine", dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .filter($"cosine" >= Dedup.EmbedCosThreshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val dups = pairs.groupBy($"id_b".as("vec_id")).agg(min($"id_a").as("sem_dup_of"))
+    cell
+      .join(dups, Seq("vec_id"), "left")
+      .select(
+        $"vec_id",
+        $"cid",
+        $"sem_dup_of",
+        when($"sem_dup_of".isNull, 1L).otherwise(0L).as("keep")
+      )
+      .orderBy($"vec_id")
+  }
+
   val QuantRange = 127.0 // symmetric int8 range
 
   /** Scalar-quantized (int8-style) top-k cosine — the memory-reduction

@@ -132,6 +132,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup drops the planted within-cluster duplicate and keeps the smallest id") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup-").toString
+    val rng = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = (0 until 120).map(i => (i.toLong, unit())).toArray
+    vecs(7) = (7L, vecs(3)._2.clone()) // byte-identical duplicate of vec 3
+    vecs.toSeq.toDF("vec_id", "embedding").write.parquet(s"$tmp/embeddings.parquet")
+    val out = Similarity
+      .semanticDedup(spark, tmp)
+      .collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(2)) -1L else r.getLong(2)) -> r.getLong(3)))
+      .toMap
+    assert(out(7L) === ((3L, 0L)), s"identical vector must be dropped against its smaller twin: ${out(7L)}")
+    assert(out.size === 120)
+    // dropped vectors are exactly those with a sem_dup_of
+    out.values.foreach { case (dupOf, keep) => assert((dupOf >= 0) === (keep == 0L)) }
+  }
+
   test("decode parses real PNG/JPEG header dimensions; text payloads take the deterministic fallback") {
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -282,6 +282,26 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("dedup_semantic pairs vectors within clusters only — the pair join carries the cid equi-condition") {
+    val df = graft.similarity.Similarity.semanticDedup(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    // the vector-pair join is cid-bounded (never corpus × corpus)
+    assert(
+      joins.exists(j => j.condition.exists(c => c.toString.contains("cid") && c.toString.contains("vec_id"))),
+      plan.toString.take(3000)
+    )
+    // conditionless joins are only the bounded centroid broadcasts
+    // (≤ IvfMaxCells rows) feeding cell assignment
+    joins.filter(_.condition.isEmpty).foreach { j =>
+      assert(
+        j.left.toString.contains("cid") || j.right.toString.contains("cid"),
+        s"unexpected unconditioned join:\n${j.toString.take(1000)}"
+      )
+    }
+  }
+
   test("text_lm_score scores map-side: model tables broadcast, corpus bigrams never shuffle-join") {
     val plan = planString(graft.text.TextAnalysis.lmScore(spark, dir))
     // bigram-df, unigram-df, and V all broadcast (vocabulary-sized
