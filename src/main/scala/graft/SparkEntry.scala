@@ -112,6 +112,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
+    "sim_prototypes" -> ((s, d) => Similarity.prototypes(s, d)),
     "sim_quantized" -> ((s, d) => Similarity.topKQuantized(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -230,6 +231,7 @@ object SparkEntry {
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
     "sim_ann_ivf" -> PipelineOracles.simAnnIvf,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
+    "sim_prototypes" -> PipelineOracles.simPrototypes,
     "sim_quantized" -> PipelineOracles.simQuantized,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,

@@ -650,6 +650,21 @@ object PipelineOracles {
        |FROM cell LEFT JOIN dups ON dups.vec_id = cell.vec_id
        |ORDER BY cell.vec_id""".stripMargin
 
+  /** Replays prototype selection off the shared IVF cells: best-aligned
+    * vector per cell (ties to smallest vec_id), cell population, round6
+    * alignment.
+    */
+  val simPrototypes: String =
+    s"""WITH $ivfCellCtes,
+       |cellc AS (SELECT vec_id, cid, ccos FROM cell_rank WHERE rn = 1),
+       |reps AS (SELECT cid, vec_id, ccos,
+       |    row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS rrn
+       |  FROM cellc),
+       |cs AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM cellc GROUP BY 1)
+       |SELECT reps.cid, reps.vec_id AS rep_id, cs.cluster_size,
+       |  ${round6Sql("ccos")} AS rep_cos
+       |FROM reps JOIN cs USING (cid) WHERE rrn = 1 ORDER BY reps.cid""".stripMargin
+
   // ---- text analysis ----------------------------------------------------
 
   val textLangId: String =

@@ -279,6 +279,41 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Per-cluster prototype selection — the coreset/diversity-pruning
+    * face of the quantizer artifact: for every Lloyd cell, the vector
+    * most aligned with its centroid (ties to the smallest vec_id), the
+    * cell population, and the alignment score. Training-data pipelines
+    * use exactly this to subsample redundant regions (keep prototypes,
+    * downweight the rest) and to audit IVF index balance (skewed
+    * cluster_size = bad quantizer). Scale: one broadcast-centroid map
+    * pass, then TWO map-side-combined argmax/count aggregations — one
+    * row per vector shuffles, output is cell-count-sized. No windows.
+    */
+  def prototypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val cents = lloydCentroids(emb)
+    val cell = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"), $"best.ccos".as("ccos"))
+    cell
+      .groupBy($"cid")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max(struct($"ccos", (-$"vec_id").as("nvid"))).as("rep")
+      )
+      .select(
+        $"cid",
+        (-$"rep.nvid").as("rep_id"),
+        $"cluster_size",
+        graft.text.TextAnalysis.round6($"rep.ccos").as("rep_cos")
+      )
+      .orderBy($"cid")
+  }
+
   val QuantRange = 127.0 // symmetric int8 range
 
   /** Scalar-quantized (int8-style) top-k cosine — the memory-reduction

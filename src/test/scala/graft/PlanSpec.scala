@@ -282,6 +282,16 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("sim_prototypes is argmax aggregation all the way down — no windows, bounded centroid broadcast only") {
+    val df = graft.similarity.Similarity.prototypes(spark, dir)
+    val windows = df.queryExecution.optimizedPlan
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, df.queryExecution.optimizedPlan.toString)
+    val phys = planString(df)
+    assert(phys.contains("partial_max") || phys.contains("partial_count"), phys)
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("ShuffledHashJoin"), phys)
+  }
+
   test("dedup_semantic pairs vectors within clusters only — the pair join carries the cid equi-condition") {
     val df = graft.similarity.Similarity.semanticDedup(spark, dir)
     val plan = df.queryExecution.optimizedPlan
