@@ -119,6 +119,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(s, d)),
     "text_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
     "text_seg_dedup" -> ((s, d) => TextAnalysis.segDedup(s, d)),
@@ -237,6 +238,7 @@ object SparkEntry {
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,
     "text_fingerprint" -> PipelineOracles.textFingerprint,
+    "text_pii_redact" -> PipelineOracles.textPiiRedact,
     "text_repetition" -> PipelineOracles.textRepetition,
     "text_dup_spans" -> PipelineOracles.textDupSpans,
     "text_seg_dedup" -> PipelineOracles.textSegDedup(TextAnalysis.SegWords, TextAnalysis.SegMaxDf),

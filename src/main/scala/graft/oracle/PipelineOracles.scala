@@ -709,6 +709,38 @@ object PipelineOracles {
        |  ${round6Sql(s"CAST(length(text) AS BIGINT) / CAST(len($toks) AS BIGINT)")} AS chars_per_ws_token
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Replays the planted-PII fixture (doc_id-derived email/IPv4/phone
+    * spans) and the fixed-order scrub. Patterns stay inside the
+    * Java∩RE2 regex subset so both engines match identical spans;
+    * counts via regexp_extract_all, global replace via the 'g' flag.
+    */
+  val textPiiRedact: String = {
+    val email = TextAnalysis.EmailRe
+    val ip = TextAnalysis.Ipv4Re
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH planted AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 2 = 0
+       |       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+       |  || CASE WHEN doc_id % 3 = 0
+       |       THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.1' ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 0
+       |       THEN ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |  AS raw FROM documents),
+       |scrubbed AS (SELECT doc_id, raw,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS clean
+       |  FROM planted)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phones,
+       |  CAST(length(clean) AS BIGINT) AS clean_len,
+       |  md5(clean) AS clean_md5
+       |FROM scrubbed ORDER BY doc_id""".stripMargin
+  }
+
   val textFingerprint: String =
     s"""SELECT doc_id,
        |  CASE WHEN length(text) = 0 THEN 7

