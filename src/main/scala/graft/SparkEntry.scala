@@ -4,7 +4,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.oracle.{Oracles, PipelineOracles}
 import graft.queries.{Events, Reference, Relational}
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 import graft.streaming.StreamingQueries
 import graft.text.{Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -114,6 +114,8 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_prototypes" -> ((s, d) => Similarity.prototypes(s, d)),
     "sim_quantized" -> ((s, d) => Similarity.topKQuantized(s, d)),
+    "sim_pq_adc" -> ((s, d) => Pq.adcTopK(s, d)),
+    "sim_pq_recall" -> ((s, d) => Pq.adcRecall(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -234,6 +236,8 @@ object SparkEntry {
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
     "sim_prototypes" -> PipelineOracles.simPrototypes,
     "sim_quantized" -> PipelineOracles.simQuantized,
+    "sim_pq_adc" -> PipelineOracles.simPqAdc,
+    "sim_pq_recall" -> PipelineOracles.simPqRecall,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

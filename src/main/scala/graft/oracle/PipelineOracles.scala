@@ -3,7 +3,7 @@ package graft.oracle
 import graft.dedup.Dedup
 import graft.functions.Portable
 import graft.multimodal.Multimodal
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 import graft.text.TextAnalysis
 
 /** DuckDB oracle SQL for the LLM-pipeline operators. These are generated
@@ -664,6 +664,97 @@ object PipelineOracles {
        |SELECT reps.cid, reps.vec_id AS rep_id, cs.cluster_size,
        |  ${round6Sql("ccos")} AS rep_cos
        |FROM reps JOIN cs USING (cid) WHERE rrn = 1 ORDER BY reps.cid""".stripMargin
+
+  /** Replays PQ end-to-end: per-subspace views, stride-init codebooks,
+    * Pq.PqLloydRounds deterministic Lloyd rounds (assignment argmax on
+    * 2·⟨s,c⟩ − ⟨c,c⟩ with ties to the lowest code, integer-pooled
+    * means — the IVF recipe verbatim), corpus encoding, the per-query
+    * lookup table, and the fixed-order 4-term ADC sum. `subv` and
+    * `pcents` are multi-referenced → MATERIALIZED, so the Lloyd chain
+    * runs once per oracle evaluation.
+    */
+  private val pqAdcCtes: String = {
+    val s = Similarity.IvfMeanScale
+    val sd = Pq.PqSubDim
+    def lloydCtes(i: Int): String =
+      s"""psc$i AS (SELECT v.vec_id, v.m, v.sub, c.code,
+         |    2.0 * ${dotSql("v.sub", "c.ce")} - ${dotSql("c.ce", "c.ce")} AS score
+         |  FROM subv v JOIN pc${i - 1} c ON c.m = v.m),
+         |par$i AS (SELECT vec_id, m, sub, code,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code) AS rn FROM psc$i),
+         |pas$i AS (SELECT m, code, sub FROM par$i WHERE rn = 1),
+         |pcm$i AS (SELECT m, code, d.j,
+         |    CAST((CAST(CAST(sum(CAST(floor(CAST(sub[d.j + 1] AS DOUBLE) * $s + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE)) / $s AS REAL) AS cx
+         |  FROM pas$i, (SELECT unnest(generate_series(0, ${sd - 1})) AS j) d GROUP BY m, code, d.j),
+         |pc$i AS (SELECT m, code, list(cx ORDER BY j) AS ce FROM pcm$i GROUP BY m, code)""".stripMargin
+    val rounds = Pq.PqLloydRounds
+    s"""subv AS MATERIALIZED (SELECT vec_id, mm.m AS m,
+       |    embedding[mm.m * $sd + 1 : mm.m * $sd + $sd] AS sub
+       |  FROM embeddings, (SELECT unnest(generate_series(0, ${Pq.PqSubspaces - 1})) AS m) mm),
+       |pc0 AS (SELECT m, CAST(vec_id // ${Pq.PqStride} AS INT) AS code, sub AS ce FROM subv
+       |  WHERE vec_id % ${Pq.PqStride} = 0 AND vec_id < ${Pq.PqStride.toLong * Pq.PqCodes}),
+       |${(1 to rounds).map(lloydCtes).mkString(",\n")},
+       |pcents AS MATERIALIZED (SELECT m, code, ce FROM pc$rounds),
+       |enc_sc AS (SELECT v.vec_id, v.m, c.code,
+       |    2.0 * ${dotSql("v.sub", "c.ce")} - ${dotSql("c.ce", "c.ce")} AS score
+       |  FROM subv v JOIN pcents c ON c.m = v.m),
+       |enc_rk AS (SELECT vec_id, m, code,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code) AS rn FROM enc_sc),
+       |codes AS (SELECT vec_id, m, code FROM enc_rk WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, c.m, c.code, ${dotSql("q.sub", "c.ce")} AS v
+       |  FROM subv q JOIN pcents c ON c.m = q.m WHERE q.vec_id < ${Similarity.NumQueries}),
+       |adc AS (SELECT l.query_id, k.vec_id,
+       |${(0 until Pq.PqSubspaces)
+        .map(m => s"    sum(CASE WHEN k.m = $m THEN l.v END) AS l$m")
+        .mkString(",\n")}
+       |  FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       |  GROUP BY 1, 2),
+       |pq_ranked AS (SELECT query_id, vec_id, $adcSumSql AS adc_dot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $adcSumSql DESC, vec_id) AS INT) AS rank
+       |  FROM adc WHERE vec_id <> query_id),
+       |pq_cand AS (SELECT query_id, vec_id, adc_dot FROM pq_ranked
+       |  WHERE rank <= ${Pq.PqRefine}),
+       |pq_refined AS (SELECT c.query_id, c.vec_id, c.adc_dot,
+       |    ${dotSql("q.embedding", "e.embedding")} AS xdot
+       |  FROM pq_cand c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |pq_rerank AS (SELECT query_id, vec_id, adc_dot, xdot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
+       |  FROM pq_refined)""".stripMargin
+  }
+
+  /** Left-to-right 8-term ADC sum — matches Spark's reduce(_ + _). */
+  private def adcSumSql: String =
+    (1 until Pq.PqSubspaces).foldLeft("l0")((acc, m) => s"($acc + l$m)")
+
+  val simPqAdc: String =
+    s"""WITH $pqAdcCtes
+       |SELECT query_id, vec_id AS neighbor_id, rank,
+       |  ${round6Sql("xdot")} AS dot, ${round6Sql("adc_dot")} AS adc_dot
+       |FROM pq_rerank WHERE rank <= ${Pq.PqTopK} ORDER BY query_id, rank""".stripMargin
+
+  /** Recall@k of the ADC ranking vs the exact max-inner-product top-k
+    * (ranked by the same raw dot the ADC approximates).
+    */
+  val simPqRecall: String =
+    s"""WITH $pqAdcCtes,
+       |xsc AS (SELECT q.vec_id AS query_id, e.vec_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotSql("q.embedding", "e.embedding")} DESC, e.vec_id) AS xrank
+       |  FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < ${Similarity.NumQueries}),
+       |ex AS MATERIALIZED (SELECT query_id, vec_id FROM xsc WHERE xrank <= ${Pq.PqTopK}),
+       |napprox AS (SELECT count(*) AS n_hits FROM pq_rerank a
+       |  JOIN ex ON ex.query_id = a.query_id AND ex.vec_id = a.vec_id
+       |  WHERE a.rank <= ${Pq.PqTopK}),
+       |nexact AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT n_exact, n_hits,
+       |  ${round6Sql("CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
+       |FROM nexact, napprox""".stripMargin
 
   // ---- text analysis ----------------------------------------------------
 

@@ -1,0 +1,221 @@
+package graft.similarity
+
+import graft.Tables
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., 2011) — the memory-bounded ANN
+  * serving path beside the LSH and IVF ones: the 64-dim embedding space
+  * splits into `PqSubspaces` orthogonal subspaces, each with its own
+  * `PqCodes`-entry codebook trained by the same deterministic Lloyd
+  * recipe the IVF quantizer uses, and every corpus vector is stored as
+  * `PqSubspaces` small code ids — 8 × 6-bit codes = 6 bytes against 256
+  * bytes of floats, the compression that lets a 100 TB embedding corpus
+  * serve from memory (production uses K=256 byte codes; K tracks the
+  * corpus scale here so ~8 vectors share a code, the same ratio).
+  * Serving is ADC + refine: lookup-table scoring over the codes ranks
+  * the whole corpus, and only the top `PqRefine` candidates per query
+  * touch raw vectors for the exact re-rank.
+  *
+  * Query-time scoring is ADC (asymmetric distance computation): the
+  * query precomputes one lookup table of `PqSubspaces × PqCodes`
+  * subvector dot products (tiny — broadcast), and each corpus vector's
+  * approximate inner product is the sum of `PqSubspaces` table lookups
+  * addressed by its codes. The corpus side of the scoring join carries
+  * ONLY (vec_id, m, code) — never raw vectors — so the serving scan is
+  * proportional to code bytes, not embedding bytes.
+  *
+  * Everything is oracle-replayable (see PipelineOracles.simPqAdc): the
+  * codebook training reuses the IVF quantizer's bit-identical
+  * arithmetic (stride-sample init; argmax assignment on
+  * 2·⟨s,c⟩ − ⟨c,c⟩, the monotone L2 twin, ties to the lowest code id;
+  * integer-pooled per-dimension means), and the ADC sum pivots the
+  * per-subspace lookups into fixed columns so the per-subspace double
+  * addition happens in one deterministic order on both engines.
+  */
+object Pq {
+
+  val PqSubspaces = 8 // 8 × 8-dim subspaces of the 64-dim space
+  val PqSubDim = 8
+  val PqCodes = 64 // 64 codes/subspace → 6 bits each, 6 bytes/vector
+  val PqStride = 7 // codebook init: subvectors of every 7th vector
+  val PqLloydRounds = 2 // deterministic k-means refinement rounds
+  val PqTopK = 3
+  val PqRefine = 50 // ADC candidates re-ranked exactly per query
+
+  /** (vec_id, m, sub): the corpus exploded into per-subspace views. */
+  private def subvectors(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .select(
+        $"vec_id",
+        explode(
+          array((0 until PqSubspaces).map(m =>
+            struct(lit(m).as("m"), slice($"embedding", m * PqSubDim + 1, PqSubDim).as("sub"))
+          ): _*)
+        ).as("ms")
+      )
+      .select($"vec_id", $"ms.m".as("m"), $"ms.sub".as("sub"))
+  }
+
+  /** Assignment score: 2·⟨sub,ce⟩ − ⟨ce,ce⟩ is argmax-equivalent to
+    * argmin ‖sub−ce‖² (the ‖sub‖² term is constant per row) without
+    * needing the row norm — one broadcast dot per (row, code).
+    */
+  private def scored(subv: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = subv.sparkSession
+    import spark.implicits._
+    subv
+      .join(broadcast(cents.withColumn("cc", dot($"ce", $"ce"))), "m")
+      .withColumn("score", lit(2.0) * dot($"sub", $"ce") - $"cc")
+  }
+
+  /** Trained per-subspace codebooks: `PqLloydRounds` deterministic Lloyd
+    * iterations from a fixed stride-sample init, all subspaces trained
+    * in one DataFrame (the subspace id is just another grouping key).
+    * Arithmetic is the IVF quantizer's, verbatim: integer-pooled means
+    * (floor(x·2²⁰ + 0.5) sums are associative → partition-order-free and
+    * DuckDB-identical), ties to the lowest code id, codes that attract
+    * no vectors vanish on both engines alike. Persisted: ≤ M·K = 512 rows
+    * — the stored codebook artifact of a production PQ index.
+    */
+  private[graft] def pqCodebook(subv: DataFrame): DataFrame = {
+    val spark = subv.sparkSession
+    import spark.implicits._
+    var cents = subv
+      .filter($"vec_id" % PqStride === 0 && $"vec_id" < PqStride.toLong * PqCodes)
+      .select($"m", floor($"vec_id" / PqStride).cast("int").as("code"), $"sub".as("ce"))
+    for (_ <- 1 to PqLloydRounds) {
+      val assigned = scored(subv, cents)
+        .groupBy($"vec_id", $"m")
+        .agg(max(struct($"score", (-$"code").as("nc"))).as("best"), first($"sub").as("sub"))
+        .select($"m", (-$"best.nc").as("code"), $"sub")
+      cents = assigned
+        .select($"m", $"code", posexplode($"sub").as(Seq("j", "x")))
+        .groupBy($"m", $"code", $"j")
+        .agg(
+          sum(floor($"x".cast("double") * lit(Similarity.IvfMeanScale) + lit(0.5))).as("s"),
+          count(lit(1)).as("cnt")
+        )
+        .select(
+          $"m",
+          $"code",
+          $"j",
+          (($"s".cast("double") / $"cnt".cast("double")) / lit(Similarity.IvfMeanScale))
+            .cast("float")
+            .as("cx")
+        )
+        .groupBy($"m", $"code")
+        .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
+    }
+    cents.persist()
+  }
+
+  /** Corpus encoding: nearest code per (vector, subspace) — one broadcast
+    * map pass with a map-side argmax, exactly the IVF cell assignment
+    * shape. Output is the bytes-per-vector code table.
+    */
+  private[graft] def pqEncode(subv: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = subv.sparkSession
+    import spark.implicits._
+    scored(subv, cents)
+      .groupBy($"vec_id", $"m")
+      .agg(max(struct($"score", (-$"code").as("nc"))).as("best"))
+      .select($"vec_id", $"m", (-$"best.nc").as("code"))
+  }
+
+  /** ADC candidate ranking: approximate max-inner-product score of every
+    * corpus vector against each query (vec_id < NumQueries), from table
+    * lookups over the code table. The per-subspace lookups pivot into
+    * fixed columns (one non-null row per subspace, so the sums are
+    * order-free) and add in one deterministic left-to-right expression —
+    * bit-identical on both engines. Returns (query_id, vec_id, adc_dot,
+    * rank) over the whole corpus.
+    */
+  private def adcRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val subv = subvectors(emb)
+    val cents = pqCodebook(subv)
+    val codes = pqEncode(subv, cents)
+    val lut = subv
+      .filter($"vec_id" < Similarity.NumQueries)
+      .join(broadcast(cents), "m")
+      .select($"vec_id".as("query_id"), $"m", $"code", dot($"sub", $"ce").as("v"))
+    val lutCols = (0 until PqSubspaces).map(m => sum(when($"m" === m, $"v")).as(s"l$m"))
+    val adcSum = (0 until PqSubspaces).map(m => col(s"l$m")).reduce(_ + _)
+    val w = Window.partitionBy($"query_id").orderBy($"adc_dot".desc, $"vec_id")
+    codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(lutCols.head, lutCols.tail: _*)
+      .withColumn("adc_dot", adcSum)
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rank", row_number().over(w))
+  }
+
+  /** PQ serving query — the canonical ADC + refine pipeline: the code
+    * table ranks the WHOLE corpus from lookups alone, the top `PqRefine`
+    * candidates per query are re-ranked with exact dots (a point-lookup
+    * join touching `queries × PqRefine` raw vectors, never the corpus),
+    * and the final top-k reports both scores. At 100 TB the expensive
+    * scan reads 6-byte codes; raw embeddings are fetched for `PqRefine`
+    * rows per query.
+    */
+  def adcTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val cand = adcRanked(spark, dir).filter($"rank" <= PqRefine)
+    val queries = emb
+      .filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"query_id").orderBy($"xdot".desc, $"vec_id")
+    cand
+      .join(broadcast(queries), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("xdot", dot($"qe", $"embedding"))
+      .withColumn("xrank", row_number().over(w))
+      .filter($"xrank" <= PqTopK)
+      .select(
+        $"query_id",
+        $"vec_id".as("neighbor_id"),
+        $"xrank".as("rank"),
+        round($"xdot", 6).as("dot"),
+        round($"adc_dot", 6).as("adc_dot")
+      )
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** PQ QA gate (the ADC twin of dedup_lsh_recall): recall@k of the ADC
+    * ranking against the exact max-inner-product top-k, as one audited
+    * row. Exact truth ranks by the same raw dot the ADC approximates, so
+    * the gate isolates quantization loss from metric choice.
+    */
+  def adcRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val queries = emb
+      .filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val wx = Window.partitionBy($"query_id").orderBy($"xdot".desc, $"vec_id")
+    val exact = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("xdot", dot($"qe", $"embedding"))
+      .withColumn("xrank", row_number().over(wx))
+      .filter($"xrank" <= PqTopK)
+      .select($"query_id", $"vec_id")
+    val approx = adcTopK(spark, dir).select($"query_id", $"neighbor_id".as("vec_id"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+    exact
+      .agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(
+        $"n_exact",
+        $"n_hits",
+        round($"n_hits".cast("double") / $"n_exact".cast("double"), 6).as("recall")
+      )
+  }
+}

@@ -406,6 +406,15 @@ class PlanSpec extends AnyFunSuite {
     )
   }
 
+  test("sim_pq_adc: LUT scoring joins broadcast, never cartesian") {
+    val plan = planString(graft.similarity.Pq.adcTopK(spark, dir))
+    // the serving scan must join the code table against the broadcast
+    // LUT/codebook — a cartesian (or a shuffle of the corpus keyed on
+    // raw vectors) would mean ADC stopped being a lookup pass
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("text_pii_redact is a pure map pass: pruned scan, no hash exchange") {
     val df = graft.text.TextAnalysis.piiRedact(spark, dir)
     // only doc_id + text read, even though documents has 5 columns
