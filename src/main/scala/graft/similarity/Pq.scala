@@ -165,10 +165,20 @@ object Pq {
     * scan reads 6-byte codes; raw embeddings are fetched for `PqRefine`
     * rows per query.
     */
-  def adcTopK(spark: SparkSession, dir: String): DataFrame = {
+  def adcTopK(spark: SparkSession, dir: String): DataFrame =
+    adcTopK(spark, dir, PqRefine)
+
+  /** `refine` is the recall/cost knob (the PQ twin of IVF's `probes`):
+    * each extra candidate costs one exact-dot point lookup per query,
+    * and recall is monotone in it — ApproxSpec pins the curve with
+    * floors (refine 3/10/50 → recall 0.30/0.63/0.93 at sf0.01). At a
+    * growing corpus with FIXED codebooks this is the knob that buys
+    * recall back without re-encoding the stored codes.
+    */
+  def adcTopK(spark: SparkSession, dir: String, refine: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
-    val cand = adcRanked(spark, dir).filter($"rank" <= PqRefine)
+    val cand = adcRanked(spark, dir).filter($"rank" <= refine)
     val queries = emb
       .filter($"vec_id" < Similarity.NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
@@ -194,7 +204,10 @@ object Pq {
     * row. Exact truth ranks by the same raw dot the ADC approximates, so
     * the gate isolates quantization loss from metric choice.
     */
-  def adcRecall(spark: SparkSession, dir: String): DataFrame = {
+  def adcRecall(spark: SparkSession, dir: String): DataFrame =
+    adcRecall(spark, dir, PqRefine)
+
+  def adcRecall(spark: SparkSession, dir: String, refine: Int): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
     val queries = emb
@@ -207,7 +220,7 @@ object Pq {
       .withColumn("xrank", row_number().over(wx))
       .filter($"xrank" <= PqTopK)
       .select($"query_id", $"vec_id")
-    val approx = adcTopK(spark, dir).select($"query_id", $"neighbor_id".as("vec_id"))
+    val approx = adcTopK(spark, dir, refine).select($"query_id", $"neighbor_id".as("vec_id"))
     val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
     exact
       .agg(count(lit(1)).as("n_exact"))
