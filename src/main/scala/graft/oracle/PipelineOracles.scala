@@ -673,7 +673,7 @@ object PipelineOracles {
     * `pcents` are multi-referenced → MATERIALIZED, so the Lloyd chain
     * runs once per oracle evaluation.
     */
-  private val pqAdcCtes: String = {
+  private val pqCodesCtes: String = {
     val s = Similarity.IvfMeanScale
     val sd = Pq.PqSubDim
     def lloydCtes(i: Int): String =
@@ -703,7 +703,14 @@ object PipelineOracles {
        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code) AS rn FROM enc_sc),
        |codes AS (SELECT vec_id, m, code FROM enc_rk WHERE rn = 1),
        |lut AS (SELECT q.vec_id AS query_id, c.m, c.code, ${dotSql("q.sub", "c.ce")} AS v
-       |  FROM subv q JOIN pcents c ON c.m = q.m WHERE q.vec_id < ${Similarity.NumQueries}),
+       |  FROM subv q JOIN pcents c ON c.m = q.m WHERE q.vec_id < ${Similarity.NumQueries})""".stripMargin
+  }
+
+  /** Full-corpus ADC scan + refine tail over [[pqCodesCtes]]'s stored
+    * artifacts (`codes`, `lut`).
+    */
+  private val pqAdcCtes: String =
+    s"""$pqCodesCtes,
        |adc AS (SELECT l.query_id, k.vec_id,
        |${(0 until Pq.PqSubspaces)
         .map(m => s"    sum(CASE WHEN k.m = $m THEN l.v END) AS l$m")
@@ -725,7 +732,6 @@ object PipelineOracles {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
        |  FROM pq_refined)""".stripMargin
-  }
 
   /** Left-to-right 8-term ADC sum — matches Spark's reduce(_ + _). */
   private def adcSumSql: String =
@@ -755,6 +761,53 @@ object PipelineOracles {
        |SELECT n_exact, n_hits,
        |  ${round6Sql("CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
        |FROM nexact, napprox""".stripMargin
+
+  /** Replays IVF-PQ end-to-end: the shared IVF training/cell chain
+    * ([[ivfCellCtes]]) gates which vectors enter the ADC scan (the
+    * probed inverted lists), the shared PQ chain ([[pqCodesCtes]])
+    * supplies the code table + query LUT, and the tail is the
+    * `sim_pq_adc` rank/refine recipe restricted to the candidate set.
+    * CTE namespaces are disjoint by construction (the c-/cell- family
+    * vs the pc-/pq- family), so both training chains compose in one
+    * WITH.
+    */
+  val simIvfPq: String =
+    s"""WITH $ivfCellCtes,
+       |$pqCodesCtes,
+       |ipq_probe AS (SELECT vec_id AS query_id, cid FROM cell_rank
+       |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
+       |ipq_cand AS (SELECT p.query_id, cell.vec_id
+       |  FROM cell JOIN ipq_probe p ON cell.cid = p.cid
+       |  WHERE cell.vec_id <> p.query_id),
+       |ipq_n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
+       |  FROM ipq_cand GROUP BY 1),
+       |ipq_adc AS (SELECT c.query_id, c.vec_id,
+       |${(0 until Pq.PqSubspaces)
+        .map(m => s"    sum(CASE WHEN k.m = $m THEN l.v END) AS l$m")
+        .mkString(",\n")}
+       |  FROM ipq_cand c
+       |  JOIN codes k ON k.vec_id = c.vec_id
+       |  JOIN lut l ON l.query_id = c.query_id AND l.m = k.m AND l.code = k.code
+       |  GROUP BY 1, 2),
+       |ipq_ranked AS (SELECT query_id, vec_id, $adcSumSql AS adc_dot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY $adcSumSql DESC, vec_id) AS INT) AS rank
+       |  FROM ipq_adc),
+       |ipq_refined AS (SELECT c.query_id, c.vec_id, c.adc_dot,
+       |    ${dotSql("q.embedding", "e.embedding")} AS xdot
+       |  FROM (SELECT query_id, vec_id, adc_dot FROM ipq_ranked
+       |    WHERE rank <= ${Pq.PqRefine}) c
+       |  JOIN embeddings q ON q.vec_id = c.query_id
+       |  JOIN embeddings e ON e.vec_id = c.vec_id),
+       |ipq_rerank AS (SELECT query_id, vec_id, adc_dot, xdot,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
+       |  FROM ipq_refined)
+       |SELECT r.query_id, r.vec_id AS neighbor_id, r.rank,
+       |  ${round6Sql("r.xdot")} AS dot, ${round6Sql("r.adc_dot")} AS adc_dot,
+       |  n.n_probed
+       |FROM ipq_rerank r JOIN ipq_n n ON n.query_id = r.query_id
+       |WHERE r.rank <= ${Pq.PqTopK} ORDER BY r.query_id, r.rank""".stripMargin
 
   // ---- text analysis ----------------------------------------------------
 

@@ -135,7 +135,12 @@ object Pq {
     * bit-identical on both engines. Returns (query_id, vec_id, adc_dot,
     * rank) over the whole corpus.
     */
-  private def adcRanked(spark: SparkSession, dir: String): DataFrame = {
+  /** The stored PQ index artifacts: the corpus code table (vec_id, m,
+    * code) and the per-query broadcastable lookup table (query_id, m,
+    * code, v). Shared by the full-corpus ADC scan and the IVF-bounded
+    * one, so both serve off identical codebooks/encodings.
+    */
+  private def codesAndLut(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
     val subv = subvectors(emb)
@@ -145,13 +150,20 @@ object Pq {
       .filter($"vec_id" < Similarity.NumQueries)
       .join(broadcast(cents), "m")
       .select($"vec_id".as("query_id"), $"m", $"code", dot($"sub", $"ce").as("v"))
-    val lutCols = (0 until PqSubspaces).map(m => sum(when($"m" === m, $"v")).as(s"l$m"))
-    val adcSum = (0 until PqSubspaces).map(m => col(s"l$m")).reduce(_ + _)
+    (codes, lut)
+  }
+
+  private def adcSum = (0 until PqSubspaces).map(m => col(s"l$m")).reduce(_ + _)
+
+  private def adcRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (codes, lut) = codesAndLut(spark, dir)
+    val cols = (0 until PqSubspaces).map(m => sum(when($"m" === m, $"v")).as(s"l$m"))
     val w = Window.partitionBy($"query_id").orderBy($"adc_dot".desc, $"vec_id")
     codes
       .join(broadcast(lut), Seq("m", "code"))
       .groupBy($"query_id", $"vec_id")
-      .agg(lutCols.head, lutCols.tail: _*)
+      .agg(cols.head, cols.tail: _*)
       .withColumn("adc_dot", adcSum)
       .filter($"vec_id" =!= $"query_id")
       .withColumn("rank", row_number().over(w))
@@ -206,6 +218,83 @@ object Pq {
     */
   def adcRecall(spark: SparkSession, dir: String): DataFrame =
     adcRecall(spark, dir, PqRefine)
+
+  /** IVF-PQ — the composed production ANN index (the FAISS IVFPQ shape,
+    * Jégou et al. 2011 §V, here without residual encoding): the IVF
+    * coarse quantizer bounds WHICH vectors get scored and PQ bounds the
+    * BYTES the scoring scan reads, and the two scale mechanisms
+    * multiply. Per query the ADC pass touches `probes/cells` of the
+    * corpus (the probed inverted lists) at 6 bytes/vector instead of
+    * 256 — the combination that lets a 100 TB embedding corpus serve
+    * interactively: the full-corpus `sim_pq_adc` scan is the
+    * memory-bound fallback, this is the latency path.
+    *
+    * Plumbing: the IVF cell table and query probes come off the SAME
+    * session-cached Lloyd quantizer `sim_ann_ivf`/`dedup_semantic`
+    * train (one artifact, three consumers), and the code table + query
+    * LUT come off the same codebooks as `sim_pq_adc` — both stored
+    * index artifacts, built once. Candidates = vectors whose cell is
+    * probed (equi-join on cell id against the broadcast probe set);
+    * only their code rows join the broadcast LUT; the top `PqRefine`
+    * per query get exact-dot refinement, exactly the `sim_pq_adc`
+    * tail. Output adds the probed-candidate count per query so the
+    * bounded scan is visible in the result itself.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val embN = emb.withColumn("nrm", norm($"embedding"))
+    val cents = Similarity.lloydCentroids(embN)
+    val scoredCells = embN
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+    val cell = scoredCells
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val qprobe = scoredCells
+      .filter($"vec_id" < Similarity.NumQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= Similarity.IvfProbes)
+      .select($"vec_id".as("query_id"), $"cid")
+    val cand = cell
+      .join(broadcast(qprobe), "cid")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+    val (codes, lut) = codesAndLut(spark, dir)
+    val cols = (0 until PqSubspaces).map(m => sum(when($"m" === m, $"v")).as(s"l$m"))
+    val wA = Window.partitionBy($"query_id").orderBy($"adc_dot".desc, $"vec_id")
+    val ranked = cand
+      .join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "m", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(cols.head, cols.tail: _*)
+      .withColumn("adc_dot", adcSum)
+      .withColumn("rank", row_number().over(wA))
+    val nCand = cand.groupBy($"query_id").agg(count(lit(1)).as("n_probed"))
+    val queries = emb
+      .filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    val wX = Window.partitionBy($"query_id").orderBy($"xdot".desc, $"vec_id")
+    ranked
+      .filter($"rank" <= PqRefine)
+      .join(broadcast(queries), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("xdot", dot($"qe", $"embedding"))
+      .withColumn("xrank", row_number().over(wX))
+      .filter($"xrank" <= PqTopK)
+      .join(nCand, "query_id")
+      .select(
+        $"query_id",
+        $"vec_id".as("neighbor_id"),
+        $"xrank".as("rank"),
+        round($"xdot", 6).as("dot"),
+        round($"adc_dot", 6).as("adc_dot"),
+        $"n_probed"
+      )
+      .orderBy($"query_id", $"rank")
+  }
 
   def adcRecall(spark: SparkSession, dir: String, refine: Int): DataFrame = {
     import spark.implicits._

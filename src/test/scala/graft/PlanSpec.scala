@@ -415,6 +415,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("sim_ivf_pq: probe gate and LUT both broadcast, never cartesian") {
+    val plan = planString(graft.similarity.Pq.ivfPqTopK(spark, dir))
+    // the composed index must keep both scale mechanisms intact: the
+    // cell gate is an equi-join against the broadcast probe set and the
+    // ADC scoring joins the broadcast LUT — a cartesian anywhere (or a
+    // shuffle keyed on raw embeddings) breaks the probes/cells ×
+    // code-bytes cost model that makes this the 100 TB latency path
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("text_pii_redact is a pure map pass: pruned scan, no hash exchange") {
     val df = graft.text.TextAnalysis.piiRedact(spark, dir)
     // only doc_id + text read, even though documents has 5 columns
