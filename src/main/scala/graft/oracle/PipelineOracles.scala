@@ -368,6 +368,44 @@ object PipelineOracles {
        |FROM cc JOIN cs USING (cluster_id)
        |ORDER BY cc.doc_id""".stripMargin
 
+  /** Replays keep-best-in-cluster: the shared minhash-LSH components
+    * (cc) joined with the text_quality composite (re-using the `toks`
+    * CTE the shingle chain already defines), winner per cluster by
+    * (quality_score DESC, doc_id) — quality_score is the round6'd
+    * composite both engines agree on bit-for-bit. `scored` is
+    * referenced three times (rows, winner, sizes) → MATERIALIZED, so
+    * the recursive component fixpoint and the quality chain run once.
+    */
+  val dedupKeepBest: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |$componentCtes,
+       |qb AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  ${hitsSql(TextAnalysis.StopEn)} AS stop_hits
+       |  FROM toks),
+       |qs AS (SELECT doc_id, ${round6Sql(
+        """CAST(0.3 AS DOUBLE) * (stop_hits / n_tokens)
+          |        + CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tokens / CAST(100.0 AS DOUBLE))
+          |        + CAST(0.3 AS DOUBLE) * (n_distinct / n_tokens)""".stripMargin
+      )} AS quality_score
+       |  FROM qb),
+       |kb_scored AS MATERIALIZED (SELECT cc.doc_id, cc.cluster_id, qs.quality_score
+       |  FROM cc JOIN qs USING (doc_id)),
+       |kb_best AS (SELECT cluster_id, doc_id AS kept_id FROM (
+       |  SELECT cluster_id, doc_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY quality_score DESC, doc_id) AS rn
+       |  FROM kb_scored) WHERE rn = 1),
+       |kb_cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM kb_scored GROUP BY 1)
+       |SELECT s.doc_id, s.cluster_id, kb_cs.cluster_size, s.quality_score, kb_best.kept_id,
+       |  CAST(CASE WHEN s.doc_id = kb_best.kept_id THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+       |FROM kb_scored s
+       |JOIN kb_best USING (cluster_id)
+       |JOIN kb_cs USING (cluster_id)
+       |ORDER BY s.doc_id""".stripMargin
+
   /** Shared simhash signature CTE chain (toks → per-token md5 nibbles →
     * 64 signed bit sums → packed 64-bit signature), replaying
     * `Dedup.simhashSignatures` bit-for-bit.

@@ -75,6 +75,48 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Quality-aware canonical selection — keep the BEST document of every
+    * near-duplicate cluster instead of the arbitrary min-id keeper
+    * (what production dedup actually ships: min-id keeps whatever
+    * happened to be crawled first; keep-best keeps the highest-quality
+    * copy). Per cluster the winner is argmax(quality_score, then lowest
+    * doc_id) — quality_score is the 6dp-rounded composite both engines
+    * already agree on bit-for-bit (text_quality is hash-green), so the
+    * argmax is engine-deterministic.
+    *
+    * Scale shape: the cluster labels are the session-cached fixpoint
+    * artifact (built once, shared with clusters/fuzzy/pretrain),
+    * quality is a map pass, the per-cluster argmax is one
+    * map-side-combinable max(struct) aggregation (one row per cluster
+    * out), and the winner table joins back on cluster_id — no pairwise
+    * work and nothing quadratic; the whole op costs two shuffles on
+    * cluster_id beyond the shared artifacts.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Dedup.clusterLabels(spark, dir)
+    val qual = TextAnalysis.quality(spark, dir).select($"doc_id", $"quality_score")
+    val scored = labels.join(qual, "doc_id")
+    val best = scored
+      .groupBy($"cluster_id")
+      .agg(
+        max(struct($"quality_score", (-$"doc_id").as("nid"))).as("b"),
+        count(lit(1)).as("cluster_size")
+      )
+      .select($"cluster_id", (-$"b.nid").as("kept_id"), $"cluster_size")
+    scored
+      .join(best, "cluster_id")
+      .select(
+        $"doc_id",
+        $"cluster_id",
+        $"cluster_size",
+        $"quality_score",
+        $"kept_id",
+        when($"doc_id" === $"kept_id", 1L).otherwise(0L).as("is_kept")
+      )
+      .orderBy($"doc_id")
+  }
+
   private def curateWith(spark: SparkSession, dir: String, keepers: DataFrame): DataFrame = {
     import spark.implicits._
     val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")

@@ -401,6 +401,32 @@ class PipelineSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(2) === sizes(r.getLong(1))))
   }
 
+  test("keep-best selects the cluster's quality argmax and agrees with the cluster partition") {
+    import spark.implicits._
+    val out = graft.text.Curation.keepBest(spark, dir).collect()
+    // same partition of the corpus as dedup_clusters: identical labels
+    val clusterOf = Dedup.clusters(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === clusterOf.size)
+    out.foreach(r => assert(r.getLong(1) === clusterOf(r.getLong(0))))
+    // exactly one kept doc per cluster, and it is the (score, -id) argmax
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (c, rows) =>
+      val kept = rows.filter(_.getLong(5) == 1L)
+      assert(kept.length === 1, s"cluster $c kept ${kept.length}")
+      val winner = rows.minBy(r => (-r.getDouble(3), r.getLong(0)))
+      assert(kept.head.getLong(0) === winner.getLong(0), s"cluster $c")
+      // every row reports the same winner id and the true cluster size
+      rows.foreach { r =>
+        assert(r.getLong(4) === winner.getLong(0))
+        assert(r.getLong(2) === rows.length.toLong)
+      }
+    }
+    // the argmax must actually be exercised: the test data plants
+    // near-duplicates, so multi-doc clusters exist and the winner is a
+    // genuine selection, not the vacuous singleton case
+    assert(byCluster.exists(_._2.length > 1), "no multi-doc cluster in test data")
+  }
+
   test("repetition stats: map-side run-length maxima equal naive multiset counts") {
     import spark.implicits._
     val out = TextAnalysis.repetition(spark, dir).collect()
