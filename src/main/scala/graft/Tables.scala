@@ -15,17 +15,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/part.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/orders.parquet")
   def lineitem(spark: SparkSession, dir: String): DataFrame = spark.read.parquet(s"$dir/lineitem.parquet")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read it as raw nanos (legacy conf) and floor-convert to
-    * microseconds — exactly what DuckDB does when it truncates ns → its
-    * native µs timestamps, so oracle comparisons agree.
+  /** events.ts has shipped in two physical encodings across generator
+    * versions: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — read as raw nanos via the legacy conf and floor-convert,
+    * exactly DuckDB's ns→µs truncation) and plain TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (which Spark reads as TIMESTAMP_NTZ). Both
+    * normalize to the same session-UTC TimestampType column so every
+    * downstream window/watermark/oracle comparison is encoding-agnostic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** Normalizes an events-shaped frame's `ts` to TimestampType (µs,
+    * session tz = UTC) from whichever physical type the scan produced:
+    * raw nanos long (legacy NANOS files), TIMESTAMP_NTZ (µs files —
+    * NTZ wall-clock == UTC instant under the UTC session tz), or
+    * already-TimestampType (pass-through).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   /** Fans a sub-cores-split scan out to every core. The driver's test
     * files are single-split (<128 MB), which would serialize the

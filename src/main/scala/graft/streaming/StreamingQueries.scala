@@ -53,11 +53,12 @@ object StreamingQueries {
   ): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+        .parquet(dir)
+    )
   }
 
   /** Drives a streaming query to completion against the memory sink.
@@ -246,17 +247,19 @@ object StreamingQueries {
       (dir, gapMinutes),
       { _ =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val raw = spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+        val raw = graft.Tables.normalizeEventTs(
+          spark.read.option("pathGlobFilter", "events.parquet").parquet(dir))
         // max(ts) is null on an empty table — no sessions exist, so no
-        // sentinel (or side source) is needed
-        Option(raw.agg(max($"ts")).head.get(0)).map(_.asInstanceOf[Long]).map { maxTs =>
+        // sentinel (or side source) is needed; µs arithmetic is
+        // encoding-agnostic (normalizeEventTs already ran)
+        Option(raw.agg(max(unix_micros($"ts"))).head.get(0)).map(_.asInstanceOf[Long]).map { maxTs =>
           // sentinel lands (gap + watermark-delay + 1h) past the last
           // event — strictly beyond every session's timeout timestamp
-          val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000000L
+          val flushTs = maxTs + (gapMinutes + 10 + 60) * 60L * 1000000L
           val path = java.nio.file.Files.createTempDirectory("graft_sentinel_").toString
           raw
             .limit(1)
-            .withColumn("ts", lit(flushTs))
+            .withColumn("ts", timestamp_micros(lit(flushTs)))
             .withColumn("user_id", lit(-1L))
             .coalesce(1)
             .write
