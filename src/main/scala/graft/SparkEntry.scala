@@ -65,6 +65,7 @@ object SparkEntry {
     "q29_scalar_subquery" -> ((s, d) => Relational.q29ScalarSubquery(s, d)),
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
+    "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -184,6 +185,7 @@ object SparkEntry {
     "q29_scalar_subquery" -> Oracles.q29ScalarSubquery,
     "q30_merge_upsert" -> Oracles.q30MergeUpsert,
     "q31_partition_pruning" -> Oracles.q31PartitionPruning,
+    "stats_profile" -> Oracles.statsProfile,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -487,4 +487,27 @@ object Oracles {
       |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
       |  floor((CAST(sum(k) AS DOUBLE) / count(k)) * 1e6 + 0.5) / 1e6 AS avg_k
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** ANALYZE-profile replay, generated from the SAME column list the
+    * Spark query profiles (Relational.StatsProfileCols) so adding a
+    * column updates both sides. `ndv_sketch_ok` is pinned TRUE: the
+    * oracle asserts the engine's HLL sketch landed within its 3·rsd
+    * error contract of the exact NDV (q21_sketch_gate pattern).
+    * Timestamps format to whole seconds so both engines emit one
+    * canonical string.
+    */
+  val statsProfile: String = {
+    val perCol = graft.queries.Relational.StatsProfileCols.map { c =>
+      val minMax =
+        if (c == "l_shipdate")
+          s"strftime(min($c), '%Y-%m-%d %H:%M:%S') AS min_s, strftime(max($c), '%Y-%m-%d %H:%M:%S') AS max_s"
+        else
+          s"CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s"
+      s"""SELECT '$c' AS col, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS ndv, $minMax,
+         |  TRUE AS ndv_sketch_ok FROM lineitem""".stripMargin
+    }
+    perCol.mkString("", "\nUNION ALL\n", "\nORDER BY col")
+  }
 }

@@ -971,4 +971,58 @@ object Relational {
       .orderBy($"c_mktsegment", $"custkey")
   }
 
+  /** Columns profiled by [[statsProfile]] — shared with the oracle
+    * generator so the two stay in lockstep by construction. Covers
+    * every lineitem type class: long keys, int, double measures,
+    * low-cardinality strings, and a timestamp.
+    */
+  val StatsProfileCols: Seq[String] = Seq(
+    "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_returnflag", "l_shipdate"
+  )
+
+  /** ANALYZE-style per-column statistics — the stats-collection pass a
+    * cost-based optimizer runs before planning 100 TB joins: row count,
+    * null count, exact NDV, min/max, one row per column.
+    *
+    * Shape at scale: one single-row aggregate PER COLUMN, each over a
+    * scan pruned to that column (ReadSchema carries exactly one field),
+    * so total bytes read ≈ one full-table pass split across k
+    * column-pruned scans — the columnar-format ideal. Production
+    * ANALYZE replaces the exact `countDistinct` with the single-pass
+    * HLL sketch (`approx_count_distinct`, Spark's own ANALYZE path);
+    * both are computed here and `ndv_sketch_ok` pins |sketch − exact| /
+    * exact ≤ 3·rsd — the q21_sketch_gate pattern: the sketch is the
+    * scale path, the exact column is the QA gate that oracles it.
+    * min/max are emitted as strings (one schema across type classes);
+    * timestamps truncate to seconds so both engines print the same
+    * canonical form.
+    */
+  def statsProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val perCol = StatsProfileCols.map { name =>
+      def strOf(agg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        li.schema(name).dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            date_format(agg.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+          case org.apache.spark.sql.types.TimestampType =>
+            date_format(agg, "yyyy-MM-dd HH:mm:ss")
+          case _ => agg.cast("string")
+        }
+      val sel = li.select(li.col(name))
+      val c = sel.col(name)
+      sel.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(c)).as("n_null"),
+        countDistinct(c).as("ndv"),
+        (abs(approx_count_distinct(c) - countDistinct(c)) <=
+          countDistinct(c) * lit(0.15)).as("ndv_sketch_ok"),
+        strOf(min(c)).as("min_s"),
+        strOf(max(c)).as("max_s")
+      ).select(lit(name).as("col"), $"n_rows", $"n_null", $"ndv", $"min_s", $"max_s", $"ndv_sketch_ok")
+    }
+    perCol.reduce(_.union(_)).orderBy($"col")
+  }
+
 }
