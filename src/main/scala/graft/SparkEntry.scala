@@ -94,6 +94,7 @@ object SparkEntry {
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "dedup_bloom_admit" -> ((s, d) => Dedup.bloomAdmit(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_containment_capped" -> ((s, d) => Dedup.containment(s, d, Some(Dedup.NgramDfCap))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -219,6 +220,7 @@ object SparkEntry {
     "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
+    "dedup_bloom_admit" -> PipelineOracles.dedupBloomAdmit,
     "dedup_containment" -> PipelineOracles.dedupContainment,
     "dedup_containment_capped" -> PipelineOracles.dedupContainmentCapped(Dedup.NgramDfCap),
     "dedup_ngram_jaccard" -> PipelineOracles.dedupNgramJaccard,

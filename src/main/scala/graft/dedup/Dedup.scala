@@ -856,4 +856,77 @@ object Dedup {
           .as("recall")
       )
   }
+
+  /** Bloom false-positive rate for the admission filter. 1% keeps the
+    * filter at ~1.2 bytes/key (≈12 GB for 10^10 corpus docs — a single
+    * driver/broadcast artifact at 100 TB; beyond that, partition the
+    * bloom by a hash prefix and probe the matching shard).
+    */
+  val BloomFpp = 0.01
+
+  // bloom artifact per (session, dir, content fingerprint) — built once
+  // from the persisted dedup index, the same derived-artifact pattern as
+  // cluster labels; superseded fingerprints are evicted on access
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), org.apache.spark.util.sketch.BloomFilter]()
+
+  private[graft] def corpusBloom(spark: SparkSession, dir: String, indexTable: String): org.apache.spark.util.sketch.BloomFilter = {
+    bloomCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val it = bloomCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2 == dir && e.getKey._3 != fp) it.remove()
+    }
+    bloomCache.computeIfAbsent(
+      (spark, dir, fp),
+      { _ =>
+        val index = spark.table(indexTable)
+        val n = math.max(index.count(), 1L)
+        index.stat.bloomFilter("h", n, BloomFpp)
+      }
+    )
+  }
+
+  /** Bloom-gated ingest admission — the index-less fast path of the
+    * production ingest tick. The batch probes a driver-built Bloom
+    * filter over the persisted index's exact hashes (a derived artifact,
+    * rebuilt only when the corpus fingerprint changes): bloom-negative
+    * docs are DEFINITELY new (no false negatives) and are admitted with
+    * zero join work; only the bloom-positive sliver — true duplicates
+    * plus ~fpp of the novel docs — reaches exact verification. The
+    * result is exact: false positives are weeded out by the verify join,
+    * so the oracle is the plain anti-join semantics.
+    *
+    * Scale shape: the corpus index never shuffles. Verification runs as
+    * two broadcast passes of the (tiny) maybe-set — a semi-join probe of
+    * the index scan finds confirmed hashes, then the maybe-set
+    * anti-joins the confirmed set. For a novel-heavy ingest (the common
+    * case) the verify joins see ~fpp of the batch; the other ~99%
+    * admits map-side. The probe itself is a codegen'd expression
+    * ([[graft.functions.BloomMightContain]]) inlined next to the md5.
+    */
+  def bloomAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val indexTable = incrementalIndexTable(spark, dir)
+    val bloom = corpusBloom(spark, dir, indexTable)
+    val batch = Tables
+      .documentsFanned(spark, dir)
+      .filter($"doc_id" % NewBatchMod === 0)
+      .select($"doc_id", md5($"text").as("h"))
+      .withColumn("maybe", graft.functions.BloomExpressions.mightContain($"h", bloom))
+    val fastPath = batch.filter(!$"maybe").select($"doc_id", $"h")
+    val maybe = batch.filter($"maybe").select($"doc_id", $"h")
+    // confirmed-duplicate hashes: index scans once, probe side broadcast
+    val confirmed = spark
+      .table(indexTable)
+      .select($"h")
+      .join(broadcast(maybe.select($"h").distinct()), Seq("h"), "left_semi")
+      .distinct()
+    // the using-column join fronts `h` — re-project to the union order
+    val verified = maybe
+      .join(broadcast(confirmed), Seq("h"), "left_anti")
+      .select($"doc_id", $"h")
+    fastPath.union(verified).orderBy($"doc_id")
+  }
 }

@@ -1407,4 +1407,17 @@ object PipelineOracles {
        |  CAST(count(k.seg) AS BIGINT) AS n_segments
        |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bloom-gated admission is EXACT (the verify join removes every
+    * bloom false positive), so the oracle is the plain anti-join
+    * semantics — batch docs whose md5 does not occur in the corpus.
+    */
+  val dedupBloomAdmit: String =
+    s"""SELECT d.doc_id, md5(d.text) AS h
+       |FROM documents d
+       |WHERE d.doc_id % ${Dedup.NewBatchMod} = 0
+       |  AND NOT EXISTS (SELECT 1 FROM documents c
+       |    WHERE c.doc_id % ${Dedup.NewBatchMod} <> 0
+       |      AND md5(c.text) = md5(d.text))
+       |ORDER BY d.doc_id""".stripMargin
 }
