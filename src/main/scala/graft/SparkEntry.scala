@@ -66,6 +66,7 @@ object SparkEntry {
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
+    "layout_zorder" -> ((s, d) => graft.queries.Layout.zorderScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -187,6 +188,7 @@ object SparkEntry {
     "q30_merge_upsert" -> Oracles.q30MergeUpsert,
     "q31_partition_pruning" -> Oracles.q31PartitionPruning,
     "stats_profile" -> Oracles.statsProfile,
+    "layout_zorder" -> Oracles.layoutZorder,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

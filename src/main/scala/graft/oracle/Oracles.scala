@@ -488,6 +488,23 @@ object Oracles {
       |  floor((CAST(sum(k) AS DOUBLE) / count(k)) * 1e6 + 0.5) / 1e6 AS avg_k
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The z-order box scan is layout-invariant: the oracle runs the same
+    * predicate + aggregate over the RAW lineitem table (DuckDB never
+    * sees the clustered artifact) — equality proves clustering changed
+    * the physical layout only. Bounds are generated from the same
+    * Layout constants the Spark query filters with.
+    */
+  val layoutZorder: String = {
+    import graft.queries.Layout._
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_partkey BETWEEN $PartLo AND $PartHi
+       |  AND l_suppkey BETWEEN $SuppLo AND $SuppHi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** ANALYZE-profile replay, generated from the SAME column list the
     * Spark query profiles (Relational.StatsProfileCols) so adding a
     * column updates both sides. `ndv_sketch_ok` is pinned TRUE: the

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the two halves of the z-order claim: (1) the layout is
+  * result-invariant — the box query over the clustered table equals
+  * the same query over the raw table; (2) the layout actually enables
+  * skipping — for the box predicate, most z-ordered files' per-file
+  * (min,max) rectangles provably miss the box (footer-stats
+  * skippability), while a 1-D orderkey-sorted layout of the same data
+  * can skip almost nothing. The per-file extremes are computed via
+  * input_file_name(), i.e. from the data the footers describe.
+  */
+class LayoutSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "layout-zorder")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("z-ordered scan result equals the raw-table result") {
+    import spark.implicits._
+    val got = Layout.zorderScan(spark, dir).collect().map(_.toSeq).toSeq
+    val want = Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_partkey".between(Layout.PartLo, Layout.PartHi) &&
+          $"l_suppkey".between(Layout.SuppLo, Layout.SuppHi)
+      )
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(got === want)
+  }
+
+  /** Fraction of files whose (min,max) box in the two filter columns
+    * does not intersect the query box — exactly the decision a
+    * footer-stats pruner makes, so this measures skippability without
+    * depending on reader internals.
+    */
+  private def skippableFraction(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+    import spark.implicits._
+    val stats = df
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+        min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax")
+      )
+      .collect()
+    val n = stats.length.toLong
+    val skippable = stats.count { r =>
+      val (pmin, pmax) = (r.getLong(1), r.getLong(2))
+      val (smin, smax) = (r.getLong(3), r.getLong(4))
+      pmax < Layout.PartLo || pmin > Layout.PartHi || smax < Layout.SuppLo || smin > Layout.SuppHi
+    }
+    (skippable.toDouble / n, n)
+  }
+
+  test("z-order makes most files footer-skippable for the box; a 1-D layout does not") {
+    import spark.implicits._
+    val zt = spark.table(Layout.zorderTable(spark, dir))
+    val (zFrac, zFiles) = skippableFraction(zt)
+    assert(zFiles >= Layout.ZFiles / 2L, s"expected ~${Layout.ZFiles} files, got $zFiles")
+    assert(zFrac >= 0.5, f"only $zFrac%.2f of z-ordered files skippable for the box")
+
+    // contrast: the same rows written in orderkey order (the natural
+    // insertion layout) — partkey/suppkey are uniform within every
+    // file, so footer stats can prune (almost) nothing
+    val flat = java.nio.file.Files.createTempDirectory("graft_flat_layout_").toString
+    try {
+      Tables
+        .lineitem(spark, dir)
+        .repartitionByRange(Layout.ZFiles, $"l_orderkey")
+        .sortWithinPartitions($"l_orderkey")
+        .write
+        .mode("overwrite")
+        .parquet(flat)
+      val (fFrac, _) = skippableFraction(spark.read.parquet(flat))
+      assert(fFrac <= 0.1, f"natural layout unexpectedly skippable ($fFrac%.2f)")
+      assert(zFrac > fFrac + 0.4, f"z-order ($zFrac%.2f) must beat natural ($fFrac%.2f) decisively")
+    } finally {
+      graft.GraftSession.deleteRecursively(new java.io.File(flat))
+    }
+  }
+
+  test("morton spread/interleave round-trips bit patterns") {
+    import spark.implicits._
+    val df = Seq((0, 0), (1, 0), (0, 1), (0xffff, 0xffff), (0x1234, 0x0f0f))
+      .toDF("x", "y")
+      .select($"x", $"y", Layout.zValue($"x", $"y").as("z"))
+      .collect()
+    def spreadRef(v: Int): Long = {
+      var r = 0L
+      for (i <- 0 until 16) if (((v >> i) & 1) == 1) r |= (1L << (2 * i))
+      r
+    }
+    df.foreach { r =>
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert((z & 0xffffffffL) === (spreadRef(x) | (spreadRef(y) << 1)), s"x=$x y=$y")
+    }
+  }
+}
