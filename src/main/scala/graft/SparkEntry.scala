@@ -147,6 +147,8 @@ object SparkEntry {
     // Multimodal binary-column plumbing
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_extract" -> ((s, d) => Multimodal.extract(s, d)),
+    "mm_phash" -> ((s, d) => Multimodal.phash(s, d)),
+    "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d))
   )
@@ -273,6 +275,8 @@ object SparkEntry {
     // SamplingSpec pins determinism + stratum fractions.
     "mm_meta" -> PipelineOracles.mmMeta,
     "mm_extract" -> PipelineOracles.mmExtract,
+    "mm_phash" -> PipelineOracles.mmPhash,
+    "mm_phash_pairs" -> PipelineOracles.mmPhashPairs,
     "mm_frames" -> PipelineOracles.mmFrames,
     "mm_resize" -> PipelineOracles.mmResize
   )

@@ -302,4 +302,171 @@ object Multimodal {
       )
       .orderBy($"media_id")
   }
+
+  // ---- perceptual-hash image near-dup -----------------------------------
+
+  /** Fixture geometry for the phash corpus: 18×16 gray images, 2×2
+    * block-averaged to the classic 9×8 dHash grid (64 comparisons).
+    * Pixels are a closed-form function of (doc_id, x, y) — the same
+    * planted-fixture pattern as `TextAnalysis.withPlantedPii` — so the
+    * oracle replays the EXPECTED hash from arithmetic while the engine
+    * round-trips real BMP bytes through the production decoder. Docs
+    * share one of [[PhashFamilies]] base images; every
+    * [[PhashNoiseMod]]-th doc perturbs one block, which moves at most
+    * 2 of the 64 dHash bits — the planted near-dup structure.
+    */
+  val PhashW = 18
+  val PhashH = 16
+  val PhashFamilies = 50L
+  val PhashNoiseMod = 7L
+  val PhashPixMod = 251L
+  /** Pigeonhole bound for the 8×8-bit banding: pairs within hamming
+    * distance ≤ 7 are guaranteed a shared band (≤7 flipped bits cannot
+    * corrupt all 8 bands).
+    */
+  val PhashHamMax = 7L
+
+  private[multimodal] def phashPixel(d: Long, x: Int, y: Int): Int = {
+    // the gradient FREQUENCY varies per family (31 + f), not just the
+    // offset: a constant offset cancels in dHash's neighbor
+    // comparisons, which would make every family hash alike and turn
+    // the band join into an all-pairs blowup
+    val f = d % PhashFamilies
+    val base = (f * 97L + (y * PhashW + x) * (31L + f)) % PhashPixMod
+    val noisy = d % PhashNoiseMod == 0 && x / 2 == (d % 9).toInt && y / 2 == (d % 8).toInt
+    (if (noisy) (base + 128L) % PhashPixMod else base).toInt
+  }
+
+  /** Writes a REAL 24-bit BI_RGB bottom-up BMP (padded rows, 54-byte
+    * header) of the doc's synthetic gray image — the bytes then go
+    * through [[decodePixels]], the same parser the extract path uses,
+    * so the hash is computed from decoded pixels, not from the formula.
+    */
+  private[multimodal] def encodeGrayBmp(d: Long): Array[Byte] = {
+    val w = PhashW; val h = PhashH
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size = 54 + stride * h
+    val b = new Array[Byte](size)
+    def le16(i: Int, v: Int): Unit = { b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(i: Int, v: Int): Unit = { le16(i, v & 0xffff); le16(i + 2, (v >>> 16) & 0xffff) }
+    b(0) = 'B'; b(1) = 'M'
+    le32(2, size); le32(10, 54); le32(14, 40); le32(18, w); le32(22, h)
+    le16(26, 1); le16(28, 24); le32(30, 0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = phashPixel(d, x, y)
+        val off = 54 + (h - 1 - y) * stride + x * 3
+        b(off) = g.toByte; b(off + 1) = g.toByte; b(off + 2) = g.toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** dHash over decoded pixels, split into two unsigned-32-bit halves
+    * (bit 63 of a single BIGINT is not portable oracle arithmetic):
+    * `lo` carries grid rows 0-3, `hi` rows 4-7; within a half,
+    * bit (row%4)·8 + col = [sum(col+1) > sum(col)]. Block sums compare
+    * equal iff means do (equal-size blocks), so everything stays in
+    * exact integer arithmetic. Luma of an (r=g=b=g) pixel is g exactly
+    * ((299+587+114)/1000), so the decoded-pixel hash equals the
+    * closed-form replay — which is precisely what the oracle checks.
+    */
+  private[multimodal] def phashOf(payload: Array[Byte]): (Long, Long) = {
+    val (w, h, rgb) = decodePixels(payload).getOrElse(
+      throw new IllegalArgumentException("phash fixture must decode")
+    )
+    val bw = w / 2; val bh = h / 2
+    val s = Array.ofDim[Long](bh, bw)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * w + x
+        val r = rgb(3 * i) & 0xff; val g = rgb(3 * i + 1) & 0xff; val b = rgb(3 * i + 2) & 0xff
+        s(y / 2)(x / 2) += (299 * r + 587 * g + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (s(by)(bx + 1) > s(by)(bx)) {
+          if (by < 4) lo |= 1L << (by * 8 + bx)
+          else hi |= 1L << ((by - 4) * 8 + bx)
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    (hi, lo)
+  }
+
+  private case class PhashRow(media_id: Long, ph_hi: Long, ph_lo: Long)
+
+  private def phashFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            val (hi, lo) = phashOf(encodeGrayBmp(d))
+            PhashRow(d, hi, lo)
+          }
+        }
+      }
+      .toDF
+  }
+
+  /** Registered query: per-image perceptual hash. Partition-local
+    * encode → decode → hash, zero shuffles before the output sort;
+    * bytes never leave the scan partition (the multimodal contract).
+    */
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashFrame(spark, dir).orderBy($"media_id")
+  }
+
+  /** Registered query: image near-dup pairs — 8×8-bit pigeonhole bands
+    * over the dHash generate candidates (banded equi-join, the simhash
+    * shape: no all-pairs comparison at any scale), exact hamming
+    * verification keeps pairs within [[PhashHamMax]]. Identical family
+    * members collide at distance 0; noise-perturbed members land ≤2
+    * bits away — the planted structure the spec asserts.
+    */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ph = phashFrame(spark, dir).localCheckpoint()
+    val bands = ph
+      .select($"media_id", $"ph_hi", $"ph_lo", explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn(
+        "bv",
+        expr("CASE WHEN band < 4 THEN (ph_lo >> (band * 8)) & 255 ELSE (ph_hi >> ((band - 4) * 8)) & 255 END")
+      )
+      .select($"media_id", $"band", $"bv")
+    val cand = bands
+      .as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cand
+      .join(ph.select($"media_id".as("id_a"), $"ph_hi".as("ha"), $"ph_lo".as("la")), "id_a")
+      .join(ph.select($"media_id".as("id_b"), $"ph_hi".as("hb"), $"ph_lo".as("lb")), "id_b")
+      .withColumn(
+        "hamming",
+        (bit_count($"ha".bitwiseXOR($"hb")) + bit_count($"la".bitwiseXOR($"lb"))).cast("long")
+      )
+      .filter($"hamming" <= PhashHamMax)
+      .select($"id_a", $"id_b", $"hamming")
+      .orderBy($"id_a", $"id_b")
+  }
 }

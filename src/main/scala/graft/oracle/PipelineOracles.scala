@@ -1408,6 +1408,54 @@ object PipelineOracles {
        |FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared closed-form replay of the phash fixture: pixel formula →
+    * 2×2 block sums → 9×8 dHash grid → two unsigned-32-bit halves.
+    * The ENGINE computes the same hash from decoded bytes of a real
+    * BMP it encoded (Multimodal.encodeGrayBmp → decodePixels); the
+    * oracle never touches binary — equality proves the byte-level
+    * round-trip is lossless. All constants come from the Multimodal
+    * object, so fixture drift breaks the build, not the compare.
+    */
+  private val phashCtes: String = {
+    val w = Multimodal.PhashW; val h = Multimodal.PhashH
+    val fam = Multimodal.PhashFamilies; val noise = Multimodal.PhashNoiseMod
+    val mod = Multimodal.PhashPixMod
+    s"""px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+       |    CASE WHEN doc_id % $noise = 0 AND gx.x // 2 = doc_id % 9 AND gy.y // 2 = doc_id % 8
+       |      THEN ((doc_id % $fam) * 97 + (gy.y * $w + gx.x) * (31 + doc_id % $fam) + 128) % $mod
+       |      ELSE ((doc_id % $fam) * 97 + (gy.y * $w + gx.x) * (31 + doc_id % $fam)) % $mod END AS g
+       |  FROM documents, generate_series(0, ${w - 1}) gx(x), generate_series(0, ${h - 1}) gy(y)),
+       |blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by, sum(g) AS s FROM px GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.doc_id, a.by, a.bx,
+       |    CASE WHEN b.s > a.s THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+       |  WHERE a.bx < 8),
+       |ph AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN by >= 4 THEN bit * (1::BIGINT << ((by - 4) * 8 + bx)) ELSE 0 END) AS BIGINT) AS ph_hi,
+       |    CAST(sum(CASE WHEN by < 4 THEN bit * (1::BIGINT << (by * 8 + bx)) ELSE 0 END) AS BIGINT) AS ph_lo
+       |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  val mmPhash: String =
+    s"""WITH $phashCtes
+       |SELECT doc_id AS media_id, ph_hi, ph_lo FROM ph ORDER BY media_id""".stripMargin
+
+  val mmPhashPairs: String =
+    s"""WITH $phashCtes,
+       |bands AS (SELECT doc_id, bs.b AS band,
+       |    CASE WHEN bs.b < 4 THEN (ph_lo >> (bs.b * 8)) & 255
+       |         ELSE (ph_hi >> ((bs.b - 4) * 8)) & 255 END AS bv
+       |  FROM ph, generate_series(0, 7) bs(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+       |SELECT cand.id_a, cand.id_b,
+       |  CAST(bit_count(xor(pa.ph_hi, pb.ph_hi)) + bit_count(xor(pa.ph_lo, pb.ph_lo)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN ph pa ON pa.doc_id = cand.id_a
+       |JOIN ph pb ON pb.doc_id = cand.id_b
+       |WHERE bit_count(xor(pa.ph_hi, pb.ph_hi)) + bit_count(xor(pa.ph_lo, pb.ph_lo)) <= ${Multimodal.PhashHamMax}
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Bloom-gated admission is EXACT (the verify join removes every
     * bloom false positive), so the oracle is the plain anti-join
     * semantics — batch docs whose md5 does not occur in the corpus.

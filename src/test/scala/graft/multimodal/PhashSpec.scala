@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the perceptual-hash pipeline end to end: the BMP byte
+  * round-trip (encode → production decoder → pixels identical to the
+  * closed form), the dHash arithmetic against an independent scalar
+  * re-derivation, the planted near-dup structure (same-family docs
+  * within 4 bits, noise moves ≤2 bits), and the pigeonhole recall
+  * guarantee of the 8×8-bit banding at the registered threshold.
+  */
+class PhashSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "mm-phash")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("encoded BMP decodes back to the closed-form pixels") {
+    for (d <- Seq(0L, 1L, 7L, 49L, 123L)) {
+      val Some((w, h, rgb)) = Multimodal.decodePixels(Multimodal.encodeGrayBmp(d))
+      assert(w === Multimodal.PhashW && h === Multimodal.PhashH)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        val want = Multimodal.phashPixel(d, x, y)
+        assert((rgb(i) & 0xff) === want, s"d=$d ($x,$y) r")
+        assert((rgb(i + 1) & 0xff) === want, s"d=$d ($x,$y) g")
+        assert((rgb(i + 2) & 0xff) === want, s"d=$d ($x,$y) b")
+      }
+    }
+  }
+
+  /** Independent scalar dHash from the formula (no BMP, no decoder). */
+  private def refPhash(d: Long): (Long, Long) = {
+    val bw = Multimodal.PhashW / 2
+    val s = Array.ofDim[Long](Multimodal.PhashH / 2, bw)
+    for (y <- 0 until Multimodal.PhashH; x <- 0 until Multimodal.PhashW)
+      s(y / 2)(x / 2) += Multimodal.phashPixel(d, x, y)
+    var hi = 0L; var lo = 0L
+    for (by <- 0 until 8; bx <- 0 until 8)
+      if (s(by)(bx + 1) > s(by)(bx)) {
+        if (by < 4) lo |= 1L << (by * 8 + bx) else hi |= 1L << ((by - 4) * 8 + bx)
+      }
+    (hi, lo)
+  }
+
+  test("decoded-byte dHash equals the closed-form dHash for every doc") {
+    import spark.implicits._
+    val got = Multimodal
+      .phash(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.nonEmpty)
+    got.foreach { case (d, (hi, lo)) =>
+      assert((hi, lo) === refPhash(d), s"doc $d")
+      assert(hi >= 0L && hi < (1L << 32) && lo >= 0L && lo < (1L << 32), s"doc $d halves unsigned-32")
+    }
+  }
+
+  test("planted structure: noise-free family members hash identically; noise moves <= 2 bits") {
+    val fam = collection.mutable.Map.empty[Long, (Long, Long)]
+    for (d <- 0L until 200L) {
+      val p = refPhash(d)
+      if (d % Multimodal.PhashNoiseMod != 0) {
+        fam.get(d % Multimodal.PhashFamilies) match {
+          case Some(q) => assert(p === q, s"clean family member $d drifted")
+          case None    => fam(d % Multimodal.PhashFamilies) = p
+        }
+      }
+    }
+    for (d <- 0L until 200L if d % Multimodal.PhashNoiseMod == 0) {
+      fam.get(d % Multimodal.PhashFamilies).foreach { case (hi, lo) =>
+        val (nhi, nlo) = refPhash(d)
+        val ham = java.lang.Long.bitCount(hi ^ nhi) + java.lang.Long.bitCount(lo ^ nlo)
+        assert(ham <= 2, s"noisy doc $d moved $ham bits")
+      }
+    }
+  }
+
+  test("banded pairs = exact all-pairs within the hamming threshold (pigeonhole recall)") {
+    import spark.implicits._
+    val got = Multimodal
+      .phashPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val hashes = Multimodal
+      .phash(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (a, ahi, alo) <- hashes
+      (b, bhi, blo) <- hashes
+      if a < b
+      ham = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if ham <= Multimodal.PhashHamMax
+    } yield (a, b, ham.toLong)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must plant at least one near-dup pair")
+  }
+}
