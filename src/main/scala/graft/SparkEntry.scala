@@ -113,6 +113,7 @@ object SparkEntry {
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
+    "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
@@ -242,6 +243,7 @@ object SparkEntry {
     "dedup_semantic" -> PipelineOracles.dedupSemantic,
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
+    "sim_range_search" -> PipelineOracles.simRangeSearch,
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
     "sim_ann_ivf" -> PipelineOracles.simAnnIvf,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,

@@ -506,6 +506,20 @@ object PipelineOracles {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
 
+  /** ε-ball replay: same cosine arithmetic as simTopK, thresholded on
+    * the UNROUNDED value (both engines compute bit-identical doubles,
+    * so the τ comparison can never straddle the rounding).
+    */
+  val simRangeSearch: String =
+    s"""WITH $embNorms,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < ${Similarity.NumQueries}),
+       |scored AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cosine
+       |  FROM q, norms n WHERE n.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine
+       |FROM scored WHERE cosine >= ${Similarity.RangeTau}
+       |ORDER BY query_id, neighbor_id""".stripMargin
+
   /** Replays int8 scalar quantization end-to-end: the same corpus-wide
     * max|component| scale, the same round-half-up component mapping
     * (floor(x·scl + 0.5) — double ops in identical order), exact BIGINT

@@ -494,4 +494,36 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
+
+  /** Cosine threshold for [[rangeSearch]] — ε-ball retrieval, the
+    * radius-query complement of top-k (near-dup mining at a similarity
+    * bar, recall-bounded candidate pools). 0.3 sits well above the
+    * random-pair band of the synthetic corpus (~N(0, 0.125)) so the
+    * result is the meaningful tail, not noise.
+    */
+  val RangeTau = 0.3
+
+  /** Exact range (ε-ball) search: every corpus vector with cosine ≥
+    * [[RangeTau]] to each query. Scale shape: this is the
+    * embarrassingly-parallel similarity op — queries broadcast, the
+    * codegen'd dot + threshold filter run map-side on the corpus scan,
+    * and unlike top-k there is NO aggregation state: zero shuffles
+    * before the output sort, output bounded by the threshold. The
+    * selectivity knob is τ itself; production range queries against an
+    * IVF index would scan only probed cells (sim_ann_ivf's bound), but
+    * the exact form IS the 100 TB baseline — one pass, no state.
+    */
+  def rangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val queries = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .filter($"cosine" >= RangeTau)
+      .select($"query_id", $"vec_id".as("neighbor_id"), round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"neighbor_id")
+  }
 }

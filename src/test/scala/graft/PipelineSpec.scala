@@ -300,6 +300,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe")).collect()
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val corpus = emb.select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val want = (for {
+      q <- queries.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      (v, e) <- corpus
+      if v != q._1
+      cos = dotD(q._2, e) / (math.sqrt(dotD(q._2, q._2)) * math.sqrt(dotD(e, e)))
+      if cos >= Similarity.RangeTau
+    } yield (q._1, v)).toSet
+    val got = Similarity.rangeSearch(spark, dir)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    // scale shape: broadcast join + filter only — no aggregation, no
+    // shuffle exchange before the output sort
+    val plan = Similarity.rangeSearch(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("HashAggregate"), "range search must not aggregate")
+  }
+
   test("IVF assignment covers the corpus; probed candidates rank with exact cosines") {
     import spark.implicits._
     val nVecs = Tables.embeddings(spark, dir).count()
