@@ -137,6 +137,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
+    "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
@@ -266,6 +267,7 @@ object SparkEntry {
     "text_bm25" -> PipelineOracles.textBm25,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,
+    "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,

@@ -1104,6 +1104,30 @@ object PipelineOracles {
        |SELECT * FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
        |ORDER BY arity, freq DESC, ngram""".stripMargin
 
+  /** Replays the count-min sketch cell-for-cell: same md5-derived row
+    * hashes, same 4×1024 geometry, same integer ε-bound arithmetic —
+    * so even the sketch ESTIMATES (not just the exact counts) are
+    * hash-checked, with the two CMS invariants pinned as booleans.
+    */
+  val textHeavyHitters: String = {
+    val w = TextAnalysis.CmsWidth; val dep = TextAnalysis.CmsDepth
+    val cell = "CAST('0x' || substr(md5(TOK || '#' || D), 1, 8) AS BIGINT) % " + w
+    s"""WITH tok AS (SELECT unnest($toks) AS tok FROM documents),
+       |cells AS (SELECT d.d AS d, ${cell.replace("TOK", "tok").replace("D", "d.d")} AS cell, count(*) AS cn
+       |  FROM tok CROSS JOIN generate_series(0, ${dep - 1}) d(d) GROUP BY 1, 2),
+       |top AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY 1
+       |  ORDER BY exact_n DESC, tok LIMIT ${TextAnalysis.HeavyK}),
+       |total AS (SELECT count(*) AS n_total FROM tok),
+       |est AS (SELECT t.tok, t.exact_n, min(c.cn) AS cms_n
+       |  FROM top t CROSS JOIN generate_series(0, ${dep - 1}) d(d)
+       |  JOIN cells c ON c.d = d.d AND c.cell = ${cell.replace("TOK", "t.tok").replace("D", "d.d")}
+       |  GROUP BY 1, 2)
+       |SELECT tok, exact_n, cms_n,
+       |  cms_n >= exact_n AS never_under,
+       |  (cms_n - exact_n) * $w * 1000000 <= ${TextAnalysis.CmsEpsScaled} * n_total AS within_eps
+       |FROM est CROSS JOIN total ORDER BY exact_n DESC, tok""".stripMargin
+  }
+
   /** Replays the stratified top-k selection: same md5 order key, same
     * (h, doc_id) tie order, same per-stratum k.
     */

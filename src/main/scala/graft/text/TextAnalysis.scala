@@ -638,4 +638,67 @@ object TextAnalysis {
       )
       .orderBy($"doc_id")
   }
+
+  // ---- count-min-sketch heavy hitters -----------------------------------
+
+  /** CMS geometry: depth 4 rows × width 1024 cells = 4096 counters
+    * TOTAL regardless of corpus size — the bounded-memory frequency
+    * sketch (Cormode & Muthukrishnan 2005). Row hashes are the md5
+    * convention both engines share, so the sketch replays exactly.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+  val HeavyK = 20
+  /** ε = e/width, scaled ×10⁶ for the integer-only bound arithmetic. */
+  val CmsEpsScaled = 2718282L
+
+  /** Heavy hitters with a count-min sketch audit: the exact top-k
+    * tokens (the QA gate this corpus can afford), each with its CMS
+    * estimate and two oracle-pinned sketch invariants — `never_under`
+    * (CMS can only overestimate: each of the token's 4 cells contains
+    * its full count plus non-negative collisions) and `within_eps`
+    * (overestimate ≤ εN, ε = e/width — checked in pure BIGINT
+    * arithmetic so neither engine rounds).
+    *
+    * Scale shape: the sketch is ONE partial-aggregated pass — tokens
+    * explode ×depth, groupBy lands on ≤ depth·width = 4096 cells, so
+    * map-side combine reduces every partition to ≤4096 rows no matter
+    * how many tokens it holds; the shuffle is sketch-sized, not
+    * corpus-sized. The exact-count side is the vocabulary-sized
+    * aggregation a 100 TB run would REPLACE with (sketch + per-
+    * partition candidate heap); here it is the gate that lets DuckDB
+    * hash-check every estimate.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documentsFanned(spark, dir).select(explode(tokens($"text")).as("tok"))
+    def cellOf(t: Column, d: Column): Column =
+      conv(substring(md5(concat(t, lit("#"), d)), 1, 8), 16, 10).cast("long") % CmsWidth
+    val cells = tok
+      .select($"tok", explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy($"d", cellOf($"tok", $"d").as("cell"))
+      .agg(count(lit(1)).as("cn"))
+    val top = tok
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok")
+      .limit(HeavyK)
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    top
+      .select($"tok", $"exact_n", explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .withColumn("cell", cellOf($"tok", $"d"))
+      .join(broadcast(cells), Seq("d", "cell"))
+      .groupBy($"tok", $"exact_n")
+      .agg(min($"cn").as("cms_n"))
+      .crossJoin(broadcast(total))
+      .select(
+        $"tok",
+        $"exact_n",
+        $"cms_n",
+        ($"cms_n" >= $"exact_n").as("never_under"),
+        (($"cms_n" - $"exact_n") * lit(CmsWidth) * lit(1000000L) <= lit(CmsEpsScaled) * $"n_total")
+          .as("within_eps")
+      )
+      .orderBy($"exact_n".desc, $"tok")
+  }
 }

@@ -167,4 +167,30 @@ class ApproxSpec extends AnyFunSuite {
       else assert(math.abs(e - p).toDouble / p < bound, s"$flag: $e vs $p (bound $bound)")
     }
   }
+
+  test("CMS heavy hitters: never underestimates, within eps*N, and the sketch shuffle is cell-bounded") {
+    import spark.implicits._
+    val rows = graft.text.TextAnalysis.heavyHitters(spark, dir).collect()
+    assert(rows.length === graft.text.TextAnalysis.HeavyK)
+    rows.foreach { r =>
+      val (tok, exact, cms) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(r.getBoolean(3), s"CMS underestimated '$tok': $cms < $exact")
+      assert(r.getBoolean(4), s"CMS overestimate for '$tok' exceeds eps*N: $cms vs $exact")
+      assert(cms >= exact)
+    }
+    // exact ranking is descending with deterministic ties
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sorted.reverse.toSeq === counts.toSeq)
+    // the sketch aggregation can never exceed depth*width rows — the
+    // bounded-memory property that makes it the 100 TB path
+    val tok = graft.Tables.documents(spark, dir)
+      .select(explode(graft.functions.Portable.tokens($"text")).as("tok"))
+    val nCells = tok
+      .select($"tok", explode(sequence(lit(0), lit(graft.text.TextAnalysis.CmsDepth - 1))).as("d"))
+      .groupBy($"d", (conv(substring(md5(concat($"tok", lit("#"), $"d")), 1, 8), 16, 10)
+        .cast("long") % graft.text.TextAnalysis.CmsWidth).as("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .count()
+    assert(nCells <= graft.text.TextAnalysis.CmsDepth * graft.text.TextAnalysis.CmsWidth)
+  }
 }
