@@ -151,6 +151,7 @@ object SparkEntry {
     "mm_extract" -> ((s, d) => Multimodal.extract(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phash(s, d)),
     "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d))
   )
@@ -281,6 +282,7 @@ object SparkEntry {
     "mm_extract" -> PipelineOracles.mmExtract,
     "mm_phash" -> PipelineOracles.mmPhash,
     "mm_phash_pairs" -> PipelineOracles.mmPhashPairs,
+    "mm_phash_dedup" -> PipelineOracles.mmPhashDedup,
     "mm_frames" -> PipelineOracles.mmFrames,
     "mm_resize" -> PipelineOracles.mmResize
   )

@@ -1494,6 +1494,30 @@ object PipelineOracles {
        |WHERE bit_count(xor(pa.ph_hi, pb.ph_hi)) + bit_count(xor(pa.ph_lo, pb.ph_lo)) <= ${Multimodal.PhashHamMax}
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Replays the collapsed-clique near-dup: identical-hash groups
+    * (min-id keeper + copy count) paired by the same bands + hamming
+    * bound, but between DISTINCT hashes only — the scale path's exact
+    * semantics.
+    */
+  val mmPhashDedup: String =
+    s"""WITH $phashCtes,
+       |grp AS (SELECT ph_hi, ph_lo, min(doc_id) AS keeper_id, count(*) AS n_copies
+       |  FROM ph GROUP BY 1, 2),
+       |bands AS (SELECT keeper_id, bs.b AS band,
+       |    CASE WHEN bs.b < 4 THEN (ph_lo >> (bs.b * 8)) & 255
+       |         ELSE (ph_hi >> ((bs.b - 4) * 8)) & 255 END AS bv
+       |  FROM grp, generate_series(0, 7) bs(b)),
+       |cand AS (SELECT DISTINCT a.keeper_id AS id_a, c.keeper_id AS id_b
+       |  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.keeper_id < c.keeper_id)
+       |SELECT cand.id_a, cand.id_b,
+       |  CAST(bit_count(xor(ga.ph_hi, gb.ph_hi)) + bit_count(xor(ga.ph_lo, gb.ph_lo)) AS BIGINT) AS hamming,
+       |  ga.n_copies AS copies_a, gb.n_copies AS copies_b
+       |FROM cand
+       |JOIN grp ga ON ga.keeper_id = cand.id_a
+       |JOIN grp gb ON gb.keeper_id = cand.id_b
+       |WHERE bit_count(xor(ga.ph_hi, gb.ph_hi)) + bit_count(xor(ga.ph_lo, gb.ph_lo)) <= ${Multimodal.PhashHamMax}
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Bloom-gated admission is EXACT (the verify join removes every
     * bloom false positive), so the oracle is the plain anti-join
     * semantics — batch docs whose md5 does not occur in the corpus.

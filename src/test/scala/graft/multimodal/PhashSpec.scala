@@ -79,6 +79,45 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("collapsed dedup groups reconstruct the full pair set; candidate volume is clique-free") {
+    import spark.implicits._
+    val hashes = Multimodal
+      .phash(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    val byHash = hashes.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).sorted }
+    val groupPairs = Multimodal
+      .phashDedup(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // copy counts match the clique sizes
+    val keeperToHash = byHash.map { case (h, ids) => ids.head -> h }
+    groupPairs.foreach { case (a, b, _, ca, cb) =>
+      assert(byHash(keeperToHash(a)).length.toLong === ca, s"copies_a of $a")
+      assert(byHash(keeperToHash(b)).length.toLong === cb, s"copies_b of $b")
+    }
+    // expanding group pairs (cross products) + within-clique all-pairs
+    // (hamming 0) reproduces EXACTLY the mm_phash_pairs result
+    val expanded = collection.mutable.Set.empty[(Long, Long, Long)]
+    groupPairs.foreach { case (a, b, ham, _, _) =>
+      for (x <- byHash(keeperToHash(a)); y <- byHash(keeperToHash(b)))
+        expanded += ((math.min(x, y), math.max(x, y), ham))
+    }
+    byHash.values.foreach { ids =>
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        expanded += ((ids(i), ids(j), 0L))
+    }
+    val full = Multimodal
+      .phashPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(expanded.toSet === full)
+    // the collapse is the point: group-level pair count must be far
+    // below the exact enumeration (cliques contribute one row, not n²)
+    assert(groupPairs.length < full.size, s"${groupPairs.length} vs ${full.size}")
+  }
+
   test("banded pairs = exact all-pairs within the hamming threshold (pigeonhole recall)") {
     import spark.implicits._
     val got = Multimodal
