@@ -92,6 +92,7 @@ object SparkEntry {
     "stream_enrich" -> ((s, d) => StreamingQueries.enrichStream(s, d)),
     "stream_anomaly" -> ((s, d) => StreamingQueries.anomalyStream(s, d)),
     "stream_ingest_dedup" -> ((s, d) => StreamingQueries.ingestDedupStream(s, d)),
+    "stream_heavy_hitters" -> ((s, d) => StreamingQueries.heavyHittersStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -223,6 +224,8 @@ object SparkEntry {
     "stream_curate" -> PipelineOracles.streamCurate,
     "stream_enrich" -> PipelineOracles.streamEnrich,
     "stream_ingest_dedup" -> PipelineOracles.streamIngestDedup,
+    // identical output contract to the batch CMS query
+    "stream_heavy_hitters" -> PipelineOracles.textHeavyHitters,
     // the drained streaming scorer equals the batch anomaly operator
     "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "dedup_exact" -> PipelineOracles.dedupExact,

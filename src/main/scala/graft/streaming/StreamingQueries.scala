@@ -581,4 +581,66 @@ object StreamingQueries {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(reduce)
       .toDF
   }
+
+  /** Streaming count-min sketch: the heavy-hitter sketch maintained
+    * over an unbounded document stream. The ONLY streaming state is the
+    * cell table — ≤ depth·width = 4096 rows no matter how many
+    * documents arrive (StreamingSpec pins numRowsTotal), which is the
+    * entire point of sketched frequency at 100 TB: per-token state
+    * would grow with the vocabulary, the sketch does not. After the
+    * drain, the cell table scores the exact top-k (computed batch-side
+    * as the QA gate, like every sketch companion here) — same columns,
+    * same oracle as the batch `text_heavy_hitters`, so agreement is
+    * hash-checked end to end.
+    */
+  def heavyHittersStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.{TextAnalysis => TA}
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val docs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val tok = docs.select(explode(graft.functions.Portable.tokens($"text")).as("tok"))
+    val cells = tok
+      .select($"tok", explode(sequence(lit(0), lit(TA.CmsDepth - 1))).as("d"))
+      .groupBy(
+        $"d",
+        (conv(substring(md5(concat($"tok", lit("#"), $"d")), 1, 8), 16, 10)
+          .cast("long") % TA.CmsWidth).as("cell")
+      )
+      .agg(count(lit(1)).as("cn"))
+    val drained = runToMemory(cells, "stream_heavy_hitters", "complete")
+    // post-drain scoring is batch work in the scoped session: exact
+    // top-k gate + per-token min over its depth cells
+    val s = drained.sparkSession
+    val batchTok = graft.Tables
+      .documents(s, dir)
+      .select(explode(graft.functions.Portable.tokens($"text")).as("tok"))
+    val top = batchTok
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"tok")
+      .limit(TA.HeavyK)
+    val total = batchTok.agg(count(lit(1)).as("n_total"))
+    top
+      .select($"tok", $"exact_n", explode(sequence(lit(0), lit(TA.CmsDepth - 1))).as("d"))
+      .withColumn(
+        "cell",
+        conv(substring(md5(concat($"tok", lit("#"), $"d")), 1, 8), 16, 10).cast("long") % TA.CmsWidth
+      )
+      .join(broadcast(drained), Seq("d", "cell"))
+      .groupBy($"tok", $"exact_n")
+      .agg(min($"cn").as("cms_n"))
+      .crossJoin(broadcast(total))
+      .select(
+        $"tok",
+        $"exact_n",
+        $"cms_n",
+        ($"cms_n" >= $"exact_n").as("never_under"),
+        (($"cms_n" - $"exact_n") * lit(TA.CmsWidth) * lit(1000000L) <= lit(TA.CmsEpsScaled) * $"n_total")
+          .as("within_eps")
+      )
+      .orderBy($"exact_n".desc, $"tok")
+  }
 }

@@ -312,4 +312,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length === expected.size, "no duplicate rows across restarts")
     assert(got.toSet === expected)
   }
+
+  test("streaming CMS: state stays cell-bounded over multi-batch ingest and equals the batch sketch") {
+    import spark.implicits._
+    import graft.text.{TextAnalysis => TA}
+    // split documents into 3 arrival batches
+    val src = Files.createTempDirectory("graft-cms-src").toString
+    val docs = Tables.documents(spark, dir)
+    (0 until 3).foreach { i =>
+      if (i > 0) Thread.sleep(1100)
+      val stage = Files.createTempDirectory("graft-cms-stage").toString
+      docs.filter($"doc_id" % 3 === i).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(src, s"batch$i.parquet"))
+    }
+    val schema = spark.read.parquet(s"$src/batch0.parquet").schema
+    val tok = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .select(explode(graft.functions.Portable.tokens($"text")).as("tok"))
+    val cells = tok
+      .select($"tok", explode(sequence(lit(0), lit(TA.CmsDepth - 1))).as("d"))
+      .groupBy(
+        $"d",
+        (conv(substring(md5(concat($"tok", lit("#"), $"d")), 1, 8), 16, 10)
+          .cast("long") % TA.CmsWidth).as("cell")
+      )
+      .agg(count(lit(1)).as("cn"))
+    val q = cells.writeStream.format("memory").queryName("cms_cells").outputMode("complete").start()
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty).map(_.stateOperators.head.numRowsTotal)
+    q.stop()
+    assert(stateRows.nonEmpty)
+    assert(
+      stateRows.forall(_ <= TA.CmsDepth * TA.CmsWidth),
+      s"sketch state exceeded depth*width: ${stateRows.mkString(",")}"
+    )
+    // drained cells equal the batch-computed sketch exactly
+    val got = spark.table("cms_cells")
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = docs
+      .select(explode(graft.functions.Portable.tokens($"text")).as("tok"))
+      .select($"tok", explode(sequence(lit(0), lit(TA.CmsDepth - 1))).as("d"))
+      .groupBy(
+        $"d",
+        (conv(substring(md5(concat($"tok", lit("#"), $"d")), 1, 8), 16, 10)
+          .cast("long") % TA.CmsWidth).as("cell")
+      )
+      .agg(count(lit(1)).as("cn"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === want)
+  }
 }
