@@ -67,6 +67,7 @@ object SparkEntry {
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
     "layout_zorder" -> ((s, d) => graft.queries.Layout.zorderScan(s, d)),
+    "layout_compact" -> ((s, d) => graft.queries.Layout.compactScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "q31_partition_pruning" -> Oracles.q31PartitionPruning,
     "stats_profile" -> Oracles.statsProfile,
     "layout_zorder" -> Oracles.layoutZorder,
+    "layout_compact" -> Oracles.layoutCompact,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -505,6 +505,16 @@ object Oracles {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Compaction is layout-only: the oracle aggregates the RAW
+    * documents table; equality with the compacted-layout scan proves
+    * the rewrite preserved every row.
+    */
+  val layoutCompact: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(CASE WHEN length(text) > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_long
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** ANALYZE-profile replay, generated from the SAME column list the
     * Spark query profiles (Relational.StatsProfileCols) so adding a
     * column updates both sides. `ndv_sketch_ok` is pinned TRUE: the

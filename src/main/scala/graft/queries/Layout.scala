@@ -70,6 +70,54 @@ object Layout {
     t
   }
 
+  /** Small-file problem fixture + target: the compaction op rewrites a
+    * [[FragFiles]]-file layout (the many-tiny-files shape streaming
+    * ingest and per-partition writers leave behind — each file costs a
+    * task, an open, a footer parse, a catalog entry) into
+    * [[CompactTarget]] right-sized files. At 100 TB the target is
+    * ~1 GB/file; the op is one shuffle-free coalesce when shrinking
+    * file counts, which is why compaction jobs are cheap relative to
+    * the scan overhead they remove.
+    */
+  val FragFiles = 64
+  val CompactTarget = 4
+
+  private[queries] def fragmentedDir(spark: SparkSession, dir: String): String = {
+    val fp = Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_frag_$fp"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.documents(spark, dir).repartition(FragFiles).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** Registered query: compact the fragmented layout, then prove
+    * content invariance with an aggregate the oracle replays on the
+    * RAW table (neither layout is visible to DuckDB — equality means
+    * compaction lost nothing). `coalesce` merges partitions WITHOUT a
+    * shuffle (each output task reads ~FragFiles/CompactTarget inputs);
+    * LayoutSpec pins the before/after file counts and the no-exchange
+    * plan of the compaction write.
+    */
+  def compactScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frag = fragmentedDir(spark, dir)
+    val fp = Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val compacted = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$fp"
+    if (!new java.io.File(compacted, "_SUCCESS").exists()) {
+      spark.read.parquet(frag).coalesce(CompactTarget).write.mode("overwrite").parquet(compacted)
+    }
+    spark.read
+      .parquet(compacted)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        count(when(length($"text") > 100, 1)).as("n_long")
+      )
+      .orderBy($"lang")
+  }
+
   /** The registered query: a selective conjunctive box scan over the
     * z-ordered layout. Results are layout-invariant (the oracle runs
     * the same predicate on the raw table); the layout's value — most

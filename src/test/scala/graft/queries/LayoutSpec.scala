@@ -91,6 +91,33 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction: 64 -> 4 files, shuffle-free, content-identical") {
+    import spark.implicits._
+    val frag = Layout.fragmentedDir(spark, dir)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) === Layout.FragFiles)
+    val got = Layout.compactScan(spark, dir).collect().map(_.toSeq).toSeq
+    val fp = Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val compacted = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$fp"
+    assert(parquetFiles(compacted) === Layout.CompactTarget)
+    // the compaction read+coalesce plans WITHOUT a shuffle exchange
+    val plan = spark.read.parquet(frag).coalesce(Layout.CompactTarget)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // content invariance: same aggregate over the raw table
+    val want = graft.Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("total_chars"),
+        count(when(length($"text") > 100, 1)).as("n_long")
+      )
+      .orderBy($"lang")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("morton spread/interleave round-trips bit patterns") {
     import spark.implicits._
     val df = Seq((0, 0), (1, 0), (0, 1), (0xffff, 0xffff), (0x1234, 0x0f0f))
