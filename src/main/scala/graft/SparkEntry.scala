@@ -144,6 +144,7 @@ object SparkEntry {
     "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
+    "pipeline_multimodal" -> ((s, d) => graft.text.Curation.curateMultimodal(s, d)),
     "pipeline_pretrain" -> ((s, d) => graft.text.Curation.pretrain(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -278,6 +279,7 @@ object SparkEntry {
     "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
+    "pipeline_multimodal" -> PipelineOracles.pipelineMultimodal,
     "pipeline_pretrain" -> PipelineOracles.pipelinePretrain,
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,
     "text_stratified_topk" -> PipelineOracles.textStratifiedTopK,

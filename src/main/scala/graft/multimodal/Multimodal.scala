@@ -470,6 +470,18 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Image-clique keepers: the min-id member of every identical-phash
+    * group — the image-side dedup keeper set `pipeline_multimodal`
+    * composes with the text curation stages.
+    */
+  private[graft] def phashKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashFrame(spark, dir)
+      .groupBy($"ph_hi", $"ph_lo")
+      .agg(min($"media_id").as("doc_id"))
+      .select($"doc_id")
+  }
+
   /** The SCALE path of phash dedup (mm_phash_pairs' exact pair
     * enumeration is output-bound: identical images form all-pairs
     * cliques, so its result — and cost — grows quadratically in clique

@@ -1270,6 +1270,17 @@ object PipelineOracles {
        |$curateStages
        |${curateSelect()}""".stripMargin
 
+  /** Multimodal curation replay: the image-clique keepers (min doc_id
+    * per identical phash, from the same closed-form phash CTEs) feed
+    * the standard curation stages.
+    */
+  val pipelineMultimodal: String =
+    s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |$phashCtes,
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM ph GROUP BY ph_hi, ph_lo),
+       |$curateStages
+       |${curateSelect()}""".stripMargin
+
   /** Replays the full pretraining flow: fuzzy curation (minhash LSH →
     * connected components → keepers → language ∧ quality ∧ split),
     * decontamination's is_clean gate, train-split selection, then
@@ -1454,7 +1465,9 @@ object PipelineOracles {
     * round-trip is lossless. All constants come from the Multimodal
     * object, so fixture drift breaks the build, not the compare.
     */
-  private val phashCtes: String = {
+  // def, not val: referenced by pipelineMultimodal above its
+  // definition site — a val would still be null during object init
+  private def phashCtes: String = {
     val w = Multimodal.PhashW; val h = Multimodal.PhashH
     val fam = Multimodal.PhashFamilies; val noise = Multimodal.PhashNoiseMod
     val mod = Multimodal.PhashPixMod

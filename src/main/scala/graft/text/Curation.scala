@@ -117,6 +117,17 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Multimodal-aware curation: the same language/quality/split gates,
+    * with the dedup stage keyed on the IMAGE — a document survives only
+    * if it is its image-clique keeper (first poster of that perceptual
+    * hash), the policy a text+image pretraining pipeline runs against
+    * re-posted media. Text stages and image collapse are each
+    * individually oracled operators joined on doc_id, so the
+    * composition inherits their scale shapes.
+    */
+  def curateMultimodal(spark: SparkSession, dir: String): DataFrame =
+    curateWith(spark, dir, graft.multimodal.Multimodal.phashKeepers(spark, dir))
+
   private def curateWith(spark: SparkSession, dir: String, keepers: DataFrame): DataFrame = {
     import spark.implicits._
     val lang = TextAnalysis.langId(spark, dir).select($"doc_id", $"pred_lang")

@@ -300,6 +300,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal curation = text gates intersect image-clique keepers") {
+    import spark.implicits._
+    val got = text.Curation.curateMultimodal(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val textGate = TextAnalysis.langId(spark, dir).filter($"pred_lang" === "en")
+      .select($"doc_id")
+      .join(
+        TextAnalysis.quality(spark, dir)
+          .filter($"quality_score" >= text.Curation.QualityMin).select($"doc_id"),
+        "doc_id"
+      )
+      .collect().map(_.getLong(0)).toSet
+    val keepers = Multimodal.phashKeepers(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (textGate intersect keepers))
+    assert(got.nonEmpty)
+    assert((textGate -- keepers).nonEmpty, "fixture must actually drop some re-posted images")
+  }
+
   test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
