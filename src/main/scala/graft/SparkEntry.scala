@@ -155,6 +155,7 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.phash(s, d)),
     "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
     "mm_frames" -> ((s, d) => Multimodal.frameSample(s, d)),
     "mm_resize" -> ((s, d) => Multimodal.resizePlan(s, d))
   )
@@ -290,6 +291,7 @@ object SparkEntry {
     "mm_phash" -> PipelineOracles.mmPhash,
     "mm_phash_pairs" -> PipelineOracles.mmPhashPairs,
     "mm_phash_dedup" -> PipelineOracles.mmPhashDedup,
+    "mm_audio_energy" -> PipelineOracles.mmAudioEnergy,
     "mm_frames" -> PipelineOracles.mmFrames,
     "mm_resize" -> PipelineOracles.mmResize
   )

@@ -470,6 +470,114 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---- audio: frame energy / zero-crossing over real WAV round-trips ----
+
+  /** Audio fixture geometry: 16-bit PCM mono WAV, [[AudioRate]] Hz,
+    * [[AudioSamples]] samples split into [[AudioFrames]] frames of
+    * [[AudioFrameLen]]. Samples are a closed-form square wave of
+    * (doc_id, i) — period 20 + d%30, amplitude 1000 + (d%50)·100 —
+    * so frame energy and zero-crossing counts replay in SQL while the
+    * engine computes them from bytes parsed back out of a REAL RIFF/
+    * WAVE file it encoded (the same real-round-trip contract as
+    * mm_phash's BMPs).
+    */
+  val AudioRate = 8000
+  val AudioSamples = 800
+  val AudioFrameLen = 160
+  val AudioFrames: Int = AudioSamples / AudioFrameLen
+
+  private[multimodal] def audioSample(d: Long, i: Int): Int = {
+    val p = (20 + (d % 30)).toInt
+    val a = (1000 + (d % 50) * 100).toInt
+    if (i % p < p / 2) a else -a
+  }
+
+  /** Real RIFF/WAVE encode: 44-byte canonical header (PCM fmt chunk)
+    * + little-endian 16-bit samples.
+    */
+  private[multimodal] def encodeWav(d: Long): Array[Byte] = {
+    val n = AudioSamples
+    val dataLen = n * 2
+    val b = new Array[Byte](44 + dataLen)
+    def le16(i: Int, v: Int): Unit = { b(i) = (v & 0xff).toByte; b(i + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(i: Int, v: Int): Unit = { le16(i, v & 0xffff); le16(i + 2, (v >>> 16) & 0xffff) }
+    def tag(i: Int, s: String): Unit = s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => b(i + j) = c }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1) // PCM, mono
+    le32(24, AudioRate); le32(28, AudioRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < n) { le16(44 + 2 * i, audioSample(d, i) & 0xffff); i += 1 }
+    b
+  }
+
+  /** Real WAV parse: validates RIFF/WAVE + PCM fmt, walks chunks to
+    * `data`, returns the decoded 16-bit samples. None for anything
+    * that is not a canonical PCM WAV.
+    */
+  private[multimodal] def decodeWav(p: Array[Byte]): Option[Array[Int]] = {
+    def le16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+    def le32(i: Int) = le16(i).toLong | (le16(i + 2).toLong << 16)
+    def tag(i: Int, s: String) = s.getBytes("US-ASCII").zipWithIndex.forall { case (c, j) => p(i + j) == c }
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    while (i + 8 <= p.length) {
+      val sz = le32(i + 4).toInt
+      if (tag(i, "fmt ")) fmtOk = le16(i + 8) == 1 && le16(i + 10) == 1 && le16(i + 22) == 16
+      else if (tag(i, "data")) {
+        if (!fmtOk || i + 8 + sz > p.length) return None
+        val n = sz / 2
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) { out(j) = (le16(i + 8 + 2 * j) << 16) >> 16; j += 1 } // sign-extend
+        return Some(out)
+      }
+      i += 8 + sz + (sz & 1) // RIFF chunks pad to even
+    }
+    None
+  }
+
+  private case class AudioFrameRow(media_id: Long, frame_idx: Long, energy: Long, zcr: Long)
+
+  /** Registered query: per-frame energy (Σ s², exact BIGINT) and
+    * zero-crossing count (sign flips, the classic voiced/unvoiced and
+    * silence-detection features) from samples decoded out of real WAV
+    * bytes — partition-local encode → parse → feature, bytes never
+    * shuffle, the multimodal contract. Closed-form oracle replay
+    * proves the 16-bit LE round-trip (incl. sign extension) lossless.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id")
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { d =>
+            val s = decodeWav(encodeWav(d)).getOrElse(
+              throw new IllegalArgumentException("audio fixture must decode")
+            )
+            (0 until AudioFrames).iterator.map { f =>
+              var energy = 0L
+              var zcr = 0L
+              var i = f * AudioFrameLen
+              val end = i + AudioFrameLen
+              while (i < end) {
+                energy += s(i).toLong * s(i)
+                if (i > f * AudioFrameLen && (s(i) >= 0) != (s(i - 1) >= 0)) zcr += 1
+                i += 1
+              }
+              AudioFrameRow(d, f.toLong, energy, zcr)
+            }
+          }
+        }
+      }
+      .toDF
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   /** Image-clique keepers: the min-id member of every identical-phash
     * group — the image-side dedup keeper set `pipeline_multimodal`
     * composes with the text curation stages.

@@ -1531,6 +1531,27 @@ object PipelineOracles {
        |WHERE bit_count(xor(ga.ph_hi, gb.ph_hi)) + bit_count(xor(ga.ph_lo, gb.ph_lo)) <= ${Multimodal.PhashHamMax}
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Replays the audio-frame features from the closed-form square
+    * wave; the ENGINE computes them from samples parsed back out of
+    * the real RIFF/WAVE bytes it encoded, so equality proves the
+    * 16-bit little-endian round-trip (incl. sign extension) lossless.
+    */
+  val mmAudioEnergy: String = {
+    val n = Multimodal.AudioSamples; val fl = Multimodal.AudioFrameLen
+    s"""WITH smp AS (SELECT doc_id, s.i AS i,
+       |    CASE WHEN (s.i % (20 + doc_id % 30)) < (20 + doc_id % 30) // 2
+       |      THEN 1000 + (doc_id % 50) * 100
+       |      ELSE -(1000 + (doc_id % 50) * 100) END AS v
+       |  FROM documents, generate_series(0, ${n - 1}) s(i)),
+       |fr AS (SELECT doc_id, i // $fl AS frame_idx, i, v,
+       |    lag(v) OVER (PARTITION BY doc_id, i // $fl ORDER BY i) AS pv
+       |  FROM smp)
+       |SELECT doc_id AS media_id, frame_idx,
+       |  CAST(sum(v * v) AS BIGINT) AS energy,
+       |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+       |FROM fr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Bloom-gated admission is EXACT (the verify join removes every
     * bloom false positive), so the oracle is the plain anti-join
     * semantics — batch docs whose md5 does not occur in the corpus.

@@ -118,6 +118,48 @@ class PhashSpec extends AnyFunSuite {
     assert(groupPairs.length < full.size, s"${groupPairs.length} vs ${full.size}")
   }
 
+  test("WAV round-trip: encoded samples parse back exactly, including negative sign extension") {
+    for (d <- Seq(0L, 3L, 29L, 57L, 123L)) {
+      val got = Multimodal.decodeWav(Multimodal.encodeWav(d))
+      assert(got.isDefined, s"doc $d must decode")
+      val s = got.get
+      assert(s.length === Multimodal.AudioSamples)
+      for (i <- s.indices)
+        assert(s(i) === Multimodal.audioSample(d, i), s"doc $d sample $i")
+      assert(s.exists(_ < 0), "square wave must swing negative")
+    }
+    // malformed inputs are rejected, not misparsed
+    assert(Multimodal.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.encodeGrayBmp(1L)).isEmpty)
+    val truncated = Multimodal.encodeWav(1L).take(50)
+    assert(Multimodal.decodeWav(truncated).isEmpty)
+  }
+
+  test("audio frame features: engine frames equal an independent scalar derivation") {
+    import spark.implicits._
+    val rows = Multimodal
+      .audioEnergy(spark, dir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.nonEmpty)
+    val docs = rows.keys.map(_._1).toSeq.distinct
+    assert(rows.size === docs.size * Multimodal.AudioFrames)
+    for (d <- docs.take(20); f <- 0 until Multimodal.AudioFrames) {
+      var energy = 0L; var zcr = 0L
+      for (i <- (f * Multimodal.AudioFrameLen) until ((f + 1) * Multimodal.AudioFrameLen)) {
+        val v = Multimodal.audioSample(d, i)
+        energy += v.toLong * v
+        if (i > f * Multimodal.AudioFrameLen) {
+          val pv = Multimodal.audioSample(d, i - 1)
+          if ((v >= 0) != (pv >= 0)) zcr += 1
+        }
+      }
+      assert(rows((d, f.toLong)) === ((energy, zcr)), s"doc $d frame $f")
+      assert(zcr > 0, "a square wave frame always crosses zero")
+    }
+  }
+
   test("banded pairs = exact all-pairs within the hamming threshold (pigeonhole recall)") {
     import spark.implicits._
     val got = Multimodal
