@@ -112,7 +112,7 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
         "o_custkey": pa.array(rng.randint(0, n_cust, n_ord, dtype=np.int64)),
         "o_orderstatus": pa.array(np.array(STATUS)[rng.randint(0, 3, n_ord)]),
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
-        "o_orderdate": pa.array(odate, pa.timestamp("ms")),
+        "o_orderdate": pa.array(odate * 1000, pa.timestamp("us")),
         "o_orderpriority": pa.array(np.array(PRIORITY)[rng.randint(0, 5, n_ord)]),
     }))
 
@@ -130,13 +130,13 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
         "l_tax": rng.randint(0, 9, n_li) / 100.0,
         "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, n_li)]),
         "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, n_li)]),
-        "l_shipdate": pa.array(sdate, pa.timestamp("ms")),
+        "l_shipdate": pa.array(sdate * 1000, pa.timestamp("us")),
     }))
 
     ts = np.sort(EVENT_EPOCH_LO + rng.randint(0, EVENT_SPAN_NS, n_ev, dtype=np.int64))
     write(out, "events", pa.table({
         "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
-        "ts": pa.array(ts, pa.timestamp("ns")),
+        "ts": pa.array(ts // 1000, pa.timestamp("us")),
         "user_id": pa.array(rng.randint(0, n_users, n_ev, dtype=np.int64)),
         "event_type": pa.array(np.array(["view", "click", "purchase", "signup", "error"])[
             rng.randint(0, 5, n_ev)]),
