@@ -426,6 +426,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("phash pair generation is a banded equi-join, never cartesian") {
+    // both the exact enumeration and the collapsed scale path must
+    // generate candidates through the (band, bv) equi-join — a
+    // cartesian (or nested-loop) fallback would be the all-pairs
+    // comparison the banding exists to avoid
+    for (
+      df <- Seq(
+        graft.multimodal.Multimodal.phashPairs(spark, dir),
+        graft.multimodal.Multimodal.phashDedup(spark, dir)
+      )
+    ) {
+      val plan = planString(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoop"), plan)
+    }
+  }
+
   test("text_pii_redact is a pure map pass: pruned scan, no hash exchange") {
     val df = graft.text.TextAnalysis.piiRedact(spark, dir)
     // only doc_id + text read, even though documents has 5 columns
