@@ -408,7 +408,10 @@ object Multimodal {
     (hi, lo)
   }
 
-  private case class PhashRow(media_id: Long, ph_hi: Long, ph_lo: Long)
+  // not private: Janino-generated encoder code lives outside this
+  // object and needs the accessors, else deserialization silently
+  // falls back to the interpreted path (CompileException in logs)
+  case class PhashRow(media_id: Long, ph_hi: Long, ph_lo: Long)
 
   private def phashFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -538,7 +541,8 @@ object Multimodal {
     None
   }
 
-  private case class AudioFrameRow(media_id: Long, frame_idx: Long, energy: Long, zcr: Long)
+  // non-private for the same codegen-visibility reason as PhashRow
+  case class AudioFrameRow(media_id: Long, frame_idx: Long, energy: Long, zcr: Long)
 
   /** Registered query: per-frame energy (Σ s², exact BIGINT) and
     * zero-crossing count (sign flips, the classic voiced/unvoiced and
