@@ -68,6 +68,7 @@ object SparkEntry {
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
     "layout_zorder" -> ((s, d) => graft.queries.Layout.zorderScan(s, d)),
     "layout_compact" -> ((s, d) => graft.queries.Layout.compactScan(s, d)),
+    "layout_pruned_scan" -> ((s, d) => graft.queries.Layout.prunedScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -199,6 +200,8 @@ object SparkEntry {
     "stats_profile" -> Oracles.statsProfile,
     "layout_zorder" -> Oracles.layoutZorder,
     "layout_compact" -> Oracles.layoutCompact,
+    // same result contract as the unpruned clustered scan
+    "layout_pruned_scan" -> Oracles.layoutZorder,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -70,6 +70,67 @@ object Layout {
     t
   }
 
+  /** Per-file (min,max) manifest of the z-ordered table — the metadata
+    * layer Iceberg/Delta persist at write time so planners can prune
+    * files without opening them. Built once per fingerprint alongside
+    * the layout artifact; one stats pass over the clustered table
+    * (production writers emit these stats during the write itself).
+    */
+  private[queries] def manifestTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val zt = zorderTable(spark, dir)
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val t = s"graft_zmanifest_$fp"
+    Relational.buildOnce(spark, Seq("graft_zmanifest_"), Seq(t)) {
+      spark
+        .table(zt)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+          min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax")
+        )
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Registered query: manifest-pruned box scan — the OPERATIONAL form
+    * of the skippability layout_zorder proves. The (tiny) manifest is
+    * filtered for files whose rectangle intersects the box; only the
+    * survivors' paths are handed to the reader, so the skipped ~75% of
+    * files are never opened — no footer parse, no task. The path list
+    * is metadata-scale driver work (like catalog lookups), exactly how
+    * table-format planners prune at 100 TB. Skipping is provably safe:
+    * a file whose (min,max) rectangle misses the box contains no
+    * matching row, so the result — checked against the same raw-table
+    * oracle as layout_zorder — is identical by construction.
+    */
+  def prunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mt = manifestTable(spark, dir)
+    val keep = spark
+      .table(mt)
+      .filter(
+        $"pmax" >= PartLo && $"pmin" <= PartHi && $"smax" >= SuppLo && $"smin" <= SuppHi
+      )
+      .select($"file")
+      .collect()
+      .map(_.getString(0))
+    spark.read
+      .parquet(keep.toIndexedSeq: _*)
+      .filter($"l_partkey".between(PartLo, PartHi) && $"l_suppkey".between(SuppLo, SuppHi))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   /** Small-file problem fixture + target: the compaction op rewrites a
     * [[FragFiles]]-file layout (the many-tiny-files shape streaming
     * ingest and per-partition writers leave behind — each file costs a

@@ -91,6 +91,23 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest pruning actually skips files and returns the identical result") {
+    import spark.implicits._
+    val mt = Layout.manifestTable(spark, dir)
+    val nFiles = spark.table(mt).count()
+    val kept = spark.table(mt)
+      .filter(
+        $"pmax" >= Layout.PartLo && $"pmin" <= Layout.PartHi &&
+          $"smax" >= Layout.SuppLo && $"smin" <= Layout.SuppHi
+      )
+      .count()
+    // the operational claim: the pruned scan opens at most half the files
+    assert(kept > 0 && kept <= nFiles / 2, s"kept $kept of $nFiles")
+    val pruned = Layout.prunedScan(spark, dir).collect().map(_.toSeq).toSeq
+    val full = Layout.zorderScan(spark, dir).collect().map(_.toSeq).toSeq
+    assert(pruned === full, "file skipping must be invisible in the result")
+  }
+
   test("compaction: 64 -> 4 files, shuffle-free, content-identical") {
     import spark.implicits._
     val frag = Layout.fragmentedDir(spark, dir)
