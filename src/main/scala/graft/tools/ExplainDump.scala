@@ -42,7 +42,13 @@ object ExplainDump {
     "text_bm25" -> "no corpus shuffle at all: map-side tf (no explode), 1-row stats broadcast, TakeOrdered top-k; rank window sees only K rows",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",
-    "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame"
+    "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame",
+    "stats_profile" -> "ANALYZE pass: one single-row aggregate per column, each over a single-field pruned scan; HLL sketch gated by the exact NDV",
+    "dedup_bloom_admit" -> "codegen'd Bloom probe inlined next to the md5; fast path admits map-side, verify joins broadcast the maybe-sliver — the index never shuffles",
+    "layout_pruned_scan" -> "manifest-pruned box scan: the path list is filtered by the per-file (min,max) table before the reader — skipped files never open",
+    "mm_phash_dedup" -> "clique-collapsed image near-dup: identical hashes group to keeper+count, then the 8×8-bit banded equi-join pairs distinct hashes only",
+    "sim_range_search" -> "ε-ball retrieval: broadcast queries, codegen'd dot + threshold filter map-side — no aggregation state anywhere",
+    "text_heavy_hitters" -> "count-min sketch: explode ×depth partial-combines to ≤4096 cells, so the shuffle is sketch-sized at any corpus"
   )
 
   def main(args: Array[String]): Unit = {
