@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -16,8 +16,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * UDF boundary, no serialization per row. Never false-negative by
   * construction; false positives are whatever fpp the builder chose.
   */
-case class BloomMightContain(child: Expression, bloom: BloomFilter) extends UnaryExpression {
+case class BloomMightContain(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = BooleanType
+
+  // reject non-string children at analysis time, not as a runtime
+  // ClassCastException / codegen compile error from .getBytes()
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
 
   override def nullSafeEval(a: Any): Any =
     bloom.mightContainBinary(a.asInstanceOf[UTF8String].getBytes)

@@ -83,13 +83,97 @@ object Multimodal {
     } else None
   }
 
-  /** Full pure-JVM pixel decode of the two uncompressed raster formats
-    * that need no codec: BMP (24/32-bit, BI_RGB, bottom-up or top-down)
-    * and binary PPM (P6, maxval 255). Returns (width, height, packed
-    * top-down RGB triples). Anything else → None (the compressed
-    * formats fall back to header parsing + the documented stub).
+  /** Full pure-JVM PNG pixel decode: chunk walk (IHDR/IDAT/IEND, CRC
+    * verified), zlib inflate of the IDAT stream ([[Inflate]] — stored,
+    * fixed- and dynamic-Huffman deflate blocks), scanline defilter
+    * (None/Sub/Up/Average/Paeth), for the non-interlaced 8-bit-depth
+    * gray / truecolor / RGBA color types (alpha dropped). Returns
+    * packed top-down RGB triples like the other decoders.
+    */
+  private[multimodal] def decodePng(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(i: Int) = p(i) & 0xff
+    def u32(i: Int) = (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (p.length < 45 || u32(0) != 0x89504e47L || u32(4) != 0x0d0a1a0aL) return None
+    try {
+      var w = 0; var h = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8
+      var done = false
+      while (!done && i + 12 <= p.length) {
+        val len = u32(i).toInt
+        if (len < 0 || i + 12 + len > p.length) return None
+        val ctype = u32(i + 4)
+        val crc = new java.util.zip.CRC32
+        crc.update(p, i + 4, 4 + len)
+        if (crc.getValue != u32(i + 8 + len)) return None
+        ctype match {
+          case 0x49484452L => // IHDR
+            if (len != 13) return None
+            w = u32(i + 8).toInt; h = u32(i + 12).toInt
+            val bitDepth = u8(i + 16); colorType = u8(i + 17)
+            // compression 0, filter 0, interlace 0 only; 8-bit depth only
+            if (bitDepth != 8 || u8(i + 18) != 0 || u8(i + 19) != 0 || u8(i + 20) != 0) return None
+            if (colorType != 0 && colorType != 2 && colorType != 6) return None
+          case 0x49444154L => idat.write(p, i + 8, len) // IDAT
+          case 0x49454e44L => done = true // IEND
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      if (!done || w <= 0 || h <= 0 || colorType < 0 || idat.size == 0) return None
+      val ch = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+      val stride = w * ch
+      val raw = Inflate.zlibInflate(idat.toByteArray, (stride + 1) * h)
+      if (raw.length != (stride + 1) * h) return None
+      // defilter in place into `img` (per-row filter byte stripped)
+      val img = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        val src = y * (stride + 1) + 1
+        val dst = y * stride
+        var x = 0
+        while (x < stride) {
+          val a = if (x >= ch) img(dst + x - ch) & 0xff else 0 // left
+          val b = if (y > 0) img(dst - stride + x) & 0xff else 0 // up
+          val c = if (x >= ch && y > 0) img(dst - stride + x - ch) & 0xff else 0 // up-left
+          val pred = f match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => // Paeth
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b); val pc = math.abs(pp - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            case _ => return None
+          }
+          img(dst + x) = ((raw(src + x) & 0xff) + pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Byte](w * h * 3)
+      var j = 0
+      while (j < w * h) {
+        val s = j * ch
+        if (ch == 1) { out(3 * j) = img(s); out(3 * j + 1) = img(s); out(3 * j + 2) = img(s) }
+        else { out(3 * j) = img(s); out(3 * j + 1) = img(s + 1); out(3 * j + 2) = img(s + 2) }
+        j += 1
+      }
+      Some((w, h, out))
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Full pure-JVM pixel decode of the self-describing raster formats:
+    * BMP (24/32-bit, BI_RGB, bottom-up or top-down), binary PPM (P6,
+    * maxval 255) and — via [[decodePng]]/[[Inflate]] — non-interlaced
+    * 8-bit PNG. Returns (width, height, packed top-down RGB triples).
+    * Anything else → None (remaining compressed formats fall back to
+    * header parsing + the documented stub).
     */
   private[multimodal] def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') return decodePng(p)
     def le16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def le32(i: Int) = le16(i).toLong | (le16(i + 2).toLong << 16)
     if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
@@ -366,6 +450,46 @@ object Multimodal {
     b
   }
 
+  /** Writes a REAL PNG (8-bit grayscale, filter-0 scanlines, zlib IDAT
+    * via [[Inflate.zlibStore]], CRC'd chunks) of the same synthetic
+    * image as [[encodeGrayBmp]] — so the PNG round-trip (chunk walk →
+    * zlib inflate → defilter) must land on the identical pixels, and
+    * `mm_phash_png` shares `mm_phash`'s closed-form oracle verbatim.
+    */
+  private[multimodal] def encodeGrayPng(d: Long): Array[Byte] = {
+    val w = PhashW; val h = PhashH
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raw(y * (w + 1) + 1 + x) = phashPixel(d, x, y).toByte; x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(raw.length + 128)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] =
+        Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(be32(data.length.toLong), 0, 4)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8 // bit depth; 9..12 = gray, compression 0, filter 0, no interlace
+    chunk("IHDR", ihdr)
+    chunk("IDAT", Inflate.zlibStore(raw))
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
   /** dHash over decoded pixels, split into two unsigned-32-bit halves
     * (bit 63 of a single BIGINT is not portable oracle arithmetic):
     * `lo` carries grid rows 0-3, `hi` rows 4-7; within a half,
@@ -413,7 +537,11 @@ object Multimodal {
   // falls back to the interpreted path (CompileException in logs)
   case class PhashRow(media_id: Long, ph_hi: Long, ph_lo: Long)
 
-  private def phashFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def phashFrame(
+      spark: SparkSession,
+      dir: String,
+      encode: Long => Array[Byte] = encodeGrayBmp
+  ): DataFrame = {
     import spark.implicits._
     Tables
       .documentsFanned(spark, dir)
@@ -422,7 +550,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { d =>
-            val (hi, lo) = phashOf(encodeGrayBmp(d))
+            val (hi, lo) = phashOf(encode(d))
             PhashRow(d, hi, lo)
           }
         }
@@ -437,6 +565,20 @@ object Multimodal {
   def phash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     phashFrame(spark, dir).orderBy($"media_id")
+  }
+
+  /** Registered query: identical contract to [[phash]] but the payload
+    * round-trips through the engine's own PNG encoder and the FULL PNG
+    * decode path — CRC'd chunk walk, zlib inflate ([[Inflate]]),
+    * scanline defilter — instead of BMP, proving the dominant
+    * compressed web-image format end-to-end real on the executor. The
+    * pixels are identical by construction, so it shares `mm_phash`'s
+    * closed-form oracle verbatim (a hash mismatch anywhere in the
+    * compression stack fails the hash-check).
+    */
+  def phashPng(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashFrame(spark, dir, encodeGrayPng).orderBy($"media_id")
   }
 
   /** Registered query: image near-dup pairs — 8×8-bit pigeonhole bands

@@ -24,16 +24,21 @@ object Layout {
     * functions (no UDF). Inputs are masked to 16 bits first: at test
     * scale the keys fit; a production run quantile-buckets each
     * dimension to 2^16 ranks first (documented, not needed here).
+    * Computed in LongType so y's bit 15 (bit 31 of the interleaved key)
+    * never lands in an Int sign bit — the full 2^16 rank domain sorts
+    * as one unsigned sequence and z-range arithmetic stays valid.
     */
   private[queries] def spreadBits(c: Column): Column = {
-    val m = c.bitwiseAND(lit(0xffff))
-    val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00ff00ff))
-    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0f0f0f0f))
-    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333))
-    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555))
+    val m = c.cast("long").bitwiseAND(lit(0xffffL))
+    val s1 = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00ff00ffL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0f0f0f0fL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
   }
 
-  /** 32-bit Morton key: x in even bits, y in odd bits. */
+  /** Non-negative 32-bit Morton key in a LongType column: x in even
+    * bits, y in odd bits.
+    */
   private[queries] def zValue(x: Column, y: Column): Column =
     spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
 
@@ -119,8 +124,12 @@ object Layout {
       .select($"file")
       .collect()
       .map(_.getString(0))
-    spark.read
-      .parquet(keep.toIndexedSeq: _*)
+    // a box intersecting no file rectangle must yield the same empty
+    // result the unpruned scan would, not a cannot-infer-schema error
+    val base =
+      if (keep.isEmpty) spark.table(zorderTable(spark, dir)).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    base
       .filter($"l_partkey".between(PartLo, PartHi) && $"l_suppkey".between(SuppLo, SuppHi))
       .groupBy($"l_returnflag")
       .agg(
@@ -143,13 +152,37 @@ object Layout {
   val FragFiles = 64
   val CompactTarget = 4
 
-  private[queries] def fragmentedDir(spark: SparkSession, dir: String): String = {
-    val fp = Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_frag_$fp"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      Tables.documents(spark, dir).repartition(FragFiles).write.mode("overwrite").parquet(path)
+  // serializes tmpdir layout builds (two concurrent first callers would
+  // interleave writes into the same path) — same discipline as
+  // Relational.bucketBuildLock for warehouse artifacts
+  private val tmpBuildLock = new Object
+
+  /** Build-once guard for fingerprinted tmpdir layouts: retires sibling
+    * `prefix*` dirs whose fingerprint no longer matches (each testdata
+    * regeneration would otherwise leak a dir of parquet per prefix),
+    * then runs `build` exactly once under [[tmpBuildLock]]
+    * (double-checked on the _SUCCESS marker).
+    */
+  private def tmpDirOnce(prefix: String, fp: String)(build: String => Unit): String = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val path = s"$tmp/$prefix$fp"
+    if (!new java.io.File(path, "_SUCCESS").exists()) tmpBuildLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Option(tmp.listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$fp")
+          .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
+        build(path)
+      }
     }
     path
+  }
+
+  private[queries] def fragmentedDir(spark: SparkSession, dir: String): String = {
+    val fp = Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    tmpDirOnce("graft_frag_", fp) { path =>
+      Tables.documents(spark, dir).repartition(FragFiles).write.mode("overwrite").parquet(path)
+    }
   }
 
   /** Registered query: compact the fragmented layout, then prove
@@ -164,9 +197,8 @@ object Layout {
     import spark.implicits._
     val frag = fragmentedDir(spark, dir)
     val fp = Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val compacted = s"${System.getProperty("java.io.tmpdir")}/graft_compact_$fp"
-    if (!new java.io.File(compacted, "_SUCCESS").exists()) {
-      spark.read.parquet(frag).coalesce(CompactTarget).write.mode("overwrite").parquet(compacted)
+    val compacted = tmpDirOnce("graft_compact_", fp) { path =>
+      spark.read.parquet(frag).coalesce(CompactTarget).write.mode("overwrite").parquet(path)
     }
     spark.read
       .parquet(compacted)

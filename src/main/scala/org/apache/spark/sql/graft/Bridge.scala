@@ -14,6 +14,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `sql.types.AbstractDataType` is private[sql]; expressions outside
+    * the sql namespace need the alias to declare ExpectsInputTypes
+    * contracts (the alias dealiases to the same type, so overriding
+    * `inputTypes: Seq[AbstractDataType]` type-checks).
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** DataFrame from a (resolved) logical plan — classic Dataset.ofRows is
     * private[sql].
     */

@@ -59,6 +59,96 @@ class PhashSpec extends AnyFunSuite {
     }
   }
 
+  test("encoded PNG decodes back to the closed-form pixels through the full chunk/zlib/defilter path") {
+    for (d <- Seq(0L, 1L, 7L, 49L, 123L)) {
+      val png = Multimodal.encodeGrayPng(d)
+      // goes through decodePng: signature, CRC'd chunks, zlib inflate,
+      // scanline defilter — not the BMP/PPM fast paths
+      val Some((w, h, rgb)) = Multimodal.decodePixels(png)
+      assert(w === Multimodal.PhashW && h === Multimodal.PhashH)
+      for (y <- 0 until h; x <- 0 until w) {
+        val want = Multimodal.phashPixel(d, x, y)
+        assert((rgb(3 * (y * w + x)) & 0xff) === want, s"d=$d ($x,$y)")
+      }
+      // headerDims agrees with the decoded dims on the same bytes
+      assert(Multimodal.headerDims(png) === Some((w, h)))
+    }
+  }
+
+  test("PNG with Deflater-compressed IDAT and non-zero filters decodes identically") {
+    // Re-encode doc 3's image as a real-world PNG: dynamic-Huffman zlib
+    // (JDK Deflater) + per-row Sub/Up/Average/Paeth filters — the shape
+    // a production PNG writer emits, none of it produced by our encoder.
+    val d = 3L
+    val w = Multimodal.PhashW; val h = Multimodal.PhashH
+    val raw = new Array[Byte]((w + 1) * h)
+    for (y <- 0 until h) {
+      val filter = y % 5 // cycle through every filter type
+      raw(y * (w + 1)) = filter.toByte
+      for (x <- 0 until w) {
+        val cur = Multimodal.phashPixel(d, x, y)
+        val left = if (x > 0) Multimodal.phashPixel(d, x - 1, y) else 0
+        val up = if (y > 0) Multimodal.phashPixel(d, x, y - 1) else 0
+        val ul = if (x > 0 && y > 0) Multimodal.phashPixel(d, x - 1, y - 1) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (w + 1) + 1 + x) = (cur - pred).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater(9, false)
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    // splice the compressed IDAT into our own chunk framing
+    val tmpl = Multimodal.encodeGrayPng(d)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(tmpl, 0, 8 + 12 + 13) // signature + IHDR
+    val idat = zOut.toByteArray
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    out.write(be32(idat.length.toLong), 0, 4)
+    out.write("IDAT".getBytes("US-ASCII"), 0, 4)
+    out.write(idat, 0, idat.length)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(idat)
+    out.write(be32(crc.getValue), 0, 4)
+    out.write(be32(0L), 0, 4)
+    out.write("IEND".getBytes("US-ASCII"), 0, 4)
+    val crce = new java.util.zip.CRC32; crce.update("IEND".getBytes("US-ASCII"))
+    out.write(be32(crce.getValue), 0, 4)
+    val Some((gw, gh, rgb)) = Multimodal.decodePng(out.toByteArray)
+    assert(gw === w && gh === h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((rgb(3 * (y * w + x)) & 0xff) === Multimodal.phashPixel(d, x, y), s"($x,$y)")
+  }
+
+  test("corrupt PNGs are rejected, not mis-decoded") {
+    val png = Multimodal.encodeGrayPng(5L)
+    val badCrc = png.clone(); badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 1).toByte
+    assert(Multimodal.decodePng(badCrc).isEmpty) // IEND CRC damage
+    val flippedIdat = png.clone(); flippedIdat(8 + 25 + 8 + 10) = (flippedIdat(8 + 25 + 8 + 10) ^ 0x7f).toByte
+    assert(Multimodal.decodePng(flippedIdat).isEmpty) // chunk CRC catches payload damage
+    assert(Multimodal.decodePng(png.take(40)).isEmpty)
+    assert(Multimodal.decodePng(Multimodal.encodeGrayBmp(5L)).isEmpty)
+  }
+
+  test("phashPng equals phash: the PNG and BMP round-trips land on identical hashes") {
+    val bmp = Multimodal.phash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val png = Multimodal.phashPng(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bmp.nonEmpty)
+    assert(bmp.toSeq === png.toSeq)
+  }
+
   test("planted structure: noise-free family members hash identically; noise moves <= 2 bits") {
     val fam = collection.mutable.Map.empty[Long, (Long, Long)]
     for (d <- 0L until 200L) {

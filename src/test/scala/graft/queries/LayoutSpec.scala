@@ -147,8 +147,11 @@ class LayoutSpec extends AnyFunSuite {
       r
     }
     df.foreach { r =>
-      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getInt(2))
-      assert((z & 0xffffffffL) === (spreadRef(x) | (spreadRef(y) << 1)), s"x=$x y=$y")
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(z === (spreadRef(x) | (spreadRef(y) << 1)), s"x=$x y=$y")
+      // LongType keeps the full 32-bit key non-negative: y's top bit
+      // (interleaved bit 31) must not sort as a sign bit
+      assert(z >= 0L, s"x=$x y=$y z=$z")
     }
   }
 }
