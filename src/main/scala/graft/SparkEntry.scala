@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_cap_profile" -> ((s, d) => Dedup.capProfile(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "dedup_semantic_capped" -> ((s, d) => Similarity.semanticDedup(s, d, Some(Similarity.SemanticCellCap))),
     // Similarity search
     "sim_topk" -> ((s, d) => Similarity.topKBruteForce(s, d)),
     "sim_topk_agg" -> ((s, d) => Similarity.topKAggregated(s, d)),
@@ -254,6 +255,7 @@ object SparkEntry {
     "dedup_lsh_recall" -> PipelineOracles.dedupLshRecall,
     "dedup_cap_profile" -> PipelineOracles.dedupCapProfile,
     "dedup_semantic" -> PipelineOracles.dedupSemantic,
+    "dedup_semantic_capped" -> PipelineOracles.dedupSemanticCapped(Similarity.SemanticCellCap),
     "sim_topk" -> PipelineOracles.simTopK,
     "sim_topk_agg" -> PipelineOracles.simTopK, // identical output contract
     "sim_range_search" -> PipelineOracles.simRangeSearch,

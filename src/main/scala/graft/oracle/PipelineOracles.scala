@@ -702,6 +702,28 @@ object PipelineOracles {
        |FROM cell LEFT JOIN dups ON dups.vec_id = cell.vec_id
        |ORDER BY cell.vec_id""".stripMargin
 
+  /** Replays the capped SemDeDup: identical to [[dedupSemantic]] except
+    * cells holding more than `cap` vectors are dropped from the pair
+    * join (their members keep their rows with keep=1 — the same
+    * dropped-hot-bucket semantics as the simhash/minhash caps).
+    */
+  def dedupSemanticCapped(cap: Int): String =
+    s"""WITH $ivfCellCtes,
+       |pop AS (SELECT cid, CAST(count(*) AS BIGINT) AS cell_n FROM cell GROUP BY 1),
+       |okc AS (SELECT cid FROM pop WHERE cell_n <= $cap),
+       |pairs AS (SELECT b.vec_id, a.vec_id AS id_a,
+       |    ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS cosine
+       |  FROM cell a JOIN okc ON okc.cid = a.cid
+       |  JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN norms na ON na.vec_id = a.vec_id
+       |  JOIN norms nb ON nb.vec_id = b.vec_id),
+       |dups AS (SELECT vec_id, min(id_a) AS sem_dup_of FROM pairs
+       |  WHERE cosine >= ${Dedup.EmbedCosThreshold} GROUP BY 1)
+       |SELECT cell.vec_id, cell.cid, dups.sem_dup_of,
+       |  CAST(CASE WHEN dups.sem_dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM cell LEFT JOIN dups ON dups.vec_id = cell.vec_id
+       |ORDER BY cell.vec_id""".stripMargin
+
   /** Replays prototype selection off the shared IVF cells: best-aligned
     * vector per cell (ties to smallest vec_id), cell population, round6
     * alignment.

@@ -247,7 +247,22 @@ object Similarity {
     * keep flag. The trained quantizer is the shared session-cached
     * artifact, so this costs one assignment pass + the bounded join.
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Cell-population cap for [[semanticDedup]]'s capped variant — the
+    * `SimhashBucketCap` pattern applied to Lloyd cells: a cell holding
+    * more than this many vectors is dropped from the pair join
+    * entirely (its members keep=1, like docs in dropped LSH buckets).
+    * The within-cell exact join is Σ cell² — bounded by cap²·k once
+    * hot cells are dropped, so a quantizer that collapses into few hot
+    * cells (the adversarial case for SemDeDup) can no longer produce
+    * an n² term. Production systems instead re-train with larger k or
+    * split hot cells; the cap is the safety floor either way.
+    */
+  val SemanticCellCap = 64
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(spark, dir, None)
+
+  def semanticDedup(spark: SparkSession, dir: String, maxCell: Option[Int]): DataFrame = {
     import spark.implicits._
     val emb = corpusWithNorm(spark, dir)
     val cents = lloydCentroids(emb)
@@ -257,7 +272,20 @@ object Similarity {
       .groupBy($"vec_id")
       .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
       .select($"vec_id", (-$"best.ncid").as("cid"))
-    val withVec = cell.join(emb, "vec_id")
+    // capped path: drop over-populated cells BEFORE the pair join. The
+    // population frame is centroid-count-sized (≤ IvfMaxCells rows) —
+    // broadcast, never a shuffle of the corpus.
+    val pairSource = maxCell match {
+      case None => cell
+      case Some(cap) =>
+        val ok = cell
+          .groupBy($"cid")
+          .agg(count(lit(1)).as("cell_n"))
+          .filter($"cell_n" <= cap)
+          .select($"cid")
+        cell.join(broadcast(ok), "cid").select($"vec_id", $"cid")
+    }
+    val withVec = pairSource.join(emb, "vec_id")
     val pairs = withVec
       .as("a")
       .join(

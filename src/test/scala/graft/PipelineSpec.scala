@@ -155,6 +155,35 @@ class PipelineSpec extends AnyFunSuite {
     out.values.foreach { case (dupOf, keep) => assert((dupOf >= 0) === (keep == 0L)) }
   }
 
+  test("semantic cell cap: conservative — capped dup verdicts ⊆ uncapped; hot-cell members keep=1") {
+    val sf = "/root/testdata/sf0.001"
+    val full = Similarity
+      .semanticDedup(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))))
+      .toMap
+    // cap low enough that the sf0.001 corpus (500 vectors over ≤10
+    // Lloyd cells) actually drops hot cells, so the conservative path
+    // is exercised, not vacuously equal
+    val cap = 40
+    val capped = Similarity
+      .semanticDedup(spark, sf, Some(cap))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(capped.keySet === full.keySet, "cap must never drop vectors, only pair candidates")
+    val cellPop = full.values.groupBy(_._1).map { case (cid, xs) => cid -> xs.size }
+    assert(cellPop.values.exists(_ > cap), "fixture must contain at least one hot cell at this cap")
+    capped.foreach { case (vid, (cid, dupOf, keep)) =>
+      assert(cid === full(vid)._1, s"cell assignment of $vid must not change under the cap")
+      if (cellPop(cid) > cap) {
+        assert(dupOf === -1L && keep === 1L, s"hot-cell member $vid must be kept with no dup")
+      } else {
+        assert((dupOf, keep) === ((full(vid)._2, full(vid)._3)), s"cold-cell verdict of $vid must match uncapped")
+      }
+    }
+  }
+
   test("decode parses real PNG/JPEG header dimensions; text payloads take the deterministic fallback") {
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
