@@ -66,9 +66,17 @@ object SparkEntry {
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
+    // SQL-string surface: the SAME ANSI text the DuckDB oracle runs,
+    // executed by Catalyst over temp views (graft.queries.SqlSurface)
+    "sql_q1_pricing" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q1PricingSummary)),
+    "sql_q3_segment" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q3SegmentRevenue)),
+    "sql_q4_region" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q4RegionRevenue)),
+    "sql_q8_topk" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q8TopK)),
+    "sql_q10_window" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q10WindowRank)),
     "layout_zorder" -> ((s, d) => graft.queries.Layout.zorderScan(s, d)),
     "layout_compact" -> ((s, d) => graft.queries.Layout.compactScan(s, d)),
     "layout_pruned_scan" -> ((s, d) => graft.queries.Layout.prunedScan(s, d)),
+    "layout_incremental" -> ((s, d) => graft.queries.Layout.incrementalScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -95,6 +103,7 @@ object SparkEntry {
     "stream_anomaly" -> ((s, d) => StreamingQueries.anomalyStream(s, d)),
     "stream_ingest_dedup" -> ((s, d) => StreamingQueries.ingestDedupStream(s, d)),
     "stream_heavy_hitters" -> ((s, d) => StreamingQueries.heavyHittersStream(s, d)),
+    "stream_semantic_admit" -> ((s, d) => StreamingQueries.semanticAdmitStream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -200,10 +209,19 @@ object SparkEntry {
     "q30_merge_upsert" -> Oracles.q30MergeUpsert,
     "q31_partition_pruning" -> Oracles.q31PartitionPruning,
     "stats_profile" -> Oracles.statsProfile,
+    // one query text, two engines: the oracle IS the statement
+    "sql_q1_pricing" -> Oracles.q1PricingSummary,
+    "sql_q3_segment" -> Oracles.q3SegmentRevenue,
+    "sql_q4_region" -> Oracles.q4RegionRevenue,
+    "sql_q8_topk" -> Oracles.q8TopK,
+    "sql_q10_window" -> Oracles.q10WindowRank,
     "layout_zorder" -> Oracles.layoutZorder,
     "layout_compact" -> Oracles.layoutCompact,
     // same result contract as the unpruned clustered scan
     "layout_pruned_scan" -> Oracles.layoutZorder,
+    // the incrementally-maintained layout answers with the identical
+    // full-table contract — maintenance must lose nothing
+    "layout_incremental" -> Oracles.layoutZorder,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale
@@ -235,6 +253,7 @@ object SparkEntry {
     "stream_ingest_dedup" -> PipelineOracles.streamIngestDedup,
     // identical output contract to the batch CMS query
     "stream_heavy_hitters" -> PipelineOracles.textHeavyHitters,
+    "stream_semantic_admit" -> PipelineOracles.streamSemanticAdmit,
     // the drained streaming scorer equals the batch anomaly operator
     "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "dedup_exact" -> PipelineOracles.dedupExact,

@@ -739,6 +739,31 @@ object PipelineOracles {
        |  ${round6Sql("ccos")} AS rep_cos
        |FROM reps JOIN cs USING (cid) WHERE rrn = 1 ORDER BY reps.cid""".stripMargin
 
+  /** Replays the streaming semantic-admission gate: shared quantizer
+    * training + cell assignment, per-cell prototype (the simPrototypes
+    * argmax), then — for the streamed slice (vec_id % StreamAdmitMod
+    * = 0) — the cosine to the assigned cell's prototype and the
+    * admit/reject verdict at the embed near-dup bar.
+    */
+  val streamSemanticAdmit: String =
+    s"""WITH $ivfCellCtes,
+       |cellc AS (SELECT vec_id, cid, ccos FROM cell_rank WHERE rn = 1),
+       |reps AS (SELECT cid, vec_id AS rep_id FROM (
+       |    SELECT cid, vec_id,
+       |      row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS rrn
+       |    FROM cellc) WHERE rrn = 1),
+       |strm AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid FROM norms n
+       |  JOIN cell c ON c.vec_id = n.vec_id
+       |  WHERE n.vec_id % ${Similarity.StreamAdmitMod} = 0),
+       |sc AS (SELECT strm.vec_id, strm.cid, reps.rep_id,
+       |    ${dotSql("strm.embedding", "r.embedding")} / (strm.nrm * r.nrm) AS pc
+       |  FROM strm JOIN reps ON reps.cid = strm.cid
+       |  JOIN norms r ON r.vec_id = reps.rep_id)
+       |SELECT vec_id, cid, rep_id, ${round6Sql("pc")} AS proto_cos,
+       |  CAST(CASE WHEN pc >= ${Dedup.EmbedCosThreshold} AND vec_id <> rep_id
+       |    THEN 0 ELSE 1 END AS BIGINT) AS keep
+       |FROM sc ORDER BY vec_id""".stripMargin
+
   /** Replays PQ end-to-end: per-subspace views, stride-init codebooks,
     * Pq.PqLloydRounds deterministic Lloyd rounds (assignment argmax on
     * 2·⟨s,c⟩ − ⟨c,c⟩ with ties to the lowest code, integer-pooled

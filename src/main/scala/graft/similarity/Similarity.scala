@@ -342,6 +342,61 @@ object Similarity {
       .orderBy($"cid")
   }
 
+  /** Ingest split for the streaming semantic-admission gate: vectors
+    * with vec_id % StreamAdmitMod == 0 arrive as the stream (the
+    * Dedup.NewBatchMod convention on the embeddings table).
+    */
+  val StreamAdmitMod = 5
+
+  /** One cell of the serving artifact the streaming admission gate
+    * loads: the Lloyd centroid (for assignment) and the cell's
+    * prototype vector (for the redundancy score). cid-ascending order
+    * is the argmax tie rule ("first strictly-greater wins" == lowest
+    * cid on ties).
+    */
+  case class AdmitCell(cid: Long, ce: Array[Float], cn: Double, repId: Long, re: Array[Float], rn: Double)
+
+  /** Collects the quantizer + prototypes to a driver-side array — the
+    * serving-artifact load every online scorer does at startup. The
+    * artifact is k-bounded (≤ IvfMaxCells cells × 2 vectors), NEVER
+    * corpus-sized, so shipping it in task closures is metadata-scale
+    * work like the Bloom filter and the pruned-scan manifest.
+    */
+  private[graft] def admitArtifact(spark: SparkSession, dir: String): Array[AdmitCell] = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val cents = lloydCentroids(emb)
+    val cell = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"), $"best.ccos".as("ccos"))
+    val reps = cell
+      .groupBy($"cid")
+      .agg(max(struct($"ccos", (-$"vec_id").as("nvid"))).as("rep"))
+      .select($"cid", (-$"rep.nvid").as("rep_id"))
+    reps
+      .join(cents, "cid")
+      .join(
+        emb.select($"vec_id".as("rep_id"), $"embedding".as("re"), $"nrm".as("rn")),
+        "rep_id"
+      )
+      .select($"cid", $"ce", $"cn", $"rep_id", $"re", $"rn")
+      .orderBy($"cid")
+      .collect()
+      .map { r =>
+        AdmitCell(
+          r.getLong(0),
+          r.getSeq[Float](1).toArray,
+          r.getDouble(2),
+          r.getLong(3),
+          r.getSeq[Float](4).toArray,
+          r.getDouble(5)
+        )
+      }
+  }
+
   val QuantRange = 127.0 // symmetric int8 range
 
   /** Scalar-quantized (int8-style) top-k cosine — the memory-reduction

@@ -29,6 +29,9 @@ case class IngestBandRow(doc_id: Long, exact_hit: Option[Long], cand_id: Option[
 /** Admission verdict emitted by the streaming ingest gate. */
 case class IngestVerdict(doc_id: Long, is_exact_dup: Long, lsh_candidate_of: Option[Long], keep: Long)
 
+/** Admission verdict emitted by the streaming semantic gate. */
+case class AdmitVerdict(vec_id: Long, cid: Long, rep_id: Long, proto_cos: Double, keep: Long)
+
 /** A closed session emitted by the sessionizer. */
 case class ClosedSession(
     user_id: Long,
@@ -580,6 +583,86 @@ object StreamingQueries {
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(reduce)
       .toDF
+  }
+
+  /** Streaming semantic admission — the online half of SemDeDup, the
+    * gate every embedding-aware ingest pipeline runs: each arriving
+    * vector is assigned to its Lloyd cell and scored against that
+    * cell's PROTOTYPE; a vector semantically redundant with the
+    * prototype (cosine ≥ the embed near-dup bar) is rejected. The
+    * quantizer + prototypes are the session-cached serving artifact
+    * ([[graft.similarity.Similarity.admitArtifact]], k-bounded ≤
+    * IvfMaxCells cells) loaded BEFORE the stream starts — exactly how
+    * production scorers serve a trained index — and scoring is one
+    * stream-static map per row: argmax over the broadcast centroids
+    * (ties to lowest cid, the IVF rule) then one prototype cosine,
+    * both the same left-fold double accumulation as Portable.dot, so
+    * the DuckDB oracle replays training + assignment + scoring
+    * exactly. ZERO streaming state: no aggregation, no
+    * mapGroupsWithState — the verdict derives from the row and the
+    * static artifact alone (StreamingSpec pins no stateful operators),
+    * which is what lets the gate run at ANY ingest volume.
+    */
+  def semanticAdmitStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // serving-artifact load: batch-side Spark jobs, finished before the
+    // stream starts (cid-ascending for the tie rule)
+    val cells = Similarity.admitArtifact(spark, dir)
+    val thr = graft.dedup.Dedup.EmbedCosThreshold
+    val schema = spark.read.option("pathGlobFilter", "embeddings.parquet").parquet(dir).schema
+    val vecs = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .filter($"vec_id" % Similarity.StreamAdmitMod === 0)
+    val drained = runToMemory(semanticAdmitOn(cells, thr, vecs).toDF, "stream_semantic_admit", "append")
+    drained
+      .select(
+        $"vec_id",
+        $"cid",
+        $"rep_id",
+        graft.text.TextAnalysis.round6($"proto_cos").as("proto_cos"),
+        $"keep"
+      )
+      .orderBy($"vec_id")
+  }
+
+  /** The pre-sink scoring transform on an arbitrary (vec_id, embedding)
+    * stream — exposed so StreamingSpec can attach its own sink and read
+    * state metrics off the query handle. Pure row-local map: no
+    * aggregation, no state API at all.
+    */
+  private[graft] def semanticAdmitOn(
+      cells: Array[graft.similarity.Similarity.AdmitCell],
+      thr: Double,
+      vecs: DataFrame
+  ): org.apache.spark.sql.Dataset[AdmitVerdict] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .select($"vec_id".as[Long], $"embedding".as[Array[Float]])
+      .map { case (vid, emb) =>
+        // left-fold double accumulation, the Portable.dot contract
+        def fdot(a: Array[Float], b: Array[Float]): Double = {
+          var s = 0.0; var i = 0
+          while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+          s
+        }
+        val nrm = math.sqrt(fdot(emb, emb))
+        var best = 0; var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < cells.length) {
+          val c = cells(i)
+          val cos = fdot(emb, c.ce) / (nrm * c.cn)
+          // strictly-greater on a cid-ascending array == ties to lowest cid
+          if (cos > bestCos) { bestCos = cos; best = i }
+          i += 1
+        }
+        val a = cells(best)
+        val pc = fdot(emb, a.re) / (nrm * a.rn)
+        AdmitVerdict(vid, a.cid, a.repId, pc, if (pc >= thr && vid != a.repId) 0L else 1L)
+      }
   }
 
   /** Streaming count-min sketch: the heavy-hitter sketch maintained

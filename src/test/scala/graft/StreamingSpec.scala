@@ -266,6 +266,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("semantic admission gate runs with NO stateful operators over a 3-batch drain; equals the batch replay") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    val cells = Similarity.admitArtifact(spark, dir)
+    assert(cells.nonEmpty && cells.length <= Similarity.IvfMaxCells, "artifact must be k-bounded")
+    assert(cells.map(_.cid).toSeq === cells.map(_.cid).sorted.toSeq, "cid-ascending for the tie rule")
+    val thr = graft.dedup.Dedup.EmbedCosThreshold
+    val batchVecs = Tables
+      .embeddings(spark, dir)
+      .filter($"vec_id" % Similarity.StreamAdmitMod === 0)
+    // 3 single-file arrival batches of the streamed slice
+    val src = Files.createTempDirectory("graft-admit-stream").toString
+    (0 until 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft-admit-stage").toString
+      batchVecs.filter($"vec_id" % 3 === i).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(src, s"batch$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(batchVecs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val q = StreamingQueries
+      .semanticAdmitOn(cells, thr, stream)
+      .writeStream
+      .format("memory")
+      .queryName("admit_gate")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    q.stop()
+    assert(progs.length >= 3, s"expected ≥3 data micro-batches, got ${progs.length}")
+    // stronger than an empty state store: the plan has no stateful
+    // operator AT ALL — the verdict is a pure function of (row, static
+    // artifact), so ingest volume never grows state
+    progs.foreach(p => assert(p.stateOperators.isEmpty, s"gate has state operators: ${p.stateOperators.toSeq}"))
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    val streamed = canon(spark.table("admit_gate").collect())
+    val batch = canon(StreamingQueries.semanticAdmitOn(cells, thr, batchVecs).toDF.collect())
+    assert(streamed === batch)
+    // sanity on the semantics: prototypes admit themselves; anything
+    // rejected names a rep other than itself
+    spark.table("admit_gate").collect().foreach { r =>
+      if (r.getLong(0) == r.getLong(2)) assert(r.getLong(4) === 1L, s"prototype ${r.getLong(0)} must self-admit")
+      if (r.getLong(4) == 0L) assert(r.getLong(0) !== r.getLong(2))
+    }
+  }
+
   test("checkpointed parquet sink resumes exactly-once across restarts") {
     import spark.implicits._
     // incremental ingestion: drain 4 document shards, land 4 more, drain

@@ -135,6 +135,31 @@ class LayoutSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("incremental layout: ticks append manifest segments; stats work is per-batch, never a rebuild") {
+    import spark.implicits._
+    // force a fresh build so the ledger reflects this JVM's work
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_zinc_"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    Layout.manifestStatsScans.set(0L)
+
+    val got = Layout.incrementalScan(spark, dir).collect().map(_.toSeq).toSeq
+    val want = Layout.zorderScan(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === want, "incrementally-maintained layout must answer the full-table contract")
+
+    val afterBuild = Layout.manifestStatsScans.get()
+    // each slice's files were stats-scanned exactly once when its tick
+    // landed — the per-batch shape (a rebuild would rescan slice 0's
+    // files on every later tick)
+    assert(afterBuild > 0L && afterBuild <= (8 + 2 + 2).toLong, s"ledger $afterBuild")
+
+    // further scans reuse every manifest segment: no stats work at all
+    val again = Layout.incrementalScan(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again === want)
+    assert(Layout.manifestStatsScans.get() === afterBuild, "steady-state scan must not rescan stats")
+  }
+
   test("morton spread/interleave round-trips bit patterns") {
     import spark.implicits._
     val df = Seq((0, 0), (1, 0), (0, 1), (0xffff, 0xffff), (0x1234, 0x0f0f))
