@@ -48,7 +48,11 @@ object ExplainDump {
     "layout_pruned_scan" -> "manifest-pruned box scan: the path list is filtered by the per-file (min,max) table before the reader — skipped files never open",
     "mm_phash_dedup" -> "clique-collapsed image near-dup: identical hashes group to keeper+count, then the 8×8-bit banded equi-join pairs distinct hashes only",
     "sim_range_search" -> "ε-ball retrieval: broadcast queries, codegen'd dot + threshold filter map-side — no aggregation state anywhere",
-    "text_heavy_hitters" -> "count-min sketch: explode ×depth partial-combines to ≤4096 cells, so the shuffle is sketch-sized at any corpus"
+    "text_heavy_hitters" -> "count-min sketch: explode ×depth partial-combines to ≤4096 cells, so the shuffle is sketch-sized at any corpus",
+    "sql_q1_pricing" -> "the ANSI string the oracle runs, parsed by Catalyst into the SAME partial-agg pruned-scan plan as the q1 builder",
+    "layout_incremental" -> "segmented-manifest pruned scan: per-tick manifest segments union (metadata-scale), survivors read directly — stats maintenance per tick touched only that tick's files",
+    "dedup_semantic_capped" -> "SemDeDup with the cell-population cap: hot cells leave via the broadcast ok-cell filter BEFORE the within-cell pair join — the Σ cell² term is cap-bounded",
+    "mm_phash_png" -> "identical partition-local shape to mm_phash: scan → batched encode→inflate→defilter→hash iterator → sort; compression never adds a shuffle"
   )
 
   def main(args: Array[String]): Unit = {
