@@ -129,6 +129,7 @@ object SparkEntry {
     "sim_range_search" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
+    "sim_ivf_persisted" -> ((s, d) => Similarity.annIvfPersisted(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_prototypes" -> ((s, d) => Similarity.prototypes(s, d)),
     "sim_quantized" -> ((s, d) => Similarity.topKQuantized(s, d)),
@@ -280,6 +281,9 @@ object SparkEntry {
     "sim_range_search" -> PipelineOracles.simRangeSearch,
     "sim_ann_lsh" -> PipelineOracles.simAnnLsh,
     "sim_ann_ivf" -> PipelineOracles.simAnnIvf,
+    // served from the stored quantizer: same trained centroids, same
+    // result, same oracle — durability must not change the answer
+    "sim_ivf_persisted" -> PipelineOracles.simAnnIvf,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
     "sim_prototypes" -> PipelineOracles.simPrototypes,
     "sim_quantized" -> PipelineOracles.simQuantized,

@@ -8,11 +8,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * analyst reaches this engine. The statements are the SAME ANSI SQL
   * strings the DuckDB oracle executes (graft.oracle.Oracles), which is
   * the strongest portability statement available: one query text, two
-  * engines, hash-identical results. Catalyst parses the string into
-  * the same logical plan the DataFrame builders declare, so every
-  * optimization the builder queries get (pushdown, pruning, partial
-  * aggregation, TakeOrdered) applies unchanged — SqlSurfaceSpec pins
-  * plan-level equality against the builder twins.
+  * engines, hash-identical results. Catalyst gives the parsed strings
+  * the same physical treatment as the DataFrame builder twins —
+  * pushdown, pruning, partial aggregation, TakeOrdered —
+  * SqlSurfaceSpec pins row equality and node-for-node operator
+  * skeletons against the builders.
   */
 object SqlSurface {
 

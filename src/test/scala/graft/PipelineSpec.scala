@@ -184,6 +184,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF quantizer: stored centroids serve the identical ANN result, once per fingerprint") {
+    val sf = "/root/testdata/sf0.001"
+    val live = Similarity.annIvf(spark, sf).collect().toSeq
+    val served = Similarity.annIvfPersisted(spark, sf).collect().toSeq
+    assert(served === live, "durability must not change the answer")
+    val t = Similarity.ivfIndexTable(spark, sf)
+    assert(spark.catalog.tableExists(t))
+    val stored = spark.table(t).count()
+    assert(stored > 0 && stored <= Similarity.IvfMaxCells, s"artifact must stay k-bounded: $stored")
+    // second serve call reuses the catalog artifact (same table name,
+    // still registered, no rebuild exception from a double write)
+    assert(Similarity.annIvfPersisted(spark, sf).collect().toSeq === live)
+  }
+
   test("decode parses real PNG/JPEG header dimensions; text payloads take the deterministic fallback") {
     def be32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)

@@ -32,6 +32,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("parsed plans get the builders' physical treatment: same operator skeleton per twin") {
+    // exact canonical equality is too strong (the builder and the SQL
+    // text commute some arithmetic operands), but the OPERATOR tree —
+    // every scan, aggregate, join, exchange, window, sort — must match
+    // node-for-node: that is where pushdown, partial aggregation and
+    // join strategy live
+    def skeleton(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect { case n => n.nodeName }
+    twins.foreach { case (sqlName, builderName) =>
+      val parsed = skeleton(SparkEntry.queries(sqlName)(spark, dir))
+      val built = skeleton(SparkEntry.queries(builderName)(spark, dir))
+      assert(parsed === built, s"$sqlName vs $builderName")
+    }
+  }
+
   test("the parsed top-k plan gets the same TakeOrdered physical treatment as the builder") {
     val plan = SparkEntry
       .queries("sql_q8_topk")(spark, dir)
