@@ -65,6 +65,7 @@ object SparkEntry {
     "q29_scalar_subquery" -> ((s, d) => Relational.q29ScalarSubquery(s, d)),
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
+    "q32_salted_join" -> ((s, d) => Relational.q32SaltedJoin(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
     // SQL-string surface: the SAME ANSI text the DuckDB oracle runs,
     // executed by Catalyst over temp views (graft.queries.SqlSurface)
@@ -77,6 +78,7 @@ object SparkEntry {
     "layout_compact" -> ((s, d) => graft.queries.Layout.compactScan(s, d)),
     "layout_pruned_scan" -> ((s, d) => graft.queries.Layout.prunedScan(s, d)),
     "layout_incremental" -> ((s, d) => graft.queries.Layout.incrementalScan(s, d)),
+    "layout_snapshot" -> ((s, d) => graft.queries.Layout.snapshotScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -92,6 +94,7 @@ object SparkEntry {
     "events_json_props" -> ((s, d) => Events.jsonProps(s, d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(s, d)),
     "events_top_paths" -> ((s, d) => Events.topPaths(s, d)),
+    "events_scd2" -> ((s, d) => Events.scd2(s, d)),
     // Structured Streaming surface
     "stream_tumbling" -> ((s, d) => StreamingQueries.tumbling(s, d)),
     "stream_user_stats" -> ((s, d) => StreamingQueries.userStats(s, d)),
@@ -152,6 +155,8 @@ object SparkEntry {
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
+    "text_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
+    "text_bpe_pairs" -> ((s, d) => graft.text.Bpe.pairStats(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
@@ -209,6 +214,8 @@ object SparkEntry {
     "q29_scalar_subquery" -> Oracles.q29ScalarSubquery,
     "q30_merge_upsert" -> Oracles.q30MergeUpsert,
     "q31_partition_pruning" -> Oracles.q31PartitionPruning,
+    // the oracle is the UNSALTED join: salting must be result-invariant
+    "q32_salted_join" -> Oracles.q32SaltedJoin,
     "stats_profile" -> Oracles.statsProfile,
     // one query text, two engines: the oracle IS the statement
     "sql_q1_pricing" -> Oracles.q1PricingSummary,
@@ -223,6 +230,8 @@ object SparkEntry {
     // the incrementally-maintained layout answers with the identical
     // full-table contract — maintenance must lose nothing
     "layout_incremental" -> Oracles.layoutZorder,
+    // snapshot v replayed from the raw table via the tick predicates
+    "layout_snapshot" -> Oracles.layoutSnapshot,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale
@@ -243,6 +252,7 @@ object SparkEntry {
     "events_json_props" -> Oracles.eventsJsonProps,
     "events_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "events_top_paths" -> Oracles.eventsTopPaths(Events.PathsTopK),
+    "events_scd2" -> Oracles.eventsScd2,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window
@@ -305,6 +315,8 @@ object SparkEntry {
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,
+    "text_entropy" -> PipelineOracles.textEntropy,
+    "text_bpe_pairs" -> PipelineOracles.textBpePairs,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,

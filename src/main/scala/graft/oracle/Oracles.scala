@@ -537,4 +537,52 @@ object Oracles {
     }
     perCol.mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
+
+  /** Salting changes the shuffle histogram, never the result: the
+    * oracle runs the PLAIN unsalted join — equality proves the
+    * (orderkey, salt) rewrite is result-invariant.
+    */
+  val q32SaltedJoin: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** SCD2 replay: identical lag/row_number/lead windows over the same
+    * (user_id, (ts, event_id)) total order.
+    */
+  val eventsScd2: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, ts, event_id, event_type FROM marked
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** Snapshot-as-of replay from the RAW table: version v of the
+    * incrementally-ingested layout is by construction the rows with
+    * l_orderkey % 2^(v+2) ≠ 0 (v < latest; the latest snapshot is the
+    * full table). Equality proves the tick/manifest machinery committed
+    * exactly those rows to each snapshot.
+    */
+  val layoutSnapshot: String = {
+    def snap(v: Int, pred: String): String =
+      s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem WHERE $pred""".stripMargin
+    Seq(
+      snap(0, "l_orderkey % 4 <> 0"),
+      snap(1, "l_orderkey % 8 <> 0"),
+      snap(2, "TRUE")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY version")
+  }
 }

@@ -1611,4 +1611,50 @@ object PipelineOracles {
        |    WHERE c.doc_id % ${Dedup.NewBatchMod} <> 0
        |      AND md5(c.text) = md5(d.text))
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Char-entropy replay. The engine folds −Σ p·log₂p over runs of the
+    * row's SORTED char array; the twin materializes the same per-char
+    * probabilities and list_reduce-sums the identical (run/n)·ln(p)/ln 2
+    * terms in the same ascending-char order — addition-for-addition the
+    * engine's fold (seed 0.0 + t₁ ≡ t₁), so the double matches to the
+    * ULP before the shared round6.
+    */
+  val textEntropy: String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+       |  FROM documents),
+       |ch AS (SELECT doc_id, substring(text, i, 1) AS ch FROM pos),
+       |cnt AS (
+       |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+       |  FROM ch GROUP BY 1, 2),
+       |base AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs,
+       |    CAST(length(text) AS DOUBLE) AS n
+       |  FROM documents),
+       |terms AS (
+       |  SELECT c.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       |    list((c.c / b.n) * (ln(c.c / b.n) / ln(CAST(2.0 AS DOUBLE))) ORDER BY c.ch) AS l
+       |  FROM cnt c JOIN base b USING (doc_id) GROUP BY c.doc_id)
+       |SELECT b.doc_id, b.n_chars_obs,
+       |  COALESCE(t.n_distinct_chars, 0) AS n_distinct_chars,
+       |  ${round6Sql("-COALESCE(list_reduce(t.l, (a, x) -> a + x), CAST(0.0 AS DOUBLE))")} AS entropy_bits
+       |FROM base b LEFT JOIN terms t USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
+  /** BPE round-1 replay: the same lowercase/space-tab tokenizer, the
+    * same adjacent-2-gram enumeration with multiplicity, the same
+    * count-desc / pair-asc total order at the top-K boundary.
+    */
+  val textBpePairs: String =
+    s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
+       |idx AS (
+       |  SELECT w, unnest(generate_series(1, length(w) - 1)) AS i
+       |  FROM w WHERE length(w) >= 2),
+       |p AS (SELECT substring(w, i, 2) AS pair FROM idx),
+       |c AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT ${graft.text.Bpe.PairTopK})
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rank,
+       |  pair, cnt FROM c""".stripMargin
 }

@@ -364,4 +364,41 @@ object Events {
       )
       .orderBy($"user_id", $"session_start")
   }
+
+  /** Type-2 slowly-changing dimension built from the event log — the
+    * CDC shape every warehouse maintains: per user, one versioned row
+    * per run of consecutive equal `event_type` values, with
+    * [valid_from, valid_to) effectivity and `is_current` on the open
+    * row. Two window passes over the SAME (user_id, (ts, event_id))
+    * ordering: a lag() marks change points, then row_number()/lead()
+    * over the surviving change rows assign version numbers and close
+    * each interval with the next version's start. Catalyst plans ONE
+    * exchange — the second Window reuses the hashpartitioning(user_id)
+    * the first produced, so at 100 TB this is a single user-keyed
+    * shuffle followed by two in-partition sorts (the second over the
+    * already-filtered change points, a small fraction of the log).
+    * event_id breaks ts ties, so versioning is total-order
+    * deterministic on both engines.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables
+      .events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(byTime))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .withColumn("version", row_number().over(byTime).cast("long"))
+      .withColumn("valid_to", lead($"ts", 1).over(byTime))
+      .select(
+        $"user_id",
+        $"version",
+        $"event_type",
+        $"ts".as("valid_from"),
+        $"valid_to",
+        $"valid_to".isNull.as("is_current")
+      )
+      .orderBy($"user_id", $"version")
+  }
 }

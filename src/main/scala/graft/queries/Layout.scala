@@ -313,6 +313,46 @@ object Layout {
       .orderBy($"l_returnflag")
   }
 
+  /** Time travel over the incrementally-maintained layout: each ingest
+    * tick IS a snapshot boundary (Iceberg/Delta semantics — snapshot v
+    * = the union of data files committed by ticks 0..v), so reading
+    * "the table as of version v" is a file-list selection, never a data
+    * rewrite or a log replay. The registered query audits all three
+    * snapshots in ONE scan: every row read from tick k contributes to
+    * versions k..latest via an explode(sequence(tick, latest)) — one
+    * pass over the physical files, partial-aggregated to
+    * #versions × #groups rows before the only exchange. The oracle
+    * recomputes each snapshot from the RAW table with the slice
+    * predicates (version v = l_orderkey % 2^(v+2) ≠ 0 for v < latest),
+    * proving the tick boundaries lost nothing. At 100 TB this is how
+    * snapshot isolation stays O(manifest): versions are metadata over
+    * immutable files, and an as-of read costs the same as a current
+    * read.
+    */
+  def snapshotScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val ticks = (0 until IncSlices).map(k => incTick(spark, dir, fp, k))
+    val tagged = ticks.zipWithIndex
+      .map { case ((data, _), k) =>
+        spark.read.parquet(data).withColumn("tick", lit(k))
+      }
+      .reduce(_.unionByName(_))
+    tagged
+      .select(
+        $"l_quantity",
+        $"l_extendedprice",
+        explode(sequence($"tick", lit(IncSlices - 1))).as("version")
+      )
+      .groupBy($"version".cast("long").as("version"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"version")
+  }
+
   /** The registered query: a selective conjunctive box scan over the
     * z-ordered layout. Results are layout-invariant (the oracle runs
     * the same predicate on the raw table); the layout's value — most

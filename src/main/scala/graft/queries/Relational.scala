@@ -1025,4 +1025,50 @@ object Relational {
     perCol.reduce(_.union(_)).orderBy($"col")
   }
 
+  /** Replication factor for the salted join: the small-but-not-broadcast
+    * side is replicated ×SaltFactor, so one hot key's probe rows spread
+    * over SaltFactor reducers instead of one.
+    */
+  val SaltFactor = 8
+
+  /** Skew-mitigated big×big join via key salting — the manual fallback
+    * for the case AQE's skew-join split cannot fix (a single join key
+    * whose probe rows exceed one executor's memory, e.g. the null-like
+    * "unknown user" key of a clickstream). The probe side (lineitem)
+    * gets a deterministic per-row salt in [0, SaltFactor); the build
+    * side (orders) is exploded ×SaltFactor; the join key becomes
+    * (orderkey, salt) so each formerly-hot reducer partition is split
+    * SaltFactor ways. Join output — and therefore the aggregate — is
+    * IDENTICAL to the unsalted join (the oracle runs the plain join),
+    * which is the whole point: salting changes the shuffle histogram,
+    * never the result. `hint("merge")` pins sort-merge so the demo
+    * exercises the shuffle path salting exists for (broadcast would
+    * bypass skew entirely — and is the right answer only while the dim
+    * side fits in memory). Revenue is summed in DECIMAL(18,2) like
+    * every money aggregate in this file.
+    */
+  def q32SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables
+      .lineitem(spark, dir)
+      .withColumn(
+        "salt",
+        pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(SaltFactor)).cast("int")
+      )
+    val ord = Tables
+      .orders(spark, dir)
+      .withColumn("salt", explode(array((0 until SaltFactor).map(lit(_)): _*)))
+    li
+      .join(
+        ord.hint("merge"),
+        li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt")
+      )
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"o_orderpriority")
+  }
+
 }

@@ -701,4 +701,67 @@ object TextAnalysis {
       )
       .orderBy($"exact_n".desc, $"tok")
   }
+
+  /** Character-level Shannon entropy (bits/char) — the model-free
+    * randomness gauge curation stacks use to drop machine-generated
+    * boilerplate (abnormally LOW entropy: repeated chars/templates) and
+    * binary-ish junk (abnormally HIGH entropy) before any LM scoring.
+    * Computed entirely MAP-SIDE: the char histogram is a longest-equal-
+    * run fold over the row's sorted char array (the maxCount idiom) —
+    * a (doc_id, char) explode + groupBy would shuffle every character
+    * in the corpus for a per-row statistic. The −Σ p·log₂p sum folds
+    * run terms in ascending-char order, matching the oracle's
+    * list_reduce over list(term ORDER BY ch) addition-for-addition, so
+    * the double agrees to the last ULP before the portable round6.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documentsFanned(spark, dir)
+      .select($"doc_id", $"text")
+      .withColumn("chs", sortedChars($"text"))
+      .select(
+        $"doc_id",
+        size($"chs").cast("long").as("n_chars_obs"),
+        size(array_distinct($"chs")).cast("long").as("n_distinct_chars"),
+        entropyBits($"chs").as("entropy_bits")
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Sorted char array of a string. limit 0 drops the trailing empty
+    * string Java's split("…", -1) keeps; the empty-text guard is needed
+    * because "".split("", 0) is [""], not [].
+    */
+  private[graft] def sortedChars(text: Column): Column =
+    when(length(text) === 0, array().cast("array<string>"))
+      .otherwise(array_sort(split(text, "", 0)))
+
+  /** round6'd Shannon entropy (bits) of a SORTED symbol array: a
+    * longest-equal-run fold closing each run with its (run/n)·log₂p
+    * term, terms accumulating in ascending-symbol order.
+    */
+  private[graft] def entropyBits(chs: Column): Column = {
+    val n = size(chs).cast("double")
+    round6(-aggregate(
+      chs,
+      struct(lit("").as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (st, c) =>
+        struct(
+          c.as("prev"),
+          when(c === st("prev"), st("run") + 1.0).otherwise(lit(1.0)).as("run"),
+          when(c === st("prev"), st("acc"))
+            .otherwise(st("acc") + plogp(st("run"), n))
+            .as("acc")
+        ),
+      st => st("acc") + plogp(st("run"), n)
+    ))
+  }
+
+  /** (run/n)·log₂(run/n) with log₂ written as ln/ln 2 — the exact IEEE
+    * sequence the DuckDB twin runs (`ln(p)/ln(2)`). run=0 (the fold's
+    * seed state, closed before any char was seen) contributes nothing.
+    */
+  private def plogp(run: Column, n: Column): Column =
+    when(run > 0.0, (run / n) * (log(run / n) / log(lit(2.0)))).otherwise(lit(0.0))
 }

@@ -179,4 +179,33 @@ class LayoutSpec extends AnyFunSuite {
       assert(z >= 0L, s"x=$x y=$y z=$z")
     }
   }
+
+  test("snapshot reads: version v is exactly ticks 0..v; latest equals the raw table") {
+    import spark.implicits._
+    val snaps = Layout
+      .snapshotScan(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(snaps.keySet === Set(0L, 1L, 2L))
+    val li = Tables.lineitem(spark, dir)
+    def want(pred: org.apache.spark.sql.Column): (Long, Long, Double) = {
+      val r = li
+        .filter(pred)
+        .agg(
+          count(lit(1)),
+          sum($"l_quantity").cast("long"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+        )
+        .collect()
+        .head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    // tick predicates: v0 = %4≠0, v1 = %8≠0, v2 = everything
+    assert(snaps(0L) === want(pmod($"l_orderkey", lit(4)) =!= 0))
+    assert(snaps(1L) === want(pmod($"l_orderkey", lit(8)) =!= 0))
+    assert(snaps(2L) === want(lit(true)))
+    // snapshots only grow: append-only ingest never shrinks history
+    assert(snaps(0L)._1 < snaps(1L)._1 && snaps(1L)._1 < snaps(2L)._1)
+  }
 }

@@ -1,0 +1,76 @@
+package graft.text
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form pins for the BPE surface: greedy merge-pass semantics
+  * (non-overlapping, left-to-right), the deterministic argmax tie-break
+  * (count desc, pair-lex asc), full train/encode round-trip on a
+  * hand-computed corpus, and pairStats agreement with manual counting.
+  */
+class BpeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "bpe")
+
+  private def applyMerge(w: String, a: String, b: String): Seq[String] = {
+    import spark.implicits._
+    Seq(w)
+      .toDF("w")
+      .select(Bpe.mergePass(Bpe.symbols($"w"), a, b).as("s"))
+      .collect()
+      .head
+      .getSeq[String](0)
+  }
+
+  test("merge pass is greedy left-to-right and non-overlapping") {
+    assert(applyMerge("aaa", "a", "a") === Seq("aa", "a"))
+    assert(applyMerge("aaaa", "a", "a") === Seq("aa", "aa"))
+    assert(applyMerge("aaaaa", "a", "a") === Seq("aa", "aa", "a"))
+    assert(applyMerge("abab", "a", "b") === Seq("ab", "ab"))
+    assert(applyMerge("ba", "a", "b") === Seq("b", "a"))
+    assert(applyMerge("x", "a", "b") === Seq("x"))
+  }
+
+  test("train learns the hand-computed merge sequence, encode replays it") {
+    import spark.implicits._
+    // corpus: "aaab" + "aab". round 1: aa=3, ab=2 → merge (a,a).
+    // round 2: [aa,a,b] + [aa,b] → (aa,a)=1, (a,b)=1, (aa,b)=1 →
+    //   lex tie-break picks (a,b). round 3: [aa,ab] + [aa,b] →
+    //   (aa,ab)=1, (aa,b)=1 → "ab" < "b" picks (aa,ab).
+    val words = Seq("aaab", "aab").toDF("w")
+    val merges = Bpe.train(words, "w", 3)
+    assert(merges === Seq((("a", "a"), 3L), (("a", "b"), 1L), (("aa", "ab"), 1L)))
+    val enc = words
+      .select($"w", Bpe.encode($"w", merges.map(_._1)).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1))
+      .toMap
+    assert(enc("aaab") === Seq("aaab")) // all three merges fire in order
+    assert(enc("aab") === Seq("aa", "b")) // (a,b) never adjacent after merge 1
+  }
+
+  test("pairStats matches manual counting on sf0.001 and is rank-total-ordered") {
+    val rows = Bpe.pairStats(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === Bpe.PairTopK)
+    // rank is 1..K aligned with (cnt desc, pair asc)
+    val sorted = rows.sortBy(r => (-r.getLong(2), r.getString(1)))
+    assert(rows.map(_.getLong(0)).toSeq === (1L to Bpe.PairTopK.toLong))
+    assert(sorted.map(_.getLong(0)).toSeq === (1L to Bpe.PairTopK.toLong))
+    // manual recount of the top pair from the raw corpus
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001").collect()
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { r =>
+      r.getAs[String]("text").toLowerCase.split("[ \t]", -1).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val top = rows.head
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert((top.getString(1), top.getLong(2)) === want)
+  }
+}
