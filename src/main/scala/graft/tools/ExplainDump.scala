@@ -52,7 +52,12 @@ object ExplainDump {
     "sql_q1_pricing" -> "the ANSI string the oracle runs, parsed by Catalyst into the SAME partial-agg pruned-scan plan as the q1 builder",
     "layout_incremental" -> "segmented-manifest pruned scan: per-tick manifest segments union (metadata-scale), survivors read directly — stats maintenance per tick touched only that tick's files",
     "dedup_semantic_capped" -> "SemDeDup with the cell-population cap: hot cells leave via the broadcast ok-cell filter BEFORE the within-cell pair join — the Σ cell² term is cap-bounded",
-    "mm_phash_png" -> "identical partition-local shape to mm_phash: scan → batched encode→inflate→defilter→hash iterator → sort; compression never adds a shuffle"
+    "mm_phash_png" -> "identical partition-local shape to mm_phash: scan → batched encode→inflate→defilter→hash iterator → sort; compression never adds a shuffle",
+    "q32_salted_join" -> "salted sort-merge join: both exchanges hash on (key, salt), so one hot key spreads over SaltFactor reducers; no broadcast — the demo exercises the shuffle path salting exists for",
+    "events_scd2" -> "both window passes (lag mark, version/lead close) share ONE user-keyed exchange; the second sort sees only surviving change points",
+    "layout_snapshot" -> "all snapshots audited in one pass over the tick files: explode(sequence(tick, latest)) fans rows to their versions, partial-aggregated to #versions rows before the only exchange",
+    "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
+    "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K"
   )
 
   def main(args: Array[String]): Unit = {
