@@ -162,9 +162,77 @@ case class CdcChunks(child: Expression, window: Int, mask: Long, mod: Long)
     copy(child = newChild)
 }
 
+/** −Σ p·log₂p char entropy of a string (pre-round6): one sorted-char
+  * pass per row in plain Java, replacing the declarative
+  * array_sort + higher-order run-fold (interpreted lambda machinery
+  * with a struct allocation PER CHARACTER — measured 6.6 s at sf1
+  * against this expression's sub-second pass). Term order and IEEE
+  * sequence are IDENTICAL to the declarative form and the DuckDB
+  * oracle: runs close in ascending char order, each term is
+  * (run/n)·(ln(p)/ln 2), accumulated left-to-right from 0.0 — so the
+  * double agrees to the last ULP.
+  */
+case class CharEntropyBits(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n == 0) return 0.0d
+    val chars = s.toCharArray
+    java.util.Arrays.sort(chars)
+    val nd = n.toDouble
+    val ln2 = Math.log(2.0)
+    var acc = 0.0d
+    var runStart = 0
+    var i = 1
+    while (i <= n) {
+      if (i == n || chars(i) != chars(runStart)) {
+        val p = (i - runStart) / nd
+        acc += p * (Math.log(p) / ln2)
+        runStart = i
+      }
+      i += 1
+    }
+    -acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct char count of a string — the companion statistic of
+  * [[CharEntropyBits]], same single sorted pass instead of
+  * size(array_distinct(split(...))).
+  */
+case class DistinctChars(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return 0
+    val chars = s.toCharArray
+    java.util.Arrays.sort(chars)
+    var d = 1
+    var i = 1
+    while (i < chars.length) {
+      if (chars(i) != chars(i - 1)) d += 1
+      i += 1
+    }
+    d
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def wordShingles(loweredText: Column, width: Int = 3): Column =
     Bridge.column(WordShingles(Bridge.expression(loweredText), width))
+  def charEntropyBits(text: Column): Column =
+    Bridge.column(CharEntropyBits(Bridge.expression(text)))
+  def distinctChars(text: Column): Column =
+    Bridge.column(DistinctChars(Bridge.expression(text)))
   def distinctTokens(loweredText: Column): Column =
     Bridge.column(DistinctTokens(Bridge.expression(loweredText)))
   def rollingHash(text: Column, seed: Long, mod: Long): Column =

@@ -716,15 +716,16 @@ object TextAnalysis {
     */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // native one-pass-per-row expressions; the declarative run-fold
+    // twin below ([[sortedChars]]/[[entropyBits]]) is kept as the
+    // cross-check EntropySpec pins ULP-equal on real corpus rows
     Tables
       .documentsFanned(spark, dir)
-      .select($"doc_id", $"text")
-      .withColumn("chs", sortedChars($"text"))
       .select(
         $"doc_id",
-        size($"chs").cast("long").as("n_chars_obs"),
-        size(array_distinct($"chs")).cast("long").as("n_distinct_chars"),
-        entropyBits($"chs").as("entropy_bits")
+        length($"text").cast("long").as("n_chars_obs"),
+        graft.functions.TextExpressions.distinctChars($"text").cast("long").as("n_distinct_chars"),
+        round6(graft.functions.TextExpressions.charEntropyBits($"text")).as("entropy_bits")
       )
       .orderBy($"doc_id")
   }

@@ -49,6 +49,23 @@ class EntropySpec extends AnyFunSuite {
     assert(ent("mississippi") === refEntropy("mississippi"))
   }
 
+  test("native expression equals the declarative run-fold to the ULP on corpus rows") {
+    import spark.implicits._
+    val mismatches = graft.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(
+        TextAnalysis.round6(
+          graft.functions.TextExpressions.charEntropyBits($"text")
+        ).as("native"),
+        TextAnalysis.entropyBits(TextAnalysis.sortedChars($"text")).as("declarative"),
+        graft.functions.TextExpressions.distinctChars($"text").as("nd_native"),
+        size(array_distinct(TextAnalysis.sortedChars($"text"))).as("nd_declarative")
+      )
+      .filter($"native" =!= $"declarative" || $"nd_native" =!= $"nd_declarative")
+      .count()
+    assert(mismatches === 0L)
+  }
+
   test("corpus rows match a driver-side recompute exactly") {
     val rows = TextAnalysis
       .charEntropy(spark, "/root/testdata/sf0.001")
