@@ -107,6 +107,7 @@ object SparkEntry {
     "stream_ingest_dedup" -> ((s, d) => StreamingQueries.ingestDedupStream(s, d)),
     "stream_heavy_hitters" -> ((s, d) => StreamingQueries.heavyHittersStream(s, d)),
     "stream_semantic_admit" -> ((s, d) => StreamingQueries.semanticAdmitStream(s, d)),
+    "stream_scd2" -> ((s, d) => StreamingQueries.scd2Stream(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -253,6 +254,8 @@ object SparkEntry {
     "events_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "events_top_paths" -> Oracles.eventsTopPaths(Events.PathsTopK),
     "events_scd2" -> Oracles.eventsScd2,
+    // the streaming build emits the identical dimension (same oracle)
+    "stream_scd2" -> Oracles.eventsScd2,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window

@@ -32,6 +32,23 @@ case class IngestVerdict(doc_id: Long, is_exact_dup: Long, lsh_candidate_of: Opt
 /** Admission verdict emitted by the streaming semantic gate. */
 case class AdmitVerdict(vec_id: Long, cid: Long, rep_id: Long, proto_cos: Double, keep: Long)
 
+/** Open-version state for StreamingQueries.scd2Stream: the user's
+  * current event_type run (type, start µs, version number).
+  */
+case class Scd2State(curType: String, fromUs: Long, version: Long)
+
+/** A dimension version emitted by the streaming SCD2 build (closed on a
+  * type change; open/is_current on end-of-stream drain).
+  */
+case class Scd2Version(
+    user_id: Long,
+    version: Long,
+    event_type: String,
+    valid_from: java.sql.Timestamp,
+    valid_to: Option[java.sql.Timestamp],
+    is_current: Boolean
+)
+
 /** A closed session emitted by the sessionizer. */
 case class ClosedSession(
     user_id: Long,
@@ -244,9 +261,14 @@ object StreamingQueries {
     sentinelCache.values.forEach(_.foreach(p => graft.GraftSession.deleteRecursively(new java.io.File(p))))
   ))
 
-  def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  /** Builds (once per (dir, flush gap)) the one-row far-future sentinel
+    * side source that drains event-time timeouts at end-of-stream — see
+    * [[sessionizeComplete]] for the contract. Shared by every operator
+    * that needs the drain (sessions, SCD2).
+    */
+  private def sentinelFor(spark: SparkSession, dir: String, gapMinutes: Int): Option[String] = {
     import spark.implicits._
-    val sentinelDir = sentinelCache.computeIfAbsent(
+    sentinelCache.computeIfAbsent(
       (dir, gapMinutes),
       { _ =>
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -272,10 +294,87 @@ object StreamingQueries {
         }
       }
     )
-    val stream = sentinelDir.foldLeft(eventStream(spark, dir)) { (real, side) =>
-      real.union(eventStream(spark, side, glob = "*.parquet"))
+  }
+
+  def sessionizeComplete(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val stream = sentinelFor(spark, dir, gapMinutes).foldLeft(eventStream(spark, dir)) {
+      (real, side) => real.union(eventStream(spark, side, glob = "*.parquet"))
     }
     sessionizeStream(spark, stream, gapMinutes).filter($"user_id" >= 0)
+  }
+
+  /** Streaming SCD2 — the online half of the `events_scd2` dimension
+    * build: per user, the current event_type run lives in GroupState
+    * (one tiny row per ACTIVE user, the only state at any stream
+    * volume); a type change CLOSES the previous version (emits it with
+    * valid_to = the change timestamp) and opens the next; the open
+    * version drains on event-time timeout, which the far-future
+    * sentinel fires at end-of-stream (the sessionizeComplete contract).
+    * Batch-local events sort by (ts, event_id) before folding, so the
+    * emitted dimension equals the batch window formulation row-for-row
+    * — same DuckDB oracle. At 100 TB/day this is how the dimension
+    * stays current without re-windowing the log: state is O(active
+    * users), each arrival is O(1), and closed versions append to the
+    * dimension table as they happen.
+    */
+  def scd2Stream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val flushGapMin = 30
+    val flushUs = flushGapMin * 60L * 1000000L
+    val stream = sentinelFor(spark, dir, flushGapMin).foldLeft(eventStream(spark, dir)) {
+      (real, side) => real.union(eventStream(spark, side, glob = "*.parquet"))
+    }
+    val fn = (
+        userId: Long,
+        events: Iterator[(Long, java.sql.Timestamp, Long, String)],
+        state: GroupState[Scd2State]
+    ) => {
+      val out = scala.collection.mutable.ListBuffer.empty[Scd2Version]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += Scd2Version(
+          userId, s.version, s.curType,
+          DateTimeUtils.toJavaTimestamp(s.fromUs), None, is_current = true)
+        state.remove()
+      } else {
+        val sorted = events.toArray
+          .map { case (_, t, eid, tpe) => (DateTimeUtils.fromJavaTimestamp(t), eid, tpe) }
+          .sortBy(e => (e._1, e._2))
+        var cur = state.getOption
+        sorted.foreach { case (ts, _, tpe) =>
+          cur match {
+            case None => cur = Some(Scd2State(tpe, ts, 1L))
+            case Some(s) if s.curType != tpe =>
+              out += Scd2Version(
+                userId, s.version, s.curType,
+                DateTimeUtils.toJavaTimestamp(s.fromUs),
+                Some(DateTimeUtils.toJavaTimestamp(ts)), is_current = false)
+              cur = Some(Scd2State(tpe, ts, s.version + 1))
+            case _ => () // same type: the run continues, nothing changes
+          }
+        }
+        if (sorted.nonEmpty) cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((sorted.last._1 + flushUs) / 1000) // ms epoch
+        }
+      }
+      out.iterator
+    }
+    val agg = stream
+      .withWatermark("ts", "10 minutes")
+      .select(
+        $"user_id".as[Long],
+        $"ts".as[java.sql.Timestamp],
+        $"event_id".as[Long],
+        $"event_type".as[String]
+      )
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+    runToMemory(agg.toDF, "stream_scd2", "append")
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"version")
   }
 
   /** Watermarked streaming deduplication: the event stream is unioned

@@ -142,6 +142,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === batch)
   }
 
+  test("drained streaming SCD2 EQUALS the batch dimension build row-for-row") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3),
+        Option(r.getTimestamp(4)), r.getBoolean(5))
+    val emitted = StreamingQueries.scd2Stream(spark, dir).collect().map(key).toSet
+    val batch = queries.Events.scd2(spark, dir).collect().map(key).toSet
+    assert(emitted.nonEmpty)
+    assert(emitted === batch)
+    // one open (is_current) version per user in the drained stream
+    val opens = emitted.groupBy(_._1).map { case (_, vs) => vs.count(_._6) }
+    assert(opens.forall(_ == 1))
+  }
+
   test("session state evicts with the watermark: bounded numRowsTotal over 4 batches, drained by timeouts") {
     import spark.implicits._
     val src = nBatchDir(4)
