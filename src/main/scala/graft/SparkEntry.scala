@@ -122,7 +122,10 @@ object SparkEntry {
     "dedup_simhash_capped" -> ((s, d) => Dedup.simhash(s, d, Some(Dedup.SimhashBucketCap))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_clusters_capped" -> ((s, d) => Dedup.clusters(s, d, Some(Dedup.MinhashBucketCap))),
     "dedup_keep_best" -> ((s, d) => graft.text.Curation.keepBest(s, d)),
+    "dedup_keep_best_capped" -> ((s, d) =>
+      graft.text.Curation.keepBest(s, d, Some(Dedup.MinhashBucketCap))),
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(s, d)),
     "dedup_cap_profile" -> ((s, d) => Dedup.capProfile(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -284,7 +287,9 @@ object SparkEntry {
     "dedup_simhash_capped" -> PipelineOracles.dedupSimhashCapped,
     "dedup_embedding" -> PipelineOracles.dedupEmbedding,
     "dedup_clusters" -> PipelineOracles.dedupClusters,
+    "dedup_clusters_capped" -> PipelineOracles.dedupClustersCapped,
     "dedup_keep_best" -> PipelineOracles.dedupKeepBest,
+    "dedup_keep_best_capped" -> PipelineOracles.dedupKeepBestCapped,
     "dedup_lsh_recall" -> PipelineOracles.dedupLshRecall,
     "dedup_cap_profile" -> PipelineOracles.dedupCapProfile,
     "dedup_semantic" -> PipelineOracles.dedupSemantic,

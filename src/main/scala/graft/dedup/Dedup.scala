@@ -265,9 +265,9 @@ object Dedup {
     * Output: one row per document with its cluster id, cluster size, and
     * keeper flag — filtering `is_keeper = 1` IS the deduplicated corpus.
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String, cap: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val assigned = clusterLabels(spark, dir)
+    val assigned = clusterLabels(spark, dir, cap)
     val sizes = assigned.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
     assigned
       .join(sizes, "cluster_id")
@@ -291,17 +291,27 @@ object Dedup {
   // never serve stale labels; stopped sessions are evicted so the
   // strong references can't pin dead contexts.
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Option[Int]), DataFrame]()
 
   /** (doc_id, cluster_id) for every document — the label fixpoint alone,
     * without the cluster-size aggregation `clusters` adds on top.
     * Consumers that only need keepers (cluster_id == doc_id) skip a
-    * corpus-sized shuffle by starting here.
+    * corpus-sized shuffle by starting here. `cap` selects the edge
+    * source: None = the exact LSH pair set (audit path), Some(c) = the
+    * band-bucket-capped pair set — the production edge source at
+    * 100 TB, where the uncapped candidate join's hot buckets are the
+    * known quadratic term (see [[minhashLsh]]); capped edges ⊆ uncapped
+    * edges, so capped components REFINE uncapped components
+    * (PipelineSpec pins the refinement).
     */
-  private[graft] def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def clusterLabels(
+      spark: SparkSession,
+      dir: String,
+      cap: Option[Int] = None
+  ): DataFrame = {
     labelCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
-    val key = (spark, dir, fp)
+    val key = (spark, dir, fp, cap)
     // evict superseded fingerprints for this (spark, dir): regenerated
     // source data must not leave the old labels pinned in executor memory
     val it = labelCache.entrySet().iterator()
@@ -318,7 +328,7 @@ object Dedup {
     if (cached != null) cached
     else {
       import spark.implicits._
-      val labels = connectedComponents(minhashLsh(spark, dir).select($"id_a", $"id_b"))._1
+      val labels = connectedComponents(minhashLsh(spark, dir, cap).select($"id_a", $"id_b"))._1
       val built = Tables
         .documents(spark, dir)
         .select($"doc_id")

@@ -218,6 +218,19 @@ object PipelineOracles {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Band-bucket-capped candidate CTEs (the `Dedup.MinhashBucketCap`
+    * replay): buckets over the cap leave BEFORE the candidate
+    * self-join. Drop-in alternative to [[minhashCtes]]'s `cand`.
+    */
+  private val cappedCandCtes: String =
+    s"""bandsm AS MATERIALIZED (SELECT * FROM bands),
+       |bdf AS (SELECT band, v1, v2 FROM bandsm
+       |  GROUP BY 1, 2, 3 HAVING count(*) <= ${Dedup.MinhashBucketCap}),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandsm a
+       |  JOIN bdf ON bdf.band = a.band AND bdf.v1 = a.v1 AND bdf.v2 = a.v2
+       |  JOIN bandsm b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Replays incremental ingest dedup: same NewBatchMod split, same
     * exact-hash semi-join, same batch×corpus band candidates, same
     * verified-Jaccard near-dup minimum.
@@ -314,13 +327,7 @@ object PipelineOracles {
     */
   val dedupMinhashCapped: String =
     s"""WITH $minhashBandCtes,
-       |bandsm AS MATERIALIZED (SELECT * FROM bands),
-       |bdf AS (SELECT band, v1, v2 FROM bandsm
-       |  GROUP BY 1, 2, 3 HAVING count(*) <= ${Dedup.MinhashBucketCap}),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bandsm a
-       |  JOIN bdf ON bdf.band = a.band AND bdf.v1 = a.v1 AND bdf.v2 = a.v2
-       |  JOIN bandsm b ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id)
+       |$cappedCandCtes
        |${jaccardSelect("cand", Dedup.JaccardThreshold)}""".stripMargin
 
   /** Replays the recall evaluation off the SAME shared CTEs: exact
@@ -349,7 +356,9 @@ object PipelineOracles {
     * pair) keep their own id through the seed row.
     */
   // pairs → symmetric edges → min-reachable labels → components (cc);
-  // shared by dedupClusters and pipelineCurateFuzzy
+  // shared by dedupClusters[Capped], dedupKeepBest[Capped] and
+  // pipelineCurateFuzzy — the `cand` CTE supplied upstream picks the
+  // edge source (exact vs band-bucket-capped LSH pairs)
   private val componentCtes: String =
     s"""pairs AS (${jaccardSelect("cand", Dedup.JaccardThreshold, ordered = false)}),
        |e AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b AS u, id_a AS v FROM pairs),
@@ -359,14 +368,23 @@ object PipelineOracles {
        |  SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v),
        |cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u)""".stripMargin
 
-  val dedupClusters: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  private def clustersSql(candCtes: String): String =
+    s"""WITH RECURSIVE $candCtes,
        |$componentCtes,
        |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
        |SELECT cc.doc_id, cc.cluster_id, cs.cluster_size,
        |  CAST(CASE WHEN cc.doc_id = cc.cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
        |FROM cc JOIN cs USING (cluster_id)
        |ORDER BY cc.doc_id""".stripMargin
+
+  val dedupClusters: String = clustersSql(minhashCtes)
+
+  /** Same components contract over the CAPPED edge set — the
+    * production edge source (capped edges ⊆ exact edges, so these
+    * components refine the exact ones; the refinement is spec-pinned).
+    */
+  val dedupClustersCapped: String =
+    clustersSql(s"$minhashBandCtes,\n$cappedCandCtes")
 
   /** Replays keep-best-in-cluster: the shared minhash-LSH components
     * (cc) joined with the text_quality composite (re-using the `toks`
@@ -376,8 +394,8 @@ object PipelineOracles {
     * referenced three times (rows, winner, sizes) → MATERIALIZED, so
     * the recursive component fixpoint and the quality chain run once.
     */
-  val dedupKeepBest: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  private def keepBestSql(candCtes: String): String =
+    s"""WITH RECURSIVE $candCtes,
        |$componentCtes,
        |qb AS (SELECT doc_id,
        |  CAST(len(w) AS BIGINT) AS n_tokens,
@@ -405,6 +423,12 @@ object PipelineOracles {
        |JOIN kb_best USING (cluster_id)
        |JOIN kb_cs USING (cluster_id)
        |ORDER BY s.doc_id""".stripMargin
+
+  val dedupKeepBest: String = keepBestSql(minhashCtes)
+
+  /** Keep-best over the CAPPED edge set — see [[dedupClustersCapped]]. */
+  val dedupKeepBestCapped: String =
+    keepBestSql(s"$minhashBandCtes,\n$cappedCandCtes")
 
   /** Shared simhash signature CTE chain (toks → per-token md5 nibbles →
     * 64 signed bit sums → packed 64-bit signature), replaying

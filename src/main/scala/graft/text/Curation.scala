@@ -92,9 +92,9 @@ object Curation {
     * work and nothing quadratic; the whole op costs two shuffles on
     * cluster_id beyond the shared artifacts.
     */
-  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+  def keepBest(spark: SparkSession, dir: String, cap: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val labels = Dedup.clusterLabels(spark, dir)
+    val labels = Dedup.clusterLabels(spark, dir, cap)
     val qual = TextAnalysis.quality(spark, dir).select($"doc_id", $"quality_score")
     val scored = labels.join(qual, "doc_id")
     val best = scored

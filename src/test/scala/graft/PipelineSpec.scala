@@ -132,6 +132,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("capped components refine uncapped: same-capped-cluster ⇒ same-uncapped-cluster; keepers only grow") {
+    val uncapped = Dedup
+      .clusters(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val capped = Dedup
+      .clusters(spark, dir, Some(Dedup.MinhashBucketCap))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // capped edges ⊆ uncapped edges ⇒ every capped cluster sits inside
+    // ONE uncapped cluster (dropping edges can only split, never merge)
+    capped.groupBy(_._2).foreach { case (cid, members) =>
+      val parents = members.map(m => uncapped(m._1)).distinct
+      assert(parents.length === 1, s"capped cluster $cid spans uncapped clusters $parents")
+    }
+    val cappedKeepers = capped.count(_._3 == 1L)
+    val uncappedKeepers = Dedup.clusters(spark, dir).collect().count(_.getLong(3) == 1L)
+    assert(cappedKeepers >= uncappedKeepers, "splitting clusters cannot reduce keeper count")
+    // keep-best inherits the refinement: its cluster ids are the capped fixpoint's
+    val kb = graft.text.Curation
+      .keepBest(spark, dir, Some(Dedup.MinhashBucketCap))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(kb === capped.map(c => c._1 -> c._2).toMap)
+  }
+
   test("semantic dedup drops the planted within-cluster duplicate and keeps the smallest id") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup-").toString
