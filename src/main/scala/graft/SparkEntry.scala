@@ -143,6 +143,7 @@ object SparkEntry {
     "sim_pq_adc" -> ((s, d) => Pq.adcTopK(s, d)),
     "sim_pq_recall" -> ((s, d) => Pq.adcRecall(s, d)),
     "sim_ivf_pq" -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    "sim_hybrid_rerank" -> ((s, d) => Similarity.hybridRerank(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -308,6 +309,7 @@ object SparkEntry {
     "sim_pq_adc" -> PipelineOracles.simPqAdc,
     "sim_pq_recall" -> PipelineOracles.simPqRecall,
     "sim_ivf_pq" -> PipelineOracles.simIvfPq,
+    "sim_hybrid_rerank" -> PipelineOracles.simHybridRerank,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

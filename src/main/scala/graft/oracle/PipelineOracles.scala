@@ -1666,6 +1666,32 @@ object PipelineOracles {
        |FROM base b LEFT JOIN terms t USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Hybrid-retrieval replay: the bm25 oracle verbatim as the lexical
+    * list, the exact-cosine ranking as the semantic list, the same
+    * integer-rank RRF arithmetic (1/(k+rank), missing source → 0) and
+    * the same (rrf desc, doc_id) fused total order.
+    */
+  val simHybridRerank: String =
+    s"""WITH $embNorms,
+       |lex AS (SELECT doc_id, rank AS lex_rank FROM ($textBm25)),
+       |qv AS (SELECT embedding AS qe, nrm AS qn FROM norms
+       |  WHERE vec_id = ${Similarity.HybridQueryVec}),
+       |sem0 AS (SELECT n.vec_id AS doc_id,
+       |    ${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm) AS cosine
+       |  FROM norms n, qv q WHERE n.vec_id <> ${Similarity.HybridQueryVec}),
+       |sem AS (SELECT doc_id, sem_rank FROM (
+       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
+       |  FROM sem0) WHERE sem_rank <= ${Similarity.HybridListK}),
+       |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |  ${round6Sql(
+        s"coalesce(CAST(1.0 AS DOUBLE) / CAST(lex_rank + ${Similarity.HybridRrfK} AS DOUBLE), CAST(0.0 AS DOUBLE))" +
+          s" + coalesce(CAST(1.0 AS DOUBLE) / CAST(sem_rank + ${Similarity.HybridRrfK} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+      )} AS rrf_score
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM fused ORDER BY fused_rank""".stripMargin
+
   /** BPE round-1 replay: the same lowercase/space-tab tokenizer, the
     * same adjacent-2-gram enumeration with multiplicity, the same
     * count-desc / pair-asc total order at the top-K boundary.

@@ -646,4 +646,61 @@ object Similarity {
       .select($"query_id", $"vec_id".as("neighbor_id"), round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"neighbor_id")
   }
+
+  /** RRF constant (Cormack et al. 2009's k=60) and per-source list depth
+    * for [[hybridRerank]].
+    */
+  val HybridRrfK = 60L
+  val HybridListK = 20
+  val HybridQueryVec = 0L // the semantic query: vec 0's embedding
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the two ranking
+    * families the engine already serves: the LEXICAL list (BM25 top-K
+    * against the fixed query terms, `text_bm25`'s exact ranking) and
+    * the SEMANTIC list (exact cosine top-K against the query vector).
+    * rrf(d) = Σ 1/(k + rank_src(d)) over the sources that ranked d —
+    * the standard zero-tuning fusion behind production hybrid search
+    * (lexical recall + semantic recall disagree exactly where fusion
+    * helps). Scale shape: each source list is already K-bounded by its
+    * own TakeOrdered plan, so fusion is a full-outer join of two K-row
+    * frames plus integer-rank arithmetic — cost lives in the sources,
+    * which keep their individually-pinned 100 TB shapes. The doc↔vector
+    * correspondence is id equality (vec_id k embeds doc k), the
+    * fixture's convention.
+    */
+  def hybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = graft.text.TextAnalysis
+      .bm25(spark, dir)
+      .select($"doc_id", $"rank".as("lex_rank"))
+    val emb = corpusWithNorm(spark, dir)
+    val q = emb
+      .filter($"vec_id" === HybridQueryVec)
+      .select($"embedding".as("qe"), $"nrm".as("qn"))
+    val sem = emb
+      .filter($"vec_id" =!= HybridQueryVec)
+      .crossJoin(broadcast(q))
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .orderBy($"cosine".desc, $"vec_id")
+      .limit(HybridListK)
+      .withColumn(
+        "sem_rank",
+        row_number().over(Window.orderBy($"cosine".desc, $"vec_id")).cast("long")
+      )
+      .select($"vec_id".as("doc_id"), $"sem_rank")
+    def rrfTerm(rank: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (rank + lit(HybridRrfK)).cast("double"), lit(0.0))
+    lex
+      .join(sem, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "rrf_score",
+        graft.text.TextAnalysis.round6(rrfTerm($"lex_rank") + rrfTerm($"sem_rank"))
+      )
+      .withColumn(
+        "fused_rank",
+        row_number().over(Window.orderBy($"rrf_score".desc, $"doc_id")).cast("long")
+      )
+      .select($"doc_id", $"lex_rank", $"sem_rank", $"rrf_score", $"fused_rank")
+      .orderBy($"fused_rank")
+  }
 }

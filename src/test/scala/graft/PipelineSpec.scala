@@ -390,6 +390,25 @@ class PipelineSpec extends AnyFunSuite {
     assert((textGate -- keepers).nonEmpty, "fixture must actually drop some re-posted images")
   }
 
+  test("hybrid RRF: membership is the union of both lists; score decomposes into rank terms") {
+    val rows = Similarity.hybridRerank(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.isDefined || sem.isDefined, s"doc ${r.getLong(0)} in neither list")
+      val want = lex.map(x => 1.0 / (x + 60.0)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (x + 60.0)).getOrElse(0.0)
+      val want6 = math.floor(want * 1e6 + 0.5) / 1e6 // the engine's round6
+      assert(r.getDouble(3) === want6, s"doc ${r.getLong(0)} rrf")
+    }
+    // fused_rank is exactly the (rrf desc, doc_id) total order
+    val sorted = rows.sortBy(r => (-r.getDouble(3), r.getLong(0)))
+    assert(sorted.map(_.getLong(4)).toSeq === (1L to rows.length.toLong))
+    // both sources contribute: at least one doc per source in the fusion
+    assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
+  }
+
   test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
