@@ -67,6 +67,7 @@ object SparkEntry {
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     "q32_salted_join" -> ((s, d) => Relational.q32SaltedJoin(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
+    "stats_corr" -> ((s, d) => Relational.statsCorr(s, d)),
     // SQL-string surface: the SAME ANSI text the DuckDB oracle runs,
     // executed by Catalyst over temp views (graft.queries.SqlSurface)
     "sql_q1_pricing" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q1PricingSummary)),
@@ -222,6 +223,7 @@ object SparkEntry {
     // the oracle is the UNSALTED join: salting must be result-invariant
     "q32_salted_join" -> Oracles.q32SaltedJoin,
     "stats_profile" -> Oracles.statsProfile,
+    "stats_corr" -> Oracles.statsCorr,
     // one query text, two engines: the oracle IS the statement
     "sql_q1_pricing" -> Oracles.q1PricingSummary,
     "sql_q3_segment" -> Oracles.q3SegmentRevenue,

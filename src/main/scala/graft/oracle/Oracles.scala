@@ -538,6 +538,35 @@ object Oracles {
     perCol.mkString("", "\nUNION ALL\n", "\nORDER BY col")
   }
 
+  /** Correlation-matrix replay generated from the SAME column/pair
+    * lists the Spark query profiles: identical ×100 exact-decimal
+    * moment sums, one decimal→double cast per component, the identical
+    * IEEE corr expression under round6.
+    */
+  val statsCorr: String = {
+    import graft.queries.Relational.{CorrCols, CorrPairs}
+    val scaled = CorrCols
+      .map(c => s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS $c")
+      .mkString(", ")
+    val moments =
+      ("CAST(count(*) AS DOUBLE) AS n" +:
+        (CorrCols.map(c => s"CAST(sum($c) AS DOUBLE) AS s_$c") ++
+          CorrCols.map(c => s"CAST(sum(CAST($c * $c AS DECIMAL(38,0))) AS DOUBLE) AS ss_$c") ++
+          CorrPairs.map { case (a, b) =>
+            s"CAST(sum(CAST($a * $b AS DECIMAL(38,0))) AS DOUBLE) AS sp_${a}_$b"
+          })).mkString(",\n  ")
+    val rows = CorrPairs.map { case (a, b) =>
+      val corr =
+        s"(n * sp_${a}_$b - s_$a * s_$b) / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b))"
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n_rows,
+         |  floor(($corr) * 1e6 + 0.5) / 1e6 AS corr FROM m""".stripMargin
+    }
+    s"""WITH sc AS (SELECT $scaled FROM lineitem),
+       |m AS (SELECT $moments FROM sc)
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** Salting changes the shuffle histogram, never the result: the
     * oracle runs the PLAIN unsalted join — equality proves the
     * (orderkey, salt) rewrite is result-invariant.

@@ -1025,6 +1025,63 @@ object Relational {
     perCol.reduce(_.union(_)).orderBy($"col")
   }
 
+  /** Columns of the correlation matrix [[statsCorr]] profiles; all live
+    * on a 2dp value grid, so ×100 scaling makes every moment sum an
+    * EXACT decimal (shared with the oracle generator).
+    */
+  val CorrCols: Seq[String] = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+
+  /** Ordered column pairs of the correlation matrix. */
+  val CorrPairs: Seq[(String, String)] =
+    for { i <- CorrCols.indices; j <- (i + 1) until CorrCols.length }
+      yield (CorrCols(i), CorrCols(j))
+
+  /** Pearson correlation matrix over the lineitem numeric columns — the
+    * other half of ANALYZE ([[statsProfile]] covers marginals; this
+    * covers pairwise dependence, the input to join-cardinality and
+    * predicate-correlation estimation). ONE corpus pass computes every
+    * moment (n, Σx, Σx², Σxy for all pairs) as map-side-combinable
+    * EXACT decimal sums — values sit on a 2dp grid, so ×100 scaling
+    * makes each sum an integer-valued decimal, order-independent and
+    * engine-exact where a double Σx² would drift with shuffle layout.
+    * The closed-form corr is then pure driver-free arithmetic on the
+    * 1-row aggregate: each component casts decimal→double ONCE and the
+    * identical IEEE expression runs on both engines under round6.
+    */
+  def statsCorr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def xi(c: String) =
+      (col(c).cast("decimal(18,2)") * lit(100)).cast("decimal(18,0)")
+    val base = Tables.lineitem(spark, dir).select(CorrCols.map(c => xi(c).as(c)): _*)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      count(lit(1)).cast("double").as("n") +:
+        (CorrCols.map(c => sum(col(c)).cast("double").as(s"s_$c")) ++
+          CorrCols.map(c =>
+            sum((col(c) * col(c)).cast("decimal(38,0)")).cast("double").as(s"ss_$c")
+          ) ++
+          CorrPairs.map { case (a, b) =>
+            sum((col(a) * col(b)).cast("decimal(38,0)")).cast("double").as(s"sp_${a}_$b")
+          })
+    val st = base.agg(aggs.head, aggs.tail: _*)
+    // ONE aggregate pass; the 6 matrix rows explode out of the single
+    // moment row (a union of per-pair aggregates would re-scan the
+    // corpus per pair)
+    val pairRows = CorrPairs.map { case (a, b) =>
+      val num = $"n" * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")
+      val den = sqrt($"n" * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+        sqrt($"n" * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b"))
+      struct(
+        lit(a).as("col_x"),
+        lit(b).as("col_y"),
+        $"n".cast("long").as("n_rows"),
+        graft.text.TextAnalysis.round6(num / den).as("corr")
+      )
+    }
+    st.select(explode(array(pairRows: _*)).as("r"))
+      .select($"r.*")
+      .orderBy($"col_x", $"col_y")
+  }
+
   /** Replication factor for the salted join: the small-but-not-broadcast
     * side is replicated ×SaltFactor, so one hot key's probe rows spread
     * over SaltFactor reducers instead of one.

@@ -57,7 +57,9 @@ object ExplainDump {
     "events_scd2" -> "both window passes (lag mark, version/lead close) share ONE user-keyed exchange; the second sort sees only surviving change points",
     "layout_snapshot" -> "all snapshots audited in one pass over the tick files: explode(sequence(tick, latest)) fans rows to their versions, partial-aggregated to #versions rows before the only exchange",
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
-    "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K"
+    "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
+    "stats_corr" -> "the whole correlation matrix from ONE corpus pass: every moment (n, Σx, Σx², Σxy) is an exact-decimal partial-aggregated sum; the 6 matrix rows explode out of the single moment row",
+    "sim_hybrid_rerank" -> "RRF fusion of two K-bounded source lists: cost lives in the source plans (BM25 map pass, broadcast-query cosine), the fusion is a K-row full-outer join"
   )
 
   def main(args: Array[String]): Unit = {

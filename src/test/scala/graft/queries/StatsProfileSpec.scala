@@ -59,4 +59,35 @@ class StatsProfileSpec extends AnyFunSuite {
       s"unpruned scan found: $reads"
     )
   }
+
+  test("correlation matrix: one corpus scan, values in [-1,1], pair recompute agrees") {
+    val df = Relational.statsCorr(spark, dir)
+    val rows = df.collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet === Relational.CorrPairs.toSet)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0, s"${r.getString(0)}/${r.getString(1)}")
+    }
+    // single scan: exactly ONE parquet scan node in the physical plan
+    // (count Location: lines — each scan node prints exactly one)
+    val plan = df.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(
+      "Location: InMemoryFileIndex".r.findAllIn(plan).length === 1,
+      "corr matrix must be one corpus pass"
+    )
+    // independent recompute of one pair from raw rows (exact integer moments)
+    val data = Tables
+      .lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_discount"))
+      .collect()
+      .map(r => (math.round(r.getDouble(0) * 100), math.round(r.getDouble(1) * 100)))
+    val n = data.length.toDouble
+    val (sx, sy) = (data.map(_._1).sum.toDouble, data.map(_._2).sum.toDouble)
+    val sxx = data.map(d => d._1 * d._1).sum.toDouble
+    val syy = data.map(d => d._2 * d._2).sum.toDouble
+    val sxy = data.map(d => d._1 * d._2).sum.toDouble
+    val want = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(r => r.getString(0) == "l_quantity" && r.getString(1) == "l_discount").get
+    assert(math.abs(got.getDouble(3) - want) < 1e-6, s"corr ${got.getDouble(3)} vs $want")
+  }
 }
