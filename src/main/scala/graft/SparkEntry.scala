@@ -138,6 +138,7 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, d) => Similarity.annLsh(s, d)),
     "sim_ann_ivf" -> ((s, d) => Similarity.annIvf(s, d)),
     "sim_ivf_persisted" -> ((s, d) => Similarity.annIvfPersisted(s, d)),
+    "sim_ivf_append" -> ((s, d) => Similarity.annIvfAppended(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "sim_prototypes" -> ((s, d) => Similarity.prototypes(s, d)),
     "sim_quantized" -> ((s, d) => Similarity.topKQuantized(s, d)),
@@ -163,7 +164,9 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "text_bpe_pairs" -> ((s, d) => graft.text.Bpe.pairStats(s, d)),
+    "text_classifier" -> ((s, d) => TextAnalysis.classify(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
+    "text_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
     "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
@@ -305,6 +308,7 @@ object SparkEntry {
     // served from the stored quantizer: same trained centroids, same
     // result, same oracle — durability must not change the answer
     "sim_ivf_persisted" -> PipelineOracles.simAnnIvf,
+    "sim_ivf_append" -> PipelineOracles.simIvfAppend,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
     "sim_prototypes" -> PipelineOracles.simPrototypes,
     "sim_quantized" -> PipelineOracles.simQuantized,
@@ -329,7 +333,9 @@ object SparkEntry {
     "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,
     "text_entropy" -> PipelineOracles.textEntropy,
     "text_bpe_pairs" -> PipelineOracles.textBpePairs,
+    "text_classifier" -> PipelineOracles.textClassifier,
     "text_hash_split" -> PipelineOracles.textHashSplit,
+    "text_shuffle_shards" -> PipelineOracles.textShuffleShards,
     "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,

@@ -64,6 +64,55 @@ object PipelineOracles {
        |GROUP BY bgx.doc_id
        |ORDER BY bgx.doc_id""".stripMargin
 
+  /** Replays the trained pooled-NB classifier: per-class token document
+    * frequencies over the train split, exact BIGINT pooled sums per
+    * (held-out doc, class), one double division, argmax with the
+    * cls_rank tie-break — the same arithmetic Spark's max(struct) runs.
+    */
+  val textClassifier: String = {
+    val m = TextAnalysis.ClsHeldMod
+    s"""WITH toks AS (SELECT doc_id, lang, list_distinct($toks) AS w FROM documents),
+       |tokx AS MATERIALIZED (SELECT doc_id, lang, unnest(w) AS t FROM toks),
+       |train AS (SELECT * FROM tokx WHERE doc_id % $m <> 0),
+       |model AS MATERIALIZED (SELECT t, lang AS cls, CAST(count(*) AS BIGINT) AS df
+       |  FROM train GROUP BY 1, 2),
+       |classes AS (SELECT cls, CAST(row_number() OVER (ORDER BY cls) AS BIGINT) AS cls_rank
+       |  FROM (SELECT DISTINCT lang AS cls FROM train) c),
+       |nc AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_c FROM documents
+       |  WHERE doc_id % $m <> 0 GROUP BY 1),
+       |vv AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM model),
+       |test AS (SELECT doc_id, t FROM tokx WHERE doc_id % $m = 0),
+       |sc AS (SELECT test.doc_id, classes.cls, classes.cls_rank,
+       |    CAST(count(*) AS BIGINT) AS n_d,
+       |    CAST(sum(coalesce(model.df, 0) + 1) AS BIGINT) AS num
+       |  FROM test CROSS JOIN classes
+       |  LEFT JOIN model ON model.t = test.t AND model.cls = classes.cls
+       |  GROUP BY 1, 2, 3),
+       |p AS (SELECT doc_id, cls, cls_rank,
+       |    CAST(num AS DOUBLE) / CAST(n_d * (n_c + v) AS DOUBLE) AS p
+       |  FROM sc JOIN nc USING (cls) CROSS JOIN vv),
+       |best AS (SELECT doc_id, cls, p,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, cls_rank) AS rn FROM p)
+       |SELECT d.doc_id, d.lang, coalesce(best.cls, 'und') AS pred_lang,
+       |  ${round6Sql("coalesce(best.p, 0.0)")} AS score,
+       |  CAST(CASE WHEN coalesce(best.cls, 'und') = d.lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+       |FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id AND best.rn = 1
+       |WHERE d.doc_id % $m = 0 ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Replays the deterministic shard shuffle: keyed-md5 order key, shard
+    * = h mod S, position = rank of (h, doc_id) within the shard.
+    */
+  val textShuffleShards: String = {
+    val s = graft.text.Sampling.ShuffleShards
+    s"""WITH h AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5('shuffle#' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+       |  FROM documents)
+       |SELECT doc_id, h % $s AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $s ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   private def jaccardSelect(candTable: String, threshold: Double, ordered: Boolean = true): String = {
     val candJoin =
       if (candTable == "common") ""
@@ -659,12 +708,18 @@ object PipelineOracles {
     * Used by simAnnIvf (probe path) and dedupSemantic (cluster-bounded
     * pair path).
     */
-  private val ivfCellCtes: String = {
+  /** `trainWhere`/`initOffset` let the append-index variant train the
+    * quantizer on a slice (the base corpus) while `cell`/`cell_rank`
+    * still assign EVERY vector against the trained centroids — the
+    * stored-postings ∪ tick-assignment union the Spark side serves.
+    * ("TRUE", 0) is the original whole-corpus training, bit-for-bit.
+    */
+  private def ivfCellCtesFor(trainWhere: String, initOffset: Int): String = {
     val s = Similarity.IvfMeanScale
     def lloydCtes(i: Int): String =
       s"""sc$i AS (SELECT n.vec_id, n.embedding, c.cid,
          |    ${dotSql("n.embedding", "c.ce")} / (n.nrm * c.cn) AS ccos
-         |  FROM norms n, c${i - 1} c),
+         |  FROM tnorms n, c${i - 1} c),
          |ar$i AS (SELECT vec_id, embedding, cid,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM sc$i),
          |asg$i AS (SELECT cid, embedding FROM ar$i WHERE rn = 1),
@@ -676,8 +731,9 @@ object PipelineOracles {
          |c$i AS (SELECT cid, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM cl$i)""".stripMargin
     val rounds = Similarity.IvfLloydRounds
     s"""$embNorms,
+       |tnorms AS (SELECT * FROM norms WHERE $trainWhere),
        |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn
-       |  FROM norms WHERE vec_id % ${Similarity.IvfStride} = 0
+       |  FROM tnorms WHERE vec_id % ${Similarity.IvfStride} = $initOffset
        |    AND vec_id < ${Similarity.IvfStride.toLong * Similarity.IvfMaxCells}),
        |${(1 to rounds).map(lloydCtes).mkString(",\n")},
        |cents AS (SELECT cid, ce, cn FROM c$rounds),
@@ -690,10 +746,14 @@ object PipelineOracles {
        |cell AS (SELECT vec_id, cid FROM cell_rank WHERE rn = 1)""".stripMargin
   }
 
-  /** IVF probe-path replay (training shared via [[ivfCellCtes]]). */
-  val simAnnIvf: String =
-    s"""WITH $ivfCellCtes,
-       |qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
+  private val ivfCellCtes: String = ivfCellCtesFor("TRUE", 0)
+
+  /** Probe tail shared by the whole-corpus and append-index IVF replays:
+    * nprobe nearest cells per query (from cell_rank), posting-list
+    * candidates, exact cosine re-rank, top-3.
+    */
+  private val ivfProbeTail: String =
+    s"""qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
        |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
        |cand AS (SELECT DISTINCT qprobe.query_id, cell.vec_id
        |  FROM cell JOIN qprobe ON cell.cid = qprobe.cid
@@ -706,6 +766,24 @@ object PipelineOracles {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  /** IVF probe-path replay (training shared via [[ivfCellCtes]]). */
+  val simAnnIvf: String =
+    s"""WITH $ivfCellCtes,
+       |$ivfProbeTail""".stripMargin
+
+  /** Replays the incrementally-maintained IVF index: quantizer trained
+    * on the BASE slice only (vec_id % IvfNewMod ≠ 0, stride-init offset
+    * IvfAppendInitOffset), every vector — base postings plus the tick's
+    * batch — assigned against those stored centroids, then the standard
+    * probe path. Maintenance must not change the serving contract.
+    */
+  val simIvfAppend: String =
+    s"""WITH ${ivfCellCtesFor(
+        s"vec_id % ${Similarity.IvfNewMod} <> 0",
+        Similarity.IvfAppendInitOffset
+      )},
+       |$ivfProbeTail""".stripMargin
 
   /** Replays SemDeDup: the shared quantizer training + cell assignment,
     * exact cosine pairs WITHIN each cell, min-id duplicate groups, keep

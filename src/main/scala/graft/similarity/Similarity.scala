@@ -128,7 +128,17 @@ object Similarity {
     * trained on a sample) rather than corpus/stride, but the round
     * shape is unchanged.
     */
-  private[graft] def lloydCentroids(emb: DataFrame): DataFrame = {
+  private[graft] def lloydCentroids(emb: DataFrame): DataFrame =
+    lloydCentroids(emb, 0)
+
+  /** `initOffset` shifts the stride-sample init (vec_id ≡ offset mod
+    * IvfStride) so a quantizer trained on a FILTERED slice can still
+    * seed from rows inside that slice — the append-index variant trains
+    * on the base corpus (vec_id % IvfNewMod ≠ 0), and offset 1 keeps
+    * every init vector in it (50k+1 ≢ 0 mod 5). Offset 0 is the
+    * original rule, bit-for-bit.
+    */
+  private[graft] def lloydCentroids(emb: DataFrame, initOffset: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // stride sample capped at IvfMaxCells: real IVF trains a FIXED k on
@@ -137,7 +147,7 @@ object Similarity {
     // IvfStride·IvfMaxCells vectors (deterministic either way, so the
     // oracle replays the same rule).
     var cents = emb
-      .filter($"vec_id" % IvfStride === 0 && $"vec_id" < IvfStride.toLong * IvfMaxCells)
+      .filter($"vec_id" % IvfStride === initOffset && $"vec_id" < IvfStride.toLong * IvfMaxCells)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
     for (_ <- 1 to IvfLloydRounds) {
       val assigned = emb
@@ -228,6 +238,136 @@ object Similarity {
   def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val cents = spark.table(ivfIndexTable(spark, dir))
     annIvfWith(corpusWithNorm(spark, dir), cents, IvfProbes)
+  }
+
+  /** Nearest-cell assignment of `emb` against `cents` — the shared IVF
+    * posting-list build: broadcast centroids, map-side cosine argmax
+    * (ties to the lowest cid), one (vec_id, cid) row per vector
+    * shuffles into the partial agg.
+    */
+  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"))
+  }
+
+  val IvfNewMod = 5 // incremental split: vec_id % IvfNewMod == 0 is the new batch
+  val IvfAppendInitOffset = 1 // stride-init offset that stays inside the base slice
+
+  /** Builds (once per corpus fingerprint) the INCREMENTALLY-MAINTAINED
+    * IVF index pair: the quantizer trained on the BASE corpus only
+    * (vec_id % IvfNewMod ≠ 0) and the persisted posting table (vec_id →
+    * cell) for the base vectors. This is the index-maintenance contract
+    * every production vector store has and `sim_ivf_persisted` alone
+    * does not: vectors arriving AFTER the build are assigned against
+    * the STORED centroids — one broadcast map pass, cost bounded by the
+    * batch — and appended to the postings; the quantizer is never
+    * retrained on a tick (the exact analog of the minhash index's
+    * appendToIndex and the layout's incremental manifest). Same
+    * buildOnce/fingerprint/retirement discipline as every other
+    * warehouse artifact.
+    */
+  private[graft] def ivfAppendTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val ct = s"graft_ivfapp_cents_$fp"
+    val at = s"graft_ivfapp_asg_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_ivfapp_cents_", "graft_ivfapp_asg_"),
+      Seq(ct, at)
+    ) {
+      val base = corpusWithNorm(spark, dir).filter($"vec_id" % IvfNewMod =!= 0)
+      lloydCentroids(base, IvfAppendInitOffset)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ct)
+      assignCells(base, spark.table(ct))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(at)
+    }
+    (ct, at)
+  }
+
+  /** The ingest tick: assign `batch` (vec_id, embedding, nrm) against
+    * the STORED quantizer and append the new postings — work ∝ batch,
+    * centroid table untouched (IvfAppendSpec drives two ticks and pins
+    * both properties).
+    */
+  def ivfAppendTick(spark: SparkSession, centTable: String, asgTable: String, batch: DataFrame): Unit =
+    assignCells(batch, spark.table(centTable))
+      .write
+      .mode("append")
+      .format("parquet")
+      .saveAsTable(asgTable)
+
+  /** Registered query: IVF top-k served over the incrementally-
+    * maintained index — stored base postings ∪ the arriving batch's
+    * tick assignment (computed in-flight against the stored centroids;
+    * the persisting tick itself is the [[ivfAppendTick]] API, driven by
+    * its spec, so the registered query stays idempotent per
+    * fingerprint). The serving plan reads BOTH index tables from the
+    * catalog: no Lloyd jobs, no corpus-wide assignment — exactly what
+    * "the index outlives the trainer, and ingest never rebuilds it"
+    * means at 100 TB.
+    */
+  def annIvfAppended(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ct, at) = ivfAppendTables(spark, dir)
+    val cents = spark.table(ct)
+    val emb = corpusWithNorm(spark, dir)
+    val tick = assignCells(emb.filter($"vec_id" % IvfNewMod === 0), cents)
+    ivfProbeServe(emb, cents, spark.table(at).union(tick), IvfProbes)
+  }
+
+  /** IVF probe-path serving over an EXPLICIT posting set `cell`
+    * (vec_id, cid): query probes scored fresh against `cents` (10
+    * query vectors × ≤IvfMaxCells — driver-scale), candidates from the
+    * postings equi-join, exact cosine re-rank, top-3. The shape of
+    * [[annIvfWith]] with the assignment pass replaced by the stored
+    * index.
+    */
+  private[graft] def ivfProbeServe(
+      emb: DataFrame,
+      cents: DataFrame,
+      cell: DataFrame,
+      probes: Int
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val qprobe = emb
+      .filter($"vec_id" < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= probes)
+      .select($"vec_id".as("query_id"), $"cid")
+    val cand = cell
+      .join(broadcast(qprobe), "cid")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .distinct()
+    val queryVecs = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    cand
+      .join(broadcast(queryVecs), "query_id")
+      .join(emb, "vec_id")
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
   }
 
   private def annIvfWith(emb: DataFrame, cents: DataFrame, probes: Int): DataFrame = {

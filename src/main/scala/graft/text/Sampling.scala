@@ -140,6 +140,44 @@ object Sampling {
       .orderBy($"source")
   }
 
+  val ShuffleShards = 8L // shard-count knob: sized to the training fleet, not the corpus
+
+  /** Deterministic global training-data shuffle into shards — the data-
+    * ordering step between curation and training: every serious
+    * pretraining run shuffles its corpus once so that consecutive
+    * training batches are i.i.d.-ish, and writes the permuted stream as
+    * S shard files consumed round-robin by data loaders. The permutation
+    * here is a pure function of doc_id (the keyed-md5 order idiom shared
+    * with hashSplit/domainMix/stratifiedTopK): shard = h mod S, position
+    * = rank of h within the shard. No RNG state, no coordination —
+    * reproducible across runs, engines, and cluster sizes, which is what
+    * makes a training run resumable and auditable.
+    *
+    * Scale: deliberately NOT a corpus-wide total order (a global sort by
+    * h would work but serializes into one range-partitioned sort). Shard
+    * assignment is map-side (hash mod S); the position is a WITHIN-shard
+    * sort only, so shards shuffle-sort independently and in parallel —
+    * at 100 TB, S is sized so one shard is a modest sorted run (the
+    * PackShards argument), and the hash mod balances shard sizes by
+    * construction (no skew: h is uniform). One shuffle, keyed by shard.
+    */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard")
+      .orderBy($"h", $"doc_id")
+    Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        conv(substring(md5(concat(lit("shuffle#"), $"doc_id")), 1, 8), 16, 10).cast("long").as("h")
+      )
+      .withColumn("shard", $"h" % ShuffleShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"doc_id")
+  }
+
   /** Seeded stratified sample by language (sampleBy): deterministic for a
     * fixed seed but engine-specific RNG, so no DuckDB oracle — the spec
     * checks determinism and per-stratum fraction tolerance instead.

@@ -310,6 +310,87 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  val ClsHeldMod = 5 // classifier eval split: doc_id % ClsHeldMod == 0 is scored, the rest trains
+
+  /** Corpus-trained document classifier — the fastText-shaped
+    * train-then-apply filter every modern data pipeline runs (language
+    * filters, quality classifiers, domain routers are all this op with
+    * different labels): train per-class token statistics on the labeled
+    * slice, score every held-out document against each class, keep the
+    * argmax. The model is Bernoulli-Naive-Bayes-flavored but POOLED in
+    * integer space (the lmScore trick) so the score is engine-exact —
+    * no per-token log-prob sum whose float order could drift:
+    *
+    *   p(d, c) = Σ_{t ∈ distinct(d)} (df_c(t)+1)  /  (n_d · (N_c + V))
+    *
+    * with df_c the per-class token document frequency, N_c the class
+    * doc count, V the trained vocabulary, n_d the doc's distinct-token
+    * count — exact BIGINT sums, ONE double division per (doc, class).
+    * Prediction is argmax_c p(d, c), ties to the alphabetically first
+    * class. Labels come from the `lang` column; the held-out split is
+    * doc_id % ClsHeldMod == 0, so the output doubles as a labeled
+    * accuracy audit (`is_correct`).
+    *
+    * Scale: the model is a (vocab × classes) aggregate — bounded like
+    * every model table here (feature hashing caps V at web scale, the
+    * lmScore argument), so it BROADCASTS; scoring is one map pass over
+    * held-out token rows (explode → ×|classes| → broadcast join), and
+    * the per-doc argmax is a map-side-combined max(struct) — one row
+    * per (doc, class) shuffles into the partial agg, one row per doc
+    * out. The corpus never shuffles its text. No windows.
+    */
+  def classify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documentsFanned(spark, dir)
+    val tok = docs.select(
+      $"doc_id",
+      $"lang",
+      explode(graft.functions.TextExpressions.distinctTokens(lower($"text"))).as("t")
+    )
+    val train = tok.filter($"doc_id" % ClsHeldMod =!= 0)
+    val model = train.groupBy($"t", $"lang".as("cls")).agg(count(lit(1)).as("df"))
+    // deterministic class order for the tie-break: rank alphabetically
+    // (the frame is |classes|-sized — the one window here is over ≤ a
+    // handful of rows, not data)
+    val classes = train
+      .select($"lang".as("cls"))
+      .distinct()
+      .withColumn("cls_rank", row_number().over(Window.orderBy($"cls")).cast("long"))
+    val classDocs = Tables
+      .documents(spark, dir)
+      .filter($"doc_id" % ClsHeldMod =!= 0)
+      .groupBy($"lang".as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val vocab = model.select($"t").distinct().agg(count(lit(1)).as("v"))
+    val test = tok.filter($"doc_id" % ClsHeldMod === 0).select($"doc_id", $"t")
+    val best = test
+      .crossJoin(broadcast(classes))
+      .join(broadcast(model), Seq("t", "cls"), "left")
+      .groupBy($"doc_id", $"cls", $"cls_rank")
+      .agg(count(lit(1)).as("n_d"), sum(coalesce($"df", lit(0L)) + lit(1L)).as("num"))
+      .join(broadcast(classDocs), "cls")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p", $"num".cast("double") / ($"n_d" * ($"n_c" + $"v")).cast("double"))
+      .groupBy($"doc_id")
+      .agg(max(struct($"p", (-$"cls_rank").as("nr"), $"cls")).as("best"))
+      .select($"doc_id", $"best.cls".as("pred"), $"best.p".as("p"))
+    // LEFT join from the held-out doc list: a doc with zero token rows
+    // (can't happen on this tokenizer — empty text still yields one ''
+    // token — but the guard keeps the contract total) predicts 'und'
+    docs
+      .filter($"doc_id" % ClsHeldMod === 0)
+      .select($"doc_id", $"lang")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        $"lang",
+        coalesce($"pred", lit("und")).as("pred_lang"),
+        round6(coalesce($"p", lit(0.0))).as("score"),
+        when(coalesce($"pred", lit("und")) === $"lang", 1L).otherwise(0L).as("is_correct")
+      )
+      .orderBy($"doc_id")
+  }
+
   val EvalMod = 97 // held-out eval split: doc_id % EvalMod == 0 …
   val EvalMaxDocs = 10000L // … capped: a benchmark set is fixed-size, not corpus-proportional
   val ContamThreshold = 0.1 // training doc is dirty above this overlap
