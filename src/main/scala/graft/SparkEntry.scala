@@ -146,6 +146,7 @@ object SparkEntry {
     "sim_pq_recall" -> ((s, d) => Pq.adcRecall(s, d)),
     "sim_ivf_pq" -> ((s, d) => Pq.ivfPqTopK(s, d)),
     "sim_hybrid_rerank" -> ((s, d) => Similarity.hybridRerank(s, d)),
+    "sim_hybrid_rerank_pq" -> ((s, d) => Similarity.hybridRerankPq(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -316,6 +317,7 @@ object SparkEntry {
     "sim_pq_recall" -> PipelineOracles.simPqRecall,
     "sim_ivf_pq" -> PipelineOracles.simIvfPq,
     "sim_hybrid_rerank" -> PipelineOracles.simHybridRerank,
+    "sim_hybrid_rerank_pq" -> PipelineOracles.simHybridRerankPq,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

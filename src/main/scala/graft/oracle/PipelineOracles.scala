@@ -972,10 +972,14 @@ object PipelineOracles {
     * vs the pc-/pq- family), so both training chains compose in one
     * WITH.
     */
-  val simIvfPq: String =
-    s"""WITH $ivfCellCtes,
-       |$pqCodesCtes,
-       |ipq_probe AS (SELECT vec_id AS query_id, cid FROM cell_rank
+  /** The IVF-PQ retrieval chain (probe → posting-list candidates → ADC
+    * over stored codes → exact-dot refine tail), shared by the top-k
+    * serve replay ([[simIvfPq]]) and the hybrid-fusion replay
+    * ([[simHybridRerankPq]]). Expects [[ivfCellCtes]] + [[pqCodesCtes]]
+    * earlier in the WITH.
+    */
+  private val ipqCtes: String =
+    s"""ipq_probe AS (SELECT vec_id AS query_id, cid FROM cell_rank
        |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
        |ipq_cand AS (SELECT p.query_id, cell.vec_id
        |  FROM cell JOIN ipq_probe p ON cell.cid = p.cid
@@ -1003,7 +1007,12 @@ object PipelineOracles {
        |ipq_rerank AS (SELECT query_id, vec_id, adc_dot, xdot,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
-       |  FROM ipq_refined)
+       |  FROM ipq_refined)""".stripMargin
+
+  val simIvfPq: String =
+    s"""WITH $ivfCellCtes,
+       |$pqCodesCtes,
+       |$ipqCtes
        |SELECT r.query_id, r.vec_id AS neighbor_id, r.rank,
        |  ${round6Sql("r.xdot")} AS dot, ${round6Sql("r.adc_dot")} AS adc_dot,
        |  n.n_probed
@@ -1760,6 +1769,32 @@ object PipelineOracles {
        |sem AS (SELECT doc_id, sem_rank FROM (
        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
        |  FROM sem0) WHERE sem_rank <= ${Similarity.HybridListK}),
+       |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |  ${round6Sql(
+        s"coalesce(CAST(1.0 AS DOUBLE) / CAST(lex_rank + ${Similarity.HybridRrfK} AS DOUBLE), CAST(0.0 AS DOUBLE))" +
+          s" + coalesce(CAST(1.0 AS DOUBLE) / CAST(sem_rank + ${Similarity.HybridRrfK} AS DOUBLE), CAST(0.0 AS DOUBLE))"
+      )} AS rrf_score
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM fused ORDER BY fused_rank""".stripMargin
+
+  /** Hybrid-retrieval replay, IVF-PQ semantic source: the bm25 oracle
+    * verbatim as the lexical list; the SEMANTIC list is the full
+    * IVF-PQ serve chain ([[ipqCtes]] — probed cells, ADC over stored
+    * codes, exact-dot refine) cut at rank ≤ HybridListK for the hybrid
+    * query vector; then the identical RRF arithmetic and fused total
+    * order as [[simHybridRerank]].
+    */
+  val simHybridRerankPq: String =
+    s"""WITH $ivfCellCtes,
+       |$pqCodesCtes,
+       |$ipqCtes,
+       |lex AS (SELECT doc_id, rank AS lex_rank FROM ($textBm25)),
+       |sem AS (SELECT vec_id AS doc_id, CAST(rank AS BIGINT) AS sem_rank
+       |  FROM ipq_rerank
+       |  WHERE query_id = ${Similarity.HybridQueryVec}
+       |    AND rank <= ${Similarity.HybridListK}),
        |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
        |  ${round6Sql(
         s"coalesce(CAST(1.0 AS DOUBLE) / CAST(lex_rank + ${Similarity.HybridRrfK} AS DOUBLE), CAST(0.0 AS DOUBLE))" +

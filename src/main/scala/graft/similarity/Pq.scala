@@ -242,6 +242,43 @@ object Pq {
     */
   def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val (refined, nCand) = ivfPqChain(spark, dir)
+    refined
+      .filter($"xrank" <= PqTopK)
+      .join(nCand, "query_id")
+      .select(
+        $"query_id",
+        $"vec_id".as("neighbor_id"),
+        $"xrank".as("rank"),
+        round($"xdot", 6).as("dot"),
+        round($"adc_dot", 6).as("adc_dot"),
+        $"n_probed"
+      )
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The IVF-PQ serving list at arbitrary depth `k ≤ PqRefine` for one
+    * query — the retrieval source `sim_hybrid_rerank_pq` fuses. Same
+    * chain as [[ivfPqTopK]] (probed cells → ADC over stored codes →
+    * exact-dot refine of the top `PqRefine`), just cut at a deeper
+    * rank, so the hybrid path inherits the bounded-scan cost shape
+    * unchanged: probes bound WHICH vectors are ADC-scored, codes bound
+    * the BYTES scored, and only `PqRefine` rows per query ever touch
+    * raw vectors regardless of `k`.
+    */
+  def ivfPqNeighbors(spark: SparkSession, dir: String, queryId: Long, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k <= PqRefine, s"list depth $k exceeds the exact-refined pool $PqRefine")
+    ivfPqChain(spark, dir)._1
+      .filter($"query_id" === queryId && $"xrank" <= k)
+      .select($"vec_id".as("doc_id"), $"xrank".cast("long").as("sem_rank"))
+  }
+
+  /** Shared IVF-PQ chain: (exact-refined ranking over the top
+    * `PqRefine` ADC candidates per query, probed-candidate counts).
+    */
+  private def ivfPqChain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
     val embN = emb.withColumn("nrm", norm($"embedding"))
     val cents = Similarity.lloydCentroids(embN)
@@ -277,23 +314,13 @@ object Pq {
       .filter($"vec_id" < Similarity.NumQueries)
       .select($"vec_id".as("query_id"), $"embedding".as("qe"))
     val wX = Window.partitionBy($"query_id").orderBy($"xdot".desc, $"vec_id")
-    ranked
+    val refined = ranked
       .filter($"rank" <= PqRefine)
       .join(broadcast(queries), "query_id")
       .join(emb, "vec_id")
       .withColumn("xdot", dot($"qe", $"embedding"))
       .withColumn("xrank", row_number().over(wX))
-      .filter($"xrank" <= PqTopK)
-      .join(nCand, "query_id")
-      .select(
-        $"query_id",
-        $"vec_id".as("neighbor_id"),
-        $"xrank".as("rank"),
-        round($"xdot", 6).as("dot"),
-        round($"adc_dot", 6).as("adc_dot"),
-        $"n_probed"
-      )
-      .orderBy($"query_id", $"rank")
+    (refined, nCand)
   }
 
   def adcRecall(spark: SparkSession, dir: String, refine: Int): DataFrame = {

@@ -828,6 +828,37 @@ object Similarity {
         row_number().over(Window.orderBy($"cosine".desc, $"vec_id")).cast("long")
       )
       .select($"vec_id".as("doc_id"), $"sem_rank")
+    rrfFuse(lex, sem)
+  }
+
+  /** The 100 TB form of [[hybridRerank]]: the SAME RRF fusion, but the
+    * semantic list comes from the IVF-PQ index ([[Pq.ivfPqNeighbors]])
+    * instead of an exact whole-corpus cosine scan. The exact source
+    * scores every vector per query — linear in the corpus — while the
+    * IVF-PQ source touches only the probed inverted lists at 6
+    * code-bytes/vector plus a fixed `PqRefine`-row exact tail, so the
+    * benched hybrid path inherits the index's bounded-scan trend
+    * (sim_ivf_pq's pinned shape) rather than the exact scan's. Fusion
+    * itself is unchanged: a full-outer join of two K-row frames. The
+    * lexical side stays exact BM25 (already one bounded map pass).
+    */
+  def hybridRerankPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = graft.text.TextAnalysis
+      .bm25(spark, dir)
+      .select($"doc_id", $"rank".as("lex_rank"))
+    val sem = Pq.ivfPqNeighbors(spark, dir, HybridQueryVec, HybridListK)
+    rrfFuse(lex, sem)
+  }
+
+  /** Shared RRF tail: rrf(d) = Σ 1/(k + rank_src(d)) over the sources
+    * that ranked d (missing source → 0), fused total order
+    * (score desc, doc_id). Inputs are K-row (doc_id, *_rank) frames —
+    * the join is trivially small whatever corpus produced the lists.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val spark = lex.sparkSession
+    import spark.implicits._
     def rrfTerm(rank: org.apache.spark.sql.Column) =
       coalesce(lit(1.0) / (rank + lit(HybridRrfK)).cast("double"), lit(0.0))
     lex

@@ -60,6 +60,7 @@ object ExplainDump {
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
     "stats_corr" -> "the whole correlation matrix from ONE corpus pass: every moment (n, Σx, Σx², Σxy) is an exact-decimal partial-aggregated sum; the 6 matrix rows explode out of the single moment row",
     "sim_hybrid_rerank" -> "RRF fusion of two K-bounded source lists: cost lives in the source plans (BM25 map pass, broadcast-query cosine), the fusion is a K-row full-outer join",
+    "sim_hybrid_rerank_pq" -> "same K-row RRF fusion, semantic source swapped to the IVF-PQ index: probed posting lists bound WHICH vectors are ADC-scored, stored 6-byte codes bound the BYTES, fixed 50-row exact tail — the hybrid serve inherits sim_ivf_pq's bounded-scan shape",
     "text_classifier" -> "trained pooled-NB scoring: vocab-bounded model broadcasts, held-out token rows score map-side, per-doc argmax partial-combines (one row per doc shuffles) — the corpus text never shuffles",
     "text_shuffle_shards" -> "deterministic shard shuffle: map-side shard = md5 mod S, position from a WITHIN-shard window — the only exchange is shard-keyed; no corpus-wide total order",
     "sim_ivf_append" -> "serving over the maintained index: centroids AND postings are catalog table scans (no Lloyd jobs); only the arriving batch is assigned in-flight"

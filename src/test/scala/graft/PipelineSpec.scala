@@ -409,6 +409,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
   }
 
+  test("hybrid RRF over IVF-PQ: semantic list IS the index's refined top-K; fusion decomposes") {
+    val rows = Similarity.hybridRerankPq(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // The semantic list is exactly the IVF-PQ serving list at depth
+    // HybridListK for the hybrid query — not an exact-cosine scan.
+    val wantSem = similarity.Pq
+      .ivfPqNeighbors(spark, dir, Similarity.HybridQueryVec, Similarity.HybridListK)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotSem = rows.filter(!_.isNullAt(2)).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotSem === wantSem)
+    assert(wantSem.size === Similarity.HybridListK)
+    // Same RRF decomposition contract as the exact-source fusion.
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val sem = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.isDefined || sem.isDefined, s"doc ${r.getLong(0)} in neither list")
+      val want = lex.map(x => 1.0 / (x + 60.0)).getOrElse(0.0) +
+        sem.map(x => 1.0 / (x + 60.0)).getOrElse(0.0)
+      val want6 = math.floor(want * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(3) === want6, s"doc ${r.getLong(0)} rrf")
+    }
+    val sorted = rows.sortBy(r => (-r.getDouble(3), r.getLong(0)))
+    assert(sorted.map(_.getLong(4)).toSeq === (1L to rows.length.toLong))
+    // The lexical side is unchanged between the exact and PQ fusions.
+    val exact = Similarity.hybridRerank(spark, dir).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pqLex = rows.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pqLex === exact)
+  }
+
   test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
