@@ -181,6 +181,7 @@ object SparkEntry {
     "mm_extract" -> ((s, d) => Multimodal.extract(s, d)),
     "mm_phash" -> ((s, d) => Multimodal.phash(s, d)),
     "mm_phash_png" -> ((s, d) => Multimodal.phashPng(s, d)),
+    "mm_phash_jpeg" -> ((s, d) => Multimodal.phashJpeg(s, d)),
     "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
@@ -353,6 +354,7 @@ object SparkEntry {
     // pixel-identical by construction: the PNG round-trip must land on
     // the same closed-form hash the BMP round-trip does
     "mm_phash_png" -> PipelineOracles.mmPhash,
+    "mm_phash_jpeg" -> PipelineOracles.mmPhashJpeg,
     "mm_phash_pairs" -> PipelineOracles.mmPhashPairs,
     "mm_phash_dedup" -> PipelineOracles.mmPhashDedup,
     "mm_audio_energy" -> PipelineOracles.mmAudioEnergy,

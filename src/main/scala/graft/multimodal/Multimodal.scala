@@ -174,6 +174,8 @@ object Multimodal {
     */
   private[multimodal] def decodePixels(p: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') return decodePng(p)
+    if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
+      return Jpeg.decodeBaseline(p)
     def le16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def le32(i: Int) = le16(i).toLong | (le16(i + 2).toLong << 16)
     if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
@@ -253,14 +255,16 @@ object Multimodal {
     )
   }
 
-  /** Decoder — a REAL end-to-end decode for uncompressed BMP/PPM
-    * payloads (pixels → real color/luma/edge features via
+  /** Decoder — a REAL end-to-end decode for BMP/PPM (uncompressed),
+    * PNG (chunk walk → [[Inflate]] → defilter) and baseline-sequential
+    * JPEG (Huffman → dequant → IDCT → YCbCr, [[Jpeg]]) payloads
+    * (pixels → real color/luma/edge features via
     * [[decodePixels]]/[[pixelFeatures]]); real header dimensions for
-    * PNG/JPEG; and for everything else a deterministic md5-derived fake
-    * stands in (the container ships no compressed-format codecs). Swap
-    * the fallback for a full decoder (JNI/ffmpeg/javacv) without
-    * touching the pipeline — the batched partition-local plumbing is
-    * format-agnostic.
+    * the remaining compressed frame types; and for everything else a
+    * deterministic md5-derived fake stands in (the container ships no
+    * media codecs beyond these pure-JVM ones). Swap the fallback for a
+    * full decoder (JNI/ffmpeg/javacv) without touching the pipeline —
+    * the batched partition-local plumbing is format-agnostic.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     decodePixels(payload) match {
@@ -490,6 +494,69 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** JPEG phash fixture — defined in the DCT COEFFICIENT domain so the
+    * lossy-in-general codec is exactly lossless on it: per 8×8 block
+    * only basis frequencies (0,0), (2,0), (0,2) and (4,4) are non-zero.
+    * The (0,0)/(4,4) contributions are exact integers (±S/8 with S a
+    * multiple of 8); the (2,0)/(0,2) contributions are t·√2·cos((2x+1)π/8)
+    * — irrational, but with t, r ∈ [−3, 3] every decoded sample sits
+    * ≥ 0.03 from a rounding boundary (checked exhaustively over the
+    * coefficient range), twelve orders of magnitude above double
+    * error, so round-half-up lands on the same integer in the engine's
+    * IDCT and in the oracle's closed-form replay. The (2,0)/(0,2)
+    * terms are also what keeps the dHash non-degenerate: their 2×2
+    * block sums do NOT cancel (unlike any u ∈ {0,4} pattern), so the
+    * hash sees real within-block texture, not just block means.
+    */
+  private[multimodal] def jpegCoef(d: Long, bx: Int, by: Int): (Int, Int, Int, Int) = {
+    val f = d % PhashFamilies
+    val a = ((f * 37 + bx * 11 + by * 23) % 97 - 48).toInt
+    val t = ((f * 13 + bx * 7 + by * 5) % 7 - 3).toInt
+    val r = ((f * 17 + bx * 3 + by * 19) % 7 - 3).toInt
+    val e = ((f * 29 + bx * 13 + by * 7) % 13 - 6).toInt
+    (a, t, r, e)
+  }
+
+  /** Unit (2,0)-basis contribution per sample: √2·cos((2x+1)π/8). */
+  private[graft] val JpegZ: Array[Double] =
+    Array.tabulate(8)(x => math.sqrt(2.0) * math.cos((2 * x + 1) * math.Pi / 8.0))
+
+  /** Closed-form decoded sample: what the full Huffman→dequant→IDCT→
+    * YCbCr chain must land on, pixel for pixel (the oracle replays
+    * exactly this formula; see PipelineOracles.mmPhashJpeg).
+    */
+  private[multimodal] def phashJpegPixel(d: Long, x: Int, y: Int): Int = {
+    val (a, t, r, e) = jpegCoef(d, x / 8, y / 8)
+    def s4(i: Int) = if (i % 8 == 0 || i % 8 == 3 || i % 8 == 4 || i % 8 == 7) 1 else -1
+    val v = 128.0 + a + t * JpegZ(x % 8) + r * JpegZ(y % 8) + s4(x) * s4(y) * e
+    math.floor(v + 0.5).toInt
+  }
+
+  /** Writes a REAL baseline-sequential color JPEG (3-component 4:4:4
+    * YCbCr, Annex K Huffman tables, unit quantization) of the
+    * [[jpegCoef]] fixture: the Y plane carries the four-frequency
+    * blocks, the chroma planes are flat (all-zero blocks → Cb=Cr=128
+    * exactly → the JFIF conversion is the identity on Y). The bytes
+    * then go through [[Jpeg.decodeBaseline]], the same parser the
+    * extract path uses, so the hash is computed from entropy-decoded
+    * IDCT output, not from the formula.
+    */
+  private[multimodal] def encodeGrayJpeg(d: Long): Array[Byte] =
+    Jpeg.encodeBaseline(
+      PhashW,
+      PhashH,
+      color = true,
+      (bx, by) => {
+        val (a, t, r, e) = jpegCoef(d, bx, by)
+        val nat = new Array[Int](64)
+        nat(0) = 8 * a // (v=0,u=0) DC
+        nat(2) = 8 * t // (v=0,u=2): horizontal texture
+        nat(16) = 8 * r // (v=2,u=0): vertical texture
+        nat(36) = 8 * e // (v=4,u=4): exact ± checker term
+        nat
+      }
+    )
+
   /** dHash over decoded pixels, split into two unsigned-32-bit halves
     * (bit 63 of a single BIGINT is not portable oracle arithmetic):
     * `lo` carries grid rows 0-3, `hi` rows 4-7; within a half,
@@ -579,6 +646,22 @@ object Multimodal {
   def phashPng(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     phashFrame(spark, dir, encodeGrayPng).orderBy($"media_id")
+  }
+
+  /** Registered query: same per-image hash contract, payload
+    * round-tripped through the engine's own baseline-sequential COLOR
+    * JPEG — Annex K Huffman entropy coding, per-component DC
+    * prediction, dequantization, full 2-D IDCT, JFIF YCbCr→RGB — via
+    * [[Jpeg]]. The fixture lives in the DCT coefficient domain
+    * ([[jpegCoef]]) so the round-trip is exactly lossless and the
+    * oracle replays the decoded pixels in closed form
+    * ([[phashJpegPixel]]): a mismatch anywhere in the entropy coder,
+    * the IDCT, or the color conversion fails the hash-check. Same
+    * partition-local shape as [[phash]] — bytes never shuffle.
+    */
+  def phashJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashFrame(spark, dir, encodeGrayJpeg).orderBy($"media_id")
   }
 
   /** Registered query: image near-dup pairs — 8×8-bit pigeonhole bands

@@ -1634,7 +1634,15 @@ object PipelineOracles {
        |      THEN ((doc_id % $fam) * 97 + (gy.y * $w + gx.x) * (31 + doc_id % $fam) + 128) % $mod
        |      ELSE ((doc_id % $fam) * 97 + (gy.y * $w + gx.x) * (31 + doc_id % $fam)) % $mod END AS g
        |  FROM documents, generate_series(0, ${w - 1}) gx(x), generate_series(0, ${h - 1}) gy(y)),
-       |blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by, sum(g) AS s FROM px GROUP BY 1, 2, 3),
+       |$phashDhashTail""".stripMargin
+  }
+
+  /** 2×2 block sums → 9×8 dHash grid → two unsigned-32-bit halves,
+    * over a `px(doc_id, x, y, g)` CTE — shared by the BMP/PNG closed
+    * form ([[phashCtes]]) and the JPEG one ([[mmPhashJpeg]]).
+    */
+  private def phashDhashTail: String =
+    s"""blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by, sum(g) AS s FROM px GROUP BY 1, 2, 3),
        |bits AS (SELECT a.doc_id, a.by, a.bx,
        |    CASE WHEN b.s > a.s THEN 1::BIGINT ELSE 0::BIGINT END AS bit
        |  FROM blk a JOIN blk b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
@@ -1643,6 +1651,40 @@ object PipelineOracles {
        |    CAST(sum(CASE WHEN by >= 4 THEN bit * (1::BIGINT << ((by - 4) * 8 + bx)) ELSE 0 END) AS BIGINT) AS ph_hi,
        |    CAST(sum(CASE WHEN by < 4 THEN bit * (1::BIGINT << (by * 8 + bx)) ELSE 0 END) AS BIGINT) AS ph_lo
        |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** Closed-form replay of the JPEG fixture's DECODED samples
+    * (Multimodal.phashJpegPixel): per 8×8 block the four coefficient
+    * values (a, t, r, e) from doc_id, the two irrational (2,0)/(0,2)
+    * basis magnitudes as full-precision double literals (both engines
+    * parse the same decimal → the same double; every sample is ≥0.03
+    * from a rounding boundary by construction), exact ±e checker term,
+    * round half up — then the shared dHash tail. The ENGINE computes
+    * the same hash from entropy-decoded IDCT output of a real color
+    * JPEG it encoded; equality proves the whole baseline codec
+    * (Huffman, dequant, IDCT, YCbCr) is exactly lossless on the
+    * fixture.
+    */
+  val mmPhashJpeg: String = {
+    val w = Multimodal.PhashW; val h = Multimodal.PhashH
+    val fam = Multimodal.PhashFamilies
+    val k1 = String.valueOf(Multimodal.JpegZ(0))
+    val k2 = String.valueOf(Multimodal.JpegZ(1))
+    val zx = s"CASE WHEN gx.x % 8 IN (0, 7) THEN $k1 WHEN gx.x % 8 IN (1, 6) THEN $k2 " +
+      s"WHEN gx.x % 8 IN (2, 5) THEN -$k2 ELSE -$k1 END"
+    val zy = s"CASE WHEN gy.y % 8 IN (0, 7) THEN $k1 WHEN gy.y % 8 IN (1, 6) THEN $k2 " +
+      s"WHEN gy.y % 8 IN (2, 5) THEN -$k2 ELSE -$k1 END"
+    val sx = "CASE WHEN gx.x % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END"
+    val sy = "CASE WHEN gy.y % 8 IN (0, 3, 4, 7) THEN 1 ELSE -1 END"
+    val f = s"(doc_id % $fam)"
+    val a = s"(($f * 37 + (gx.x // 8) * 11 + (gy.y // 8) * 23) % 97 - 48)"
+    val t = s"(($f * 13 + (gx.x // 8) * 7 + (gy.y // 8) * 5) % 7 - 3)"
+    val r = s"(($f * 17 + (gx.x // 8) * 3 + (gy.y // 8) * 19) % 7 - 3)"
+    val e = s"(($f * 29 + (gx.x // 8) * 13 + (gy.y // 8) * 7) % 13 - 6)"
+    s"""WITH px AS (SELECT doc_id, gx.x AS x, gy.y AS y,
+       |    CAST(floor(128.0 + $a + $t * ($zx) + $r * ($zy) + ($sx) * ($sy) * $e + 0.5) AS BIGINT) AS g
+       |  FROM documents, generate_series(0, ${w - 1}) gx(x), generate_series(0, ${h - 1}) gy(y)),
+       |$phashDhashTail
+       |SELECT doc_id AS media_id, ph_hi, ph_lo FROM ph ORDER BY media_id""".stripMargin
   }
 
   val mmPhash: String =

@@ -142,6 +142,63 @@ class PhashSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(Multimodal.encodeGrayBmp(5L)).isEmpty)
   }
 
+  test("encoded color JPEG decodes back to the closed-form pixels through Huffman/IDCT/YCbCr") {
+    for (d <- Seq(0L, 1L, 7L, 13L, 49L, 123L, 250L)) {
+      val bytes = Multimodal.encodeGrayJpeg(d)
+      // real interchange stream: SOI + JFIF APP0 + EOI framing
+      assert((bytes(0) & 0xff) === 0xff && (bytes(1) & 0xff) === 0xd8)
+      assert((bytes(bytes.length - 2) & 0xff) === 0xff && (bytes(bytes.length - 1) & 0xff) === 0xd9)
+      val Some((w, h, rgb)) = Multimodal.decodePixels(bytes)
+      assert(w === Multimodal.PhashW && h === Multimodal.PhashH)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = 3 * (y * w + x)
+        val want = Multimodal.phashJpegPixel(d, x, y)
+        assert((rgb(i) & 0xff) === want, s"d=$d ($x,$y) r")
+        assert((rgb(i + 1) & 0xff) === want, s"d=$d ($x,$y) g")
+        assert((rgb(i + 2) & 0xff) === want, s"d=$d ($x,$y) b")
+      }
+    }
+  }
+
+  test("JPEG restart markers (DRI/RSTn) decode identically to the unsegmented stream") {
+    for (d <- Seq(3L, 42L); ri <- Seq(1, 2, 5)) {
+      def coefs(bx: Int, by: Int): Array[Int] = {
+        val (a, t, r, e) = Multimodal.jpegCoef(d, bx, by)
+        val nat = new Array[Int](64)
+        nat(0) = 8 * a; nat(2) = 8 * t; nat(16) = 8 * r; nat(36) = 8 * e
+        nat
+      }
+      val plain = Jpeg.decodeBaseline(
+        Jpeg.encodeBaseline(Multimodal.PhashW, Multimodal.PhashH, color = true, coefs)
+      )
+      val rst = Jpeg.decodeBaseline(
+        Jpeg.encodeBaseline(Multimodal.PhashW, Multimodal.PhashH, color = true, coefs, ri)
+      )
+      assert(plain.isDefined && rst.isDefined)
+      assert(plain.get._3.toSeq === rst.get._3.toSeq, s"d=$d ri=$ri")
+    }
+  }
+
+  test("corrupt JPEGs are rejected, not mis-decoded") {
+    val jpg = Multimodal.encodeGrayJpeg(5L)
+    assert(Jpeg.decodeBaseline(jpg.take(30)).isEmpty) // truncated in headers
+    assert(Jpeg.decodeBaseline(jpg.dropRight(40)).isEmpty) // truncated entropy data
+    val noSoi = jpg.clone(); noSoi(1) = 0x00
+    assert(Jpeg.decodeBaseline(noSoi).isEmpty)
+    // flip SOF0 -> SOF2 (progressive): must refuse, not garble
+    val sofAt = jpg.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
+    assert(sofAt > 0)
+    val prog = jpg.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(Jpeg.decodeBaseline(prog).isEmpty)
+    // stomp the scan data with an invalid marker mid-stream
+    val sosAt = jpg.indexOfSlice(Seq(0xff.toByte, 0xda.toByte))
+    val stomped = jpg.clone()
+    stomped(sosAt + 20) = 0xff.toByte; stomped(sosAt + 21) = 0xc0.toByte
+    assert(Jpeg.decodeBaseline(stomped).isEmpty)
+    // a BMP payload is not a JPEG
+    assert(Jpeg.decodeBaseline(Multimodal.encodeGrayBmp(5L)).isEmpty)
+  }
+
   test("phashPng equals phash: the PNG and BMP round-trips land on identical hashes") {
     val bmp = Multimodal.phash(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val png = Multimodal.phashPng(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
