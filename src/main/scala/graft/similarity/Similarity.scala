@@ -288,7 +288,7 @@ object Similarity {
         .mode("overwrite")
         .format("parquet")
         .saveAsTable(ct)
-      assignCells(base, spark.table(ct))
+      withVectors(assignCells(base, spark.table(ct)), base)
         .write
         .mode("overwrite")
         .format("parquet")
@@ -297,35 +297,98 @@ object Similarity {
     (ct, at)
   }
 
+  /** Posting rows CARRY their vectors — (vec_id, cid, embedding, nrm) —
+    * the real vector-store layout: the exact re-rank reads raw vectors
+    * straight off the probed posting lists, so vectors ingested after
+    * the build (absent from any corpus file) are fully servable, and
+    * serving never needs a second corpus join.
+    */
+  private def withVectors(asg: DataFrame, src: DataFrame): DataFrame = {
+    val spark = asg.sparkSession
+    import spark.implicits._
+    asg.join(src.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+  }
+
   /** The ingest tick: assign `batch` (vec_id, embedding, nrm) against
-    * the STORED quantizer and append the new postings — work ∝ batch,
-    * centroid table untouched (IvfAppendSpec drives two ticks and pins
-    * both properties).
+    * the STORED quantizer and append the new postings (with their
+    * vectors) — work ∝ batch, centroid table untouched (IvfAppendSpec
+    * drives two ticks and pins both properties).
     */
   def ivfAppendTick(spark: SparkSession, centTable: String, asgTable: String, batch: DataFrame): Unit =
-    assignCells(batch, spark.table(centTable))
+    withVectors(assignCells(batch, spark.table(centTable)), batch)
       .write
       .mode("append")
       .format("parquet")
       .saveAsTable(asgTable)
 
   /** Registered query: IVF top-k served over the incrementally-
-    * maintained index — stored base postings ∪ the arriving batch's
-    * tick assignment (computed in-flight against the stored centroids;
-    * the persisting tick itself is the [[ivfAppendTick]] API, driven by
-    * its spec, so the registered query stays idempotent per
+    * maintained index — stored postings ∪ the arriving batch's tick
+    * assignment. The in-flight tick covers ONLY ids absent from the
+    * stored postings (anti-join against the already-ticked slice), so
+    * a batch that was persisted via [[ivfAppendTick]] is never
+    * re-assigned or double-counted, and a batch that wasn't is served
+    * immediately (the persisting tick itself is the ivfAppendTick API,
+    * driven by its spec, so the registered query stays idempotent per
     * fingerprint). The serving plan reads BOTH index tables from the
-    * catalog: no Lloyd jobs, no corpus-wide assignment — exactly what
-    * "the index outlives the trainer, and ingest never rebuilds it"
-    * means at 100 TB.
+    * catalog and re-ranks off the vectors stored IN the postings: no
+    * Lloyd jobs, no corpus-wide assignment, no corpus join — exactly
+    * what "the index outlives the trainer, and ingest never rebuilds
+    * it" means at 100 TB, and why out-of-corpus ingested vectors are
+    * first-class serve candidates.
     */
   def annIvfAppended(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (ct, at) = ivfAppendTables(spark, dir)
     val cents = spark.table(ct)
     val emb = corpusWithNorm(spark, dir)
-    val tick = assignCells(emb.filter($"vec_id" % IvfNewMod === 0), cents)
-    ivfProbeServe(emb, cents, spark.table(at).union(tick), IvfProbes)
+    val stored = spark.table(at)
+    // ids the tick slice already persisted: the base build never writes
+    // % IvfNewMod == 0 rows, so the filter bounds the anti-join's right
+    // side by the ticked volume, not the whole posting table
+    val ticked = stored.filter($"vec_id" % IvfNewMod === 0).select($"vec_id")
+    val pending = emb
+      .filter($"vec_id" % IvfNewMod === 0)
+      .join(ticked, Seq("vec_id"), "left_anti")
+    val tick = withVectors(assignCells(pending, cents), pending)
+    ivfServeFromPostings(emb, cents, stored.unionByName(tick), IvfProbes)
+  }
+
+  /** IVF probe-path serving where the posting rows carry their vectors:
+    * query probes scored fresh against `cents` (broadcast), candidates
+    * = probed posting rows, exact cosine re-rank directly on the stored
+    * vectors, top-3. Duplicate postings (e.g. a replayed tick) collapse
+    * via the per-(query, vector) dedup rather than poisoning ranks.
+    */
+  private[graft] def ivfServeFromPostings(
+      emb: DataFrame,
+      cents: DataFrame,
+      postings: DataFrame,
+      probes: Int
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val qprobe = emb
+      .filter($"vec_id" < NumQueries)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= probes)
+      .select($"vec_id".as("query_id"), $"cid")
+    val queryVecs = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    postings
+      .join(broadcast(qprobe), "cid")
+      .filter($"vec_id" =!= $"query_id")
+      .dropDuplicates("query_id", "vec_id")
+      .join(broadcast(queryVecs), "query_id")
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
   }
 
   /** IVF probe-path serving over an EXPLICIT posting set `cell`

@@ -349,13 +349,7 @@ object TextAnalysis {
     )
     val train = tok.filter($"doc_id" % ClsHeldMod =!= 0)
     val model = train.groupBy($"t", $"lang".as("cls")).agg(count(lit(1)).as("df"))
-    // deterministic class order for the tie-break: rank alphabetically
-    // (the frame is |classes|-sized — the one window here is over ≤ a
-    // handful of rows, not data)
-    val classes = train
-      .select($"lang".as("cls"))
-      .distinct()
-      .withColumn("cls_rank", row_number().over(Window.orderBy($"cls")).cast("long"))
+    val classes = train.select($"lang".as("cls")).distinct()
     val classDocs = Tables
       .documents(spark, dir)
       .filter($"doc_id" % ClsHeldMod =!= 0)
@@ -366,14 +360,17 @@ object TextAnalysis {
     val best = test
       .crossJoin(broadcast(classes))
       .join(broadcast(model), Seq("t", "cls"), "left")
-      .groupBy($"doc_id", $"cls", $"cls_rank")
+      .groupBy($"doc_id", $"cls")
       .agg(count(lit(1)).as("n_d"), sum(coalesce($"df", lit(0L)) + lit(1L)).as("num"))
       .join(broadcast(classDocs), "cls")
       .crossJoin(broadcast(vocab))
       .withColumn("p", $"num".cast("double") / ($"n_d" * ($"n_c" + $"v")).cast("double"))
+      // argmax with alphabetical tie-break, window-free: min over
+      // (-p, cls) = highest p, ties to the first class name (exact —
+      // IEEE sign flip loses nothing)
       .groupBy($"doc_id")
-      .agg(max(struct($"p", (-$"cls_rank").as("nr"), $"cls")).as("best"))
-      .select($"doc_id", $"best.cls".as("pred"), $"best.p".as("p"))
+      .agg(min(struct((-$"p").as("np"), $"cls")).as("best"))
+      .select($"doc_id", $"best.cls".as("pred"), (-$"best.np").as("p"))
     // LEFT join from the held-out doc list: a doc with zero token rows
     // (can't happen on this tokenizer — empty text still yields one ''
     // token — but the guard keeps the contract total) predicts 'und'

@@ -64,17 +64,45 @@ class IvfAppendSpec extends AnyFunSuite {
     // the serving plan reads the catalog artifacts (no training jobs)
     val served = Similarity.annIvfAppended(spark, dir)
     assert(served.queryExecution.analyzed.toString.contains("graft_ivfapp_asg_"))
-    // maintenance loses nothing: stored-postings ∪ tick == from-scratch
-    // assignment of the whole corpus against the same stored centroids
+    // maintenance loses nothing, INCLUDING out-of-corpus ingested
+    // vectors: stored-postings ∪ in-flight tick == from-scratch
+    // assignment of (corpus ∪ ticked batches) against the same stored
+    // centroids — ticked ids are first-class serve candidates because
+    // the postings carry their vectors
     val emb = graft.Tables
       .embeddingsFanned(spark, dir)
       .select($"vec_id", $"embedding", graft.functions.Portable.norm($"embedding").as("nrm"))
+    val embAll = emb.unionByName(batch(Seq(100L, 105L, 110L)))
+    val postAll = Similarity
+      .assignCells(embAll, spark.table(ct))
+      .join(embAll.select($"vec_id", $"embedding", $"nrm"), "vec_id")
     val scratch = Similarity
-      .ivfProbeServe(emb, spark.table(ct), Similarity.assignCells(emb, spark.table(ct)), Similarity.IvfProbes)
+      .ivfServeFromPostings(emb, spark.table(ct), postAll, Similarity.IvfProbes)
     assert(
       served.collect().map(_.toString).sameElements(scratch.collect().map(_.toString)),
-      "served result must equal the from-scratch recompute"
+      "served result must equal the from-scratch recompute over corpus + ticked vectors"
     )
     assert(served.count() > 0, "the probe path must return neighbors")
+
+    // direct servability proof: restrict the postings to the ticked
+    // rows alone — neighbors can then ONLY be ticked ids, which
+    // requires their stored vectors to drive the exact re-rank
+    val tickedOnly = Similarity.ivfServeFromPostings(
+      emb,
+      spark.table(ct),
+      spark.table(at).filter($"vec_id" >= 100L),
+      Similarity.IvfProbes
+    )
+    val tickedRows = tickedOnly.collect()
+    assert(tickedRows.nonEmpty, "ticked postings must be servable")
+    assert(tickedRows.forall(r => r.getLong(1) >= 100L))
+
+    // a re-played (already persisted) batch is NOT recomputed in-flight:
+    // the serve plan's pending tick excludes persisted ids, and a
+    // duplicate posting row cannot double-surface a neighbor
+    Similarity.ivfAppendTick(spark, ct, at, batch(Seq(110L)))
+    val afterDup = Similarity.annIvfAppended(spark, dir).collect()
+    assert(afterDup.map(_.toString).sameElements(scratch.collect().map(_.toString)),
+      "duplicate postings must not change the served result")
   }
 }
