@@ -1851,6 +1851,60 @@ object PipelineOracles {
     * same adjacent-2-gram enumeration with multiplicity, the same
     * count-desc / pair-asc total order at the top-K boundary.
     */
+  /** Full tokenizer-train + encode + pack replay, independent of the
+    * engine's mechanisms: per round, pair counts over the CURRENT
+    * symbolization + (count desc, pair asc) argmax — then the greedy
+    * no-remerge merge pass as a literal string replace over a
+    * delimiter-DOUBLED representation (`|a||b|` → `|ab|`): doubling
+    * makes adjacent matches share no characters (so left-to-right
+    * non-overlapping replace ≡ the engine's justMerged fold, incl. the
+    * [a,b,a,b] double-merge case) and delimits every symbol on both
+    * sides (no suffix/prefix false matches). The alnum word filter
+    * keeps symbols literal-safe. Tail: per-doc reassembly in word
+    * order, then the text_pack_blocks arithmetic over BPE counts
+    * (greatest(cum-1, 0) matches Spark's truncating div at cum = 0 —
+    * an all-punctuation doc can hold position 0 of its shard).
+    */
+  val textBpeEncode: String = {
+    import graft.text.{Bpe, Sampling}
+    val rounds = (1 to Bpe.EncodeMerges)
+      .map { r =>
+        s"""l$r AS (SELECT string_split(trim(s, '|'), '||') AS ls FROM s${r - 1}),
+           |p$r AS (SELECT ls[i] AS a, ls[i + 1] AS b, count(*) AS cnt
+           |  FROM (SELECT ls, unnest(generate_series(1, len(ls) - 1)) AS i FROM l$r)
+           |  GROUP BY 1, 2),
+           |t$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$r AS (SELECT doc_id, pos,
+           |    CASE WHEN t.a IS NULL THEN s
+           |         ELSE replace(s, '|' || t.a || '||' || t.b || '|', '|' || t.a || t.b || '|') END AS s
+           |  FROM s${r - 1} LEFT JOIN t$r t ON TRUE)""".stripMargin
+      }
+      .mkString(",\n")
+    val n = Bpe.EncodeMerges
+    s"""WITH wd0 AS (SELECT doc_id, unnest($toks) AS w, generate_subscripts($toks, 1) AS pos
+       |  FROM documents),
+       |wd AS (SELECT doc_id, pos, w FROM wd0 WHERE regexp_matches(w, '${Bpe.WordRe}')),
+       |s0 AS (SELECT doc_id, pos,
+       |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s FROM wd),
+       |$rounds,
+       |enc AS (SELECT doc_id, pos, string_split(trim(s, '|'), '||') AS syms FROM s$n),
+       |de AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks FROM enc GROUP BY 1),
+       |base AS (SELECT d.doc_id,
+       |    COALESCE(CAST(len(de.toks) AS BIGINT), 0) AS n_bpe_tokens,
+       |    COALESCE(array_to_string(de.toks, ' '), '') AS bpe_text
+       |  FROM documents d LEFT JOIN de ON d.doc_id = de.doc_id),
+       |sh AS (SELECT doc_id, n_bpe_tokens, bpe_text, doc_id % ${Sampling.PackShards} AS shard
+       |  FROM base),
+       |c AS (SELECT doc_id, n_bpe_tokens, bpe_text, shard,
+       |    CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM sh)
+       |SELECT doc_id, n_bpe_tokens, bpe_text, shard,
+       |  (cum - n_bpe_tokens) // ${Sampling.PackBlockTokens} AS start_block,
+       |  greatest(cum - 1, 0) // ${Sampling.PackBlockTokens} AS end_block
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val textBpePairs: String =
     s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
        |idx AS (

@@ -138,4 +138,66 @@ object Bpe {
     */
   def encode(w: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(symbols(w)) { case (arr, (a, b)) => mergePass(arr, a, b) }
+
+  /** Merge rounds for the registered corpus-encode query, and the word
+    * filter that keeps the trainable stream regex-free on the oracle
+    * side (alnum-only symbols make the merge patterns literal-safe).
+    */
+  val EncodeMerges = 8
+  val WordRe = "^[a-z0-9]+$"
+
+  /** Registered query `text_bpe_encode` — the tokenize→pack chain made
+    * real: train [[EncodeMerges]] BPE merges on the corpus word stream
+    * ([[train]] — one bounded-shuffle pair-count job per round), then
+    * tokenize every document with the trained list and pack the
+    * resulting BPE TOKEN counts into fixed-size training blocks (the
+    * `text_pack_blocks` recipe, fed by real tokenizer output instead of
+    * whitespace counts). The encode itself is [[encode]] statically
+    * unrolled inside a per-word lambda: one map-side projection over
+    * the corpus — no shuffle, no UDF, no driver loop; only the packing
+    * window (per-shard running offset, the declared pack shape) and the
+    * output sort exchange anything. Output: per doc, its BPE token
+    * count, the encoded text (symbols space-joined — the hash-checked
+    * proof the merges applied identically), and its start/end block.
+    *
+    * The oracle replays training AND encoding independently in SQL:
+    * per-round pair counts + argmax, and the greedy no-remerge pass as
+    * a delimiter-doubled string replace (`|a||b|` → `|ab|` — literal,
+    * overlap-safe, boundary-exact), then the same packing arithmetic.
+    */
+  def encodeDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables
+      .documentsFanned(spark, dir)
+      .select(explode(tokens($"text")).as("w"))
+      .filter($"w".rlike(WordRe))
+    val merges = train(words, "w", EncodeMerges).map(_._1)
+    val enc = Tables
+      .documents(spark, dir)
+      .select(
+        $"doc_id",
+        flatten(
+          transform(
+            filter(tokens($"text"), w => w.rlike(WordRe)),
+            w => encode(w, merges)
+          )
+        ).as("syms")
+      )
+      .select(
+        $"doc_id",
+        size($"syms").cast("long").as("n_tokens"),
+        array_join($"syms", " ").as("bpe_text")
+      )
+    Sampling
+      .packOver(enc)
+      .select(
+        $"doc_id",
+        $"n_tokens".as("n_bpe_tokens"),
+        $"bpe_text",
+        $"shard",
+        $"start_block",
+        $"end_block"
+      )
+      .orderBy($"doc_id")
+  }
 }

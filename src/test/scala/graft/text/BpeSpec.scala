@@ -51,6 +51,52 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("aab") === Seq("aa", "b")) // (a,b) never adjacent after merge 1
   }
 
+  test("encodeDocs: per-doc counts decompose into word-level encodes; packing is consistent") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val out = Bpe.encodeDocs(spark, dir).collect()
+    assert(out.nonEmpty)
+    // independently re-derive: train on the same filtered word stream,
+    // then per doc sum the sizes of per-word encodes
+    val words = graft.Tables
+      .documentsFanned(spark, dir)
+      .select(explode(graft.functions.Portable.tokens($"text")).as("w"))
+      .filter($"w".rlike(Bpe.WordRe))
+    val merges = Bpe.train(words, "w", Bpe.EncodeMerges).map(_._1)
+    val perDoc = graft.Tables
+      .documents(spark, dir)
+      .select($"doc_id", graft.functions.Portable.tokens($"text").as("ws"))
+      .collect()
+      .map { r =>
+        val ws = r.getSeq[String](1).filter(_.matches(Bpe.WordRe))
+        r.getLong(0) -> ws
+      }
+      .toMap
+    val encWord = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def enc(w: String): Seq[String] = encWord.getOrElseUpdate(
+      w,
+      Seq(w).toDF("w").select(Bpe.encode($"w", merges).as("s")).collect().head.getSeq[String](0)
+    )
+    out.foreach { r =>
+      val ws = perDoc(r.getLong(0))
+      val syms = ws.flatMap(enc)
+      assert(r.getLong(1) === syms.length.toLong, s"doc ${r.getLong(0)} token count")
+      assert(r.getString(2) === syms.mkString(" "), s"doc ${r.getLong(0)} encoded text")
+    }
+    // packing: running offsets per shard over BPE counts, block bounds
+    val byShard = out.groupBy(_.getLong(3))
+    byShard.foreach { case (shard, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        val n = r.getLong(1)
+        cum += n
+        assert(r.getLong(0) % Sampling.PackShards === shard)
+        assert(r.getLong(4) === (cum - n) / Sampling.PackBlockTokens, "start_block")
+        assert(r.getLong(5) === math.max(cum - 1, 0L) / Sampling.PackBlockTokens, "end_block")
+      }
+    }
+  }
+
   test("pairStats matches manual counting on sf0.001 and is rank-total-ordered") {
     val rows = Bpe.pairStats(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === Bpe.PairTopK)
