@@ -80,6 +80,7 @@ object SparkEntry {
     "layout_pruned_scan" -> ((s, d) => graft.queries.Layout.prunedScan(s, d)),
     "layout_incremental" -> ((s, d) => graft.queries.Layout.incrementalScan(s, d)),
     "layout_snapshot" -> ((s, d) => graft.queries.Layout.snapshotScan(s, d)),
+    "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "stream_heavy_hitters" -> ((s, d) => StreamingQueries.heavyHittersStream(s, d)),
     "stream_semantic_admit" -> ((s, d) => StreamingQueries.semanticAdmitStream(s, d)),
     "stream_scd2" -> ((s, d) => StreamingQueries.scd2Stream(s, d)),
+    "stream_layout_ingest" -> ((s, d) => graft.queries.Layout.streamIngestScan(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -165,6 +167,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "text_bpe_pairs" -> ((s, d) => graft.text.Bpe.pairStats(s, d)),
+    "text_bpe_encode" -> ((s, d) => graft.text.Bpe.encodeDocs(s, d)),
     "text_classifier" -> ((s, d) => TextAnalysis.classify(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "text_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
@@ -244,6 +247,9 @@ object SparkEntry {
     "layout_incremental" -> Oracles.layoutZorder,
     // snapshot v replayed from the raw table via the tick predicates
     "layout_snapshot" -> Oracles.layoutSnapshot,
+    // post-vacuum reads replayed from the raw table — expiry must
+    // delete nothing a retained snapshot references
+    "layout_vacuum" -> Oracles.layoutVacuum,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale
@@ -267,6 +273,8 @@ object SparkEntry {
     "events_scd2" -> Oracles.eventsScd2,
     // the streaming build emits the identical dimension (same oracle)
     "stream_scd2" -> Oracles.eventsScd2,
+    // the stream-committed layout answers the same box-scan contract
+    "stream_layout_ingest" -> Oracles.layoutZorder,
     "stream_tumbling" -> PipelineOracles.streamTumbling,
     "stream_user_stats" -> PipelineOracles.streamUserStats,
     // the drained streaming sessionizer equals the batch session_window
@@ -336,6 +344,7 @@ object SparkEntry {
     "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,
     "text_entropy" -> PipelineOracles.textEntropy,
     "text_bpe_pairs" -> PipelineOracles.textBpePairs,
+    "text_bpe_encode" -> PipelineOracles.textBpeEncode,
     "text_classifier" -> PipelineOracles.textClassifier,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "text_shuffle_shards" -> PipelineOracles.textShuffleShards,

@@ -602,6 +602,24 @@ object Oracles {
     * full table). Equality proves the tick/manifest machinery committed
     * exactly those rows to each snapshot.
     */
+  /** Vacuum is retention-only: the retained snapshot (the compaction
+    * commit = the whole table) and its manifest-pruned box scan must
+    * answer exactly as the raw table does — equality proves expiry
+    * deleted nothing any retained snapshot references.
+    */
+  val layoutVacuum: String = {
+    import graft.queries.Layout._
+    def m(metric: String, where: String): String =
+      s"""SELECT '$metric' AS metric, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem WHERE $where""".stripMargin
+    Seq(
+      m("pruned_box", s"l_partkey BETWEEN $PartLo AND $PartHi AND l_suppkey BETWEEN $SuppLo AND $SuppHi"),
+      m("snapshot_v3", "TRUE")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+  }
+
   val layoutSnapshot: String = {
     def snap(v: Int, pred: String): String =
       s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,

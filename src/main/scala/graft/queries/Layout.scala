@@ -353,6 +353,245 @@ object Layout {
       .orderBy($"version")
   }
 
+  // ---- streaming ingest into the incremental layout --------------------
+
+  val StreamIngestFragFiles = 6 // arriving "upstream" files
+  val StreamIngestFilesPerTrigger = 2 // → 3 micro-batches
+  val StreamIngestTickFiles = 2 // z-clustered files per committed tick
+
+  /** Spec ledger: (non-empty micro-batches, manifest segments
+    * committed) by the last streaming-ingest build in this JVM — the
+    * one-segment-per-batch contract.
+    */
+  private[graft] val lastStreamIngest =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Builds (once per fingerprint) the stream-maintained layout: a
+    * Structured Streaming file source drains the fragmented upstream
+    * dir in micro-batches, and `foreachBatch` IS the ingest tick — each
+    * batch commits its own z-clustered data files plus a manifest
+    * segment with min/max stats for exactly those files. This ties the
+    * two ingest-tick APIs together: the streaming admission path writes
+    * through the same per-tick layout contract `layout_incremental`
+    * maintains, so a pruned scan over the accumulated segments stays
+    * metadata-cheap no matter how long the stream runs. Returns the
+    * tick root (data_<batch>/ + man_<batch>/ per committed batch).
+    */
+  private[graft] def streamIngestRoot(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val frag = tmpDirOnce("graft_slsrc_", fp) { path =>
+      Tables.lineitem(spark, dir).repartition(StreamIngestFragFiles).write.mode("overwrite").parquet(path)
+    }
+    tmpDirOnce("graft_sling_", fp) { root =>
+      new java.io.File(root).mkdirs()
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", StreamIngestFilesPerTrigger)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val segments = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, id: java.lang.Long) =>
+          if (!df.isEmpty) {
+            batches.incrementAndGet()
+            val dataPath = s"$root/data_$id"
+            df.withColumn("z", zValue($"l_partkey".cast("int"), $"l_suppkey".cast("int")))
+              .repartitionByRange(StreamIngestTickFiles, $"z")
+              .sortWithinPartitions($"z")
+              .drop("z")
+              .write
+              .mode("overwrite")
+              .parquet(dataPath)
+            spark.read
+              .parquet(dataPath)
+              .groupBy(input_file_name().as("file"))
+              .agg(
+                min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+                min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax")
+              )
+              .write
+              .mode("overwrite")
+              .parquet(s"$root/man_$id")
+            segments.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      lastStreamIngest.set((batches.get, segments.get))
+      new java.io.File(root, "_SUCCESS").createNewFile()
+      ()
+    }
+  }
+
+  /** Registered query `stream_layout_ingest`: the manifest-pruned box
+    * scan over the STREAM-committed layout — identical result contract
+    * (and oracle) to `layout_zorder`/`layout_pruned_scan`, proving the
+    * streaming write path commits exactly the batch it drained, one
+    * manifest segment per micro-batch (ledger spec-pinned). At 100 TB
+    * this is the production write path: continuous ingest lands as
+    * locally-clustered immutable files + per-commit stats, and readers
+    * prune against segment metadata without ever rescanning history.
+    */
+  def streamIngestScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamIngestRoot(spark, dir)
+    val subdirs = Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+    val manDirs = subdirs.filter(_.getName.startsWith("man_")).map(_.getAbsolutePath)
+    val keep = spark.read
+      .parquet(manDirs.toIndexedSeq: _*)
+      .filter($"pmax" >= PartLo && $"pmin" <= PartHi && $"smax" >= SuppLo && $"smin" <= SuppHi)
+      .select($"file")
+      .collect()
+      .map(_.getString(0))
+    val base =
+      if (keep.isEmpty) {
+        val dataDirs = subdirs.filter(_.getName.startsWith("data_")).map(_.getAbsolutePath)
+        spark.read.parquet(dataDirs.toIndexedSeq: _*).filter(lit(false))
+      } else spark.read.parquet(keep.toIndexedSeq: _*)
+    base
+      .filter($"l_partkey".between(PartLo, PartHi) && $"l_suppkey".between(SuppLo, SuppHi))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  // ---- snapshot expiry / vacuum (the retention half of the lifecycle) --
+
+  val VacCompactFiles = 4
+
+  /** Spec ledger: (files physically deleted, live files retained) by
+    * the last [[vacuumScan]] expiry pass in this JVM.
+    */
+  private[graft] val lastVacuum =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Builds the vacuum lineage (its own fingerprinted dirs, separate
+    * from the incremental layout's, because expiry DELETES files):
+    * commits v0..v2 are the ingest ticks (same slice recipe and
+    * z-clustered write as [[incTick]]), commit v3 is a COMPACTION
+    * rewrite of the live data into [[VacCompactFiles]] z-ordered files
+    * plus their manifest — the snapshot that logically supersedes every
+    * tick file. Returns (tick data dirs, compacted dir, manifest dir).
+    */
+  private[graft] def vacuumLineage(spark: SparkSession, dir: String): (Seq[String], String, String) = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val tickDirs = (0 until IncSlices).map { k =>
+      tmpDirOnce(s"graft_vacd${k}_", fp) { path =>
+        incSlice(spark, dir, k)
+          .withColumn("z", zValue($"l_partkey".cast("int"), $"l_suppkey".cast("int")))
+          .repartitionByRange(IncSliceFiles(k), $"z")
+          .sortWithinPartitions($"z")
+          .drop("z")
+          .write
+          .mode("overwrite")
+          .parquet(path)
+      }
+    }
+    // the compaction commit MUST land before any expiry deletes ticks
+    val comp = tmpDirOnce("graft_vacc_", fp) { path =>
+      spark.read
+        .parquet(tickDirs: _*)
+        .withColumn("z", zValue($"l_partkey".cast("int"), $"l_suppkey".cast("int")))
+        .repartitionByRange(VacCompactFiles, $"z")
+        .sortWithinPartitions($"z")
+        .drop("z")
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    val man = tmpDirOnce("graft_vacm_", fp) { path =>
+      spark.read
+        .parquet(comp)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+          min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax")
+        )
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    (tickDirs, comp, man)
+  }
+
+  private def dataFiles(dirPath: String): Seq[java.io.File] =
+    Option(new java.io.File(dirPath).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .toSeq
+
+  /** Snapshot expiry: retain only the latest snapshot (v3, the
+    * compaction commit) and physically delete every data file that is
+    * referenced EXCLUSIVELY by the expired snapshots v0..v2 — i.e. a
+    * tick file absent from the live (compacted) file set. The live-set
+    * check is by absolute path, so a file reachable from any retained
+    * snapshot can never be deleted; the _SUCCESS markers stay in the
+    * tick dirs so the build-once guard never resurrects expired files.
+    * Idempotent: a second pass finds nothing to delete.
+    */
+  private[graft] def vacuumExpire(tickDirs: Seq[String], comp: String): (Int, Int) = {
+    val live = dataFiles(comp).map(_.getAbsolutePath).toSet
+    var deleted = 0
+    tickDirs.foreach { d =>
+      dataFiles(d).foreach { f =>
+        if (!live.contains(f.getAbsolutePath) && f.delete()) deleted += 1
+      }
+    }
+    (deleted, live.size)
+  }
+
+  /** Registered query `layout_vacuum`: run the full retention story —
+    * tick commits, compaction commit, snapshot expiry (keep latest),
+    * physical file deletion — then prove the surviving snapshot still
+    * answers EXACTLY: the full-table aggregate over the post-vacuum
+    * compacted files (`snapshot_v3`) and the manifest-pruned box scan
+    * over the same files (`pruned_box`), both replayed by the oracle on
+    * the raw table. At 100 TB this is the half of the Iceberg/Delta
+    * story that caps storage: vacuum cost is O(expired files) metadata
+    * + deletes, reads after vacuum cost exactly what they cost before,
+    * and the retained manifest keeps pruning.
+    */
+  def vacuumScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (tickDirs, comp, man) = vacuumLineage(spark, dir)
+    lastVacuum.set(vacuumExpire(tickDirs, comp))
+    val keep = spark.read
+      .parquet(man)
+      .filter($"pmax" >= PartLo && $"pmin" <= PartHi && $"smax" >= SuppLo && $"smin" <= SuppHi)
+      .select($"file")
+      .collect()
+      .map(_.getString(0))
+    val prunedBase =
+      if (keep.isEmpty) spark.read.parquet(comp).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    def agg(df: DataFrame, metric: String) =
+      df.groupBy()
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+        )
+        .select(lit(metric).as("metric"), $"n_rows", $"sum_qty", $"revenue")
+    agg(
+      prunedBase.filter($"l_partkey".between(PartLo, PartHi) && $"l_suppkey".between(SuppLo, SuppHi)),
+      "pruned_box"
+    )
+      .unionByName(agg(spark.read.parquet(comp), "snapshot_v3"))
+      .orderBy($"metric")
+  }
+
   /** The registered query: a selective conjunctive box scan over the
     * z-ordered layout. Results are layout-invariant (the oracle runs
     * the same predicate on the raw table); the layout's value — most

@@ -57,14 +57,17 @@ object ExplainDump {
     "q32_salted_join" -> "salted sort-merge join: both exchanges hash on (key, salt), so one hot key spreads over SaltFactor reducers; no broadcast — the demo exercises the shuffle path salting exists for",
     "events_scd2" -> "both window passes (lag mark, version/lead close) share ONE user-keyed exchange; the second sort sees only surviving change points",
     "layout_snapshot" -> "all snapshots audited in one pass over the tick files: explode(sequence(tick, latest)) fans rows to their versions, partial-aggregated to #versions rows before the only exchange",
+    "layout_vacuum" -> "expiry is O(expired files) metadata + deletes — no data pass; the post-vacuum reads are the ordinary compacted scan and manifest-pruned box scan, costing exactly what they cost before vacuum",
+    "stream_layout_ingest" -> "foreachBatch commits one z-clustered tick + one manifest segment per micro-batch (work per commit bounded by the batch); the serve is the segmented-manifest pruned scan — readers never rescan history",
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
+    "text_bpe_encode" -> "train = EncodeMerges bounded-shuffle pair-count rounds; the encode itself is a statically-unrolled per-word fold in one map-side projection (no shuffle, no UDF); only the per-shard packing window and the output sort exchange rows",
     "stats_corr" -> "the whole correlation matrix from ONE corpus pass: every moment (n, Σx, Σx², Σxy) is an exact-decimal partial-aggregated sum; the 6 matrix rows explode out of the single moment row",
     "sim_hybrid_rerank" -> "RRF fusion of two K-bounded source lists: cost lives in the source plans (BM25 map pass, broadcast-query cosine), the fusion is a K-row full-outer join",
     "sim_hybrid_rerank_pq" -> "same K-row RRF fusion, semantic source swapped to the IVF-PQ index: probed posting lists bound WHICH vectors are ADC-scored, stored 6-byte codes bound the BYTES, fixed 50-row exact tail — the hybrid serve inherits sim_ivf_pq's bounded-scan shape",
     "text_classifier" -> "trained pooled-NB scoring: vocab-bounded model broadcasts, held-out token rows score map-side, per-doc argmax partial-combines (one row per doc shuffles) — the corpus text never shuffles",
     "text_shuffle_shards" -> "deterministic shard shuffle: map-side shard = md5 mod S, position from a WITHIN-shard window — the only exchange is shard-keyed; no corpus-wide total order",
-    "sim_ivf_append" -> "serving over the maintained index: centroids AND postings are catalog table scans (no Lloyd jobs); only the arriving batch is assigned in-flight"
+    "sim_ivf_append" -> "serving over the maintained index: centroids AND postings are catalog table scans (no Lloyd jobs); only the not-yet-persisted slice of the arriving batch is assigned in-flight (anti-join vs the ticked ids), and the exact re-rank reads vectors stored IN the postings — no corpus join, so out-of-corpus ingested vectors are servable"
   )
 
   def main(args: Array[String]): Unit = {

@@ -208,4 +208,98 @@ class LayoutSpec extends AnyFunSuite {
     // snapshots only grow: append-only ingest never shrinks history
     assert(snaps(0L)._1 < snaps(1L)._1 && snaps(1L)._1 < snaps(2L)._1)
   }
+
+  test("streaming ingest: one manifest segment per micro-batch; pruned scan equals the raw table") {
+    import spark.implicits._
+    // fresh corpus copy → fresh fingerprint → the stream actually runs
+    val sdir = java.nio.file.Files.createTempDirectory("graft-sling-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$sdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+
+    val got = Layout.streamIngestScan(spark, sdir).collect()
+    val (batches, segments) = Layout.lastStreamIngest.get()
+    val wantBatches = Layout.StreamIngestFragFiles / Layout.StreamIngestFilesPerTrigger
+    assert(batches === wantBatches, "file source must drain in maxFilesPerTrigger batches")
+    assert(segments === batches, "exactly one manifest segment per micro-batch")
+    val root = Layout.streamIngestRoot(spark, sdir)
+    def dirs(prefix: String) =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+    assert(dirs("man_").length === segments)
+    assert(dirs("data_").length === segments)
+    // each segment holds stats for exactly its tick's files
+    dirs("man_").foreach { m =>
+      val tick = m.getName.stripPrefix("man_")
+      val files = spark.read.parquet(m.getAbsolutePath).select($"file").collect().map(_.getString(0))
+      assert(files.nonEmpty && files.forall(_.contains(s"data_$tick")), s"segment $tick scope")
+    }
+    // result contract: identical to the raw-table box aggregate
+    val want = Tables.lineitem(spark, sdir)
+      .filter($"l_partkey".between(Layout.PartLo, Layout.PartHi) &&
+        $"l_suppkey".between(Layout.SuppLo, Layout.SuppHi))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)), sum($"l_quantity").cast("long"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"))
+      .orderBy($"l_returnflag")
+      .collect()
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+    // re-run: build-once — the stream does not re-ingest
+    Layout.lastStreamIngest.set((-1, -1))
+    val again = Layout.streamIngestScan(spark, sdir).collect()
+    assert(Layout.lastStreamIngest.get() === ((-1, -1)), "second call must not re-run the stream")
+    assert(again.map(_.toString).toSeq === got.map(_.toString).toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sdir))
+  }
+
+  test("vacuum: expired tick files physically removed, retained snapshot answers identically") {
+    import spark.implicits._
+    // fresh lineage: copy the corpus so the path-based fingerprint (and
+    // therefore the tmpdir lineage) is new to this JVM AND this machine
+    val vdir = java.nio.file.Files.createTempDirectory("graft-vac-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$vdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+
+    // build the lineage WITHOUT expiring: all commits on disk
+    val (tickDirs, comp, man) = Layout.vacuumLineage(spark, vdir)
+    def parquetCount(d: String): Int =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val tickFilesBefore = tickDirs.map(parquetCount).sum
+    assert(tickFilesBefore > 0, "tick commits must exist before expiry")
+    val compFiles = parquetCount(comp)
+    assert(compFiles === Layout.VacCompactFiles)
+    val v3Before = spark.read.parquet(comp)
+      .agg(count(lit(1)), sum($"l_quantity").cast("long")).collect().head
+
+    // expire: every tick file deleted (none is referenced by v3), the
+    // compacted files untouched, and the pass is idempotent
+    val out1 = Layout.vacuumScan(spark, vdir).collect()
+    assert(Layout.lastVacuum.get() === ((tickFilesBefore, Layout.VacCompactFiles)))
+    assert(tickDirs.map(parquetCount).sum === 0, "expired data files must be gone from disk")
+    assert(parquetCount(comp) === compFiles, "live files must survive expiry")
+    val out2 = Layout.vacuumScan(spark, vdir).collect()
+    assert(Layout.lastVacuum.get() === ((0, Layout.VacCompactFiles)), "second pass deletes nothing")
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+
+    // the retained snapshot still answers exactly (vs the raw table and
+    // vs its own pre-vacuum read), and the manifest still prunes
+    val v3After = spark.read.parquet(comp)
+      .agg(count(lit(1)), sum($"l_quantity").cast("long")).collect().head
+    assert(v3After.toString === v3Before.toString)
+    val raw = Tables.lineitem(spark, vdir)
+      .agg(count(lit(1)), sum($"l_quantity").cast("long")).collect().head
+    assert(v3After.toString === raw.toString)
+    val m = spark.read.parquet(man)
+    assert(m.count() === Layout.VacCompactFiles.toLong)
+    val keep = m.filter(
+      $"pmax" >= Layout.PartLo && $"pmin" <= Layout.PartHi &&
+        $"smax" >= Layout.SuppLo && $"smin" <= Layout.SuppHi
+    ).count()
+    assert(keep < Layout.VacCompactFiles.toLong, "the z-clustered manifest must still skip files")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+  }
 }
