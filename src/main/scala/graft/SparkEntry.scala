@@ -149,6 +149,7 @@ object SparkEntry {
     "sim_ivf_pq" -> ((s, d) => Pq.ivfPqTopK(s, d)),
     "sim_hybrid_rerank" -> ((s, d) => Similarity.hybridRerank(s, d)),
     "sim_hybrid_rerank_pq" -> ((s, d) => Similarity.hybridRerankPq(s, d)),
+    "sim_ann_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -327,6 +328,7 @@ object SparkEntry {
     "sim_ivf_pq" -> PipelineOracles.simIvfPq,
     "sim_hybrid_rerank" -> PipelineOracles.simHybridRerank,
     "sim_hybrid_rerank_pq" -> PipelineOracles.simHybridRerankPq,
+    "sim_ann_filtered" -> PipelineOracles.simAnnFiltered,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

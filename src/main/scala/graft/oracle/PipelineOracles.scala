@@ -1009,6 +1009,34 @@ object PipelineOracles {
        |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
        |  FROM ipq_refined)""".stripMargin
 
+  /** Filtered-ANN replay: same IVF chain, the label-equality predicate
+    * applied to candidates (pre-filter, exactly where the engine drops
+    * them), exact cosine re-rank, top-3.
+    */
+  val simAnnFiltered: String =
+    s"""WITH $ivfCellCtes,
+       |qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
+       |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
+       |qmeta AS (SELECT vec_id AS query_id, label FROM embeddings
+       |  WHERE vec_id < ${Similarity.NumQueries}),
+       |fcand AS (SELECT DISTINCT qprobe.query_id, cell.vec_id
+       |  FROM cell JOIN qprobe ON cell.cid = qprobe.cid
+       |  JOIN embeddings ne ON ne.vec_id = cell.vec_id
+       |  JOIN qmeta ON qmeta.query_id = qprobe.query_id
+       |  WHERE cell.vec_id <> qprobe.query_id AND ne.label = qmeta.label),
+       |fscored AS (SELECT f.query_id, m.label, f.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+       |  FROM fcand f
+       |  JOIN norms q ON q.vec_id = f.query_id
+       |  JOIN norms e ON e.vec_id = f.vec_id
+       |  JOIN qmeta m ON m.query_id = f.query_id),
+       |franked AS (SELECT query_id, label, neighbor_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+       |  FROM fscored)
+       |SELECT query_id, label, neighbor_id, rank, round(cosine, 6) AS cosine
+       |FROM franked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val simIvfPq: String =
     s"""WITH $ivfCellCtes,
        |$pqCodesCtes,

@@ -207,6 +207,59 @@ object Similarity {
     annIvfWith(emb, lloydCentroids(emb), probes)
   }
 
+  /** Filtered ANN — the metadata-constrained retrieval every production
+    * vector store serves ("nearest neighbors WHERE <predicate>"): per
+    * query, top-3 by cosine among probed-cell vectors sharing the
+    * query's label. The predicate is PRE-applied at the index, not
+    * post-applied to the result list: candidates from the probed
+    * inverted lists drop non-matching labels the moment they fetch
+    * their metadata row — before any distance math or ranking state —
+    * so a selective filter SHRINKS the scored set (probes/cells of the
+    * corpus × selectivity) instead of starving a post-filtered top-k.
+    * Recall stays governed by the probe knob exactly as in sim_ann_ivf
+    * (the oracle replays probes + filter verbatim); a production store
+    * widens probes when the filter is selective, the documented
+    * trade-off this operator makes measurable.
+    */
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val embL = Tables
+      .embeddingsFanned(spark, dir)
+      .select($"vec_id", $"embedding", norm($"embedding").as("nrm"), $"label")
+    val emb = embL.select($"vec_id", $"embedding", $"nrm")
+    val cents = lloydCentroids(emb)
+    val scoredCells = emb
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
+    val cell = scoredCells
+      .groupBy($"vec_id")
+      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+      .select($"vec_id", (-$"best.ncid").as("cid"))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val qprobe = scoredCells
+      .filter($"vec_id" < NumQueries)
+      .withColumn("rn", row_number().over(wProbe))
+      .filter($"rn" <= IvfProbes)
+      .select($"vec_id".as("query_id"), $"cid")
+    val queryMeta = embL
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"), $"label".as("qlabel"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    cell
+      .join(broadcast(qprobe), "cid")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .distinct()
+      .join(embL, "vec_id") // candidate fetches vector + metadata once
+      .join(broadcast(queryMeta), "query_id")
+      .filter($"label" === $"qlabel") // pushed ahead of all distance math
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"query_id", $"label", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   /** The DURABLE face of the quantizer artifact: the trained centroids
     * written once per content fingerprint as a warehouse table (the
     * same buildOnce/retirement discipline as the minhash signature

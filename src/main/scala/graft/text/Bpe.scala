@@ -146,32 +146,103 @@ object Bpe {
   val EncodeMerges = 8
   val WordRe = "^[a-z0-9]+$"
 
+  /** One greedy merge pass over a symbol sequence — the plain-Scala
+    * twin of [[mergePass]] (same no-remerge fold, element for element;
+    * BpeSpec pins the equivalence). Used where the input is already a
+    * driver-side word dictionary, not a corpus column.
+    */
+  private[text] def mergePassScala(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var justMerged = false
+    s.foreach { c =>
+      if (!justMerged && out.nonEmpty && out.last == a && c == b) {
+        out(out.length - 1) = a + b
+        justMerged = true
+      } else {
+        out += c
+        justMerged = false
+      }
+    }
+    out.toSeq
+  }
+
+  /** Trains `nMerges` merges on a WORD-FREQUENCY dictionary — the
+    * subword-nmt/SentencePiece training shape (Sennrich et al. 2016
+    * train on word counts, not the raw token stream): each round's pair
+    * count is Σ_w freq(w) · pairs(symbolization(w)), identical by
+    * definition to [[train]]'s per-occurrence count (BpeSpec pins the
+    * equality), but the loop runs over the vocabulary, not the corpus.
+    * Same deterministic argmax (count desc, pair-lex asc).
+    */
+  private[text] def trainOnCounts(
+      wordCounts: Seq[(String, Long)],
+      nMerges: Int
+  ): Seq[((String, String), Long)] = {
+    var syms: Seq[(Seq[String], Long)] =
+      wordCounts.map { case (w, f) => (w.split("").toSeq, f) }
+    val merges = Seq.newBuilder[((String, String), Long)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += (((a, b), cnt))
+        syms = syms.map { case (s, f) => (mergePassScala(s, a, b), f) }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Registered query `text_bpe_encode` — the tokenize→pack chain made
-    * real: train [[EncodeMerges]] BPE merges on the corpus word stream
-    * ([[train]] — one bounded-shuffle pair-count job per round), then
-    * tokenize every document with the trained list and pack the
-    * resulting BPE TOKEN counts into fixed-size training blocks (the
-    * `text_pack_blocks` recipe, fed by real tokenizer output instead of
-    * whitespace counts). The encode itself is [[encode]] statically
-    * unrolled inside a per-word lambda: one map-side projection over
-    * the corpus — no shuffle, no UDF, no driver loop; only the packing
-    * window (per-shard running offset, the declared pack shape) and the
-    * output sort exchange anything. Output: per doc, its BPE token
-    * count, the encoded text (symbols space-joined — the hash-checked
-    * proof the merges applied identically), and its start/end block.
+    * real, in the shape that holds at corpus scale: ONE wordcount
+    * shuffle builds the word-frequency dictionary (group count is
+    * vocabulary-bounded — the same bound every trained tokenizer
+    * already assumes; an open-vocab web corpus caps to top-V with
+    * char-fallback, standard practice), [[trainOnCounts]] learns the
+    * merges over that dictionary at driver speed, every distinct word
+    * is encoded ONCE, and the corpus projection is a broadcast
+    * dictionary lookup per token — `element_at` on a literal map, one
+    * map-side pass, no per-occurrence fold, no UDF, no extra shuffle.
+    * The resulting BPE token counts feed the `text_pack_blocks`
+    * packing. Output: per doc, its BPE token count, the encoded text
+    * (symbols space-joined — the hash-checked proof the merges applied
+    * identically), and its start/end block.
     *
-    * The oracle replays training AND encoding independently in SQL:
-    * per-round pair counts + argmax, and the greedy no-remerge pass as
-    * a delimiter-doubled string replace (`|a||b|` → `|ab|` — literal,
-    * overlap-safe, boundary-exact), then the same packing arithmetic.
+    * The oracle replays training AND encoding independently in SQL —
+    * per-round pair counts over the raw occurrence stream + argmax, and
+    * the greedy no-remerge pass as a delimiter-doubled string replace
+    * (`|a||b|` → `|ab|` — literal, overlap-safe, boundary-exact) — so
+    * the dictionary factorization is itself under test: hash equality
+    * proves count-weighted training ≡ occurrence training and
+    * dictionary encode ≡ per-occurrence encode.
     */
   def encodeDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables
+    val wc = Tables
       .documentsFanned(spark, dir)
       .select(explode(tokens($"text")).as("w"))
       .filter($"w".rlike(WordRe))
-    val merges = train(words, "w", EncodeMerges).map(_._1)
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+    val merges = trainOnCounts(wc, EncodeMerges).map(_._1)
+    val dict: Map[String, Seq[String]] = wc.map { case (w, _) =>
+      w -> merges.foldLeft(w.split("").toSeq) { case (s, (a, b)) => mergePassScala(s, a, b) }
+    }.toMap
+    val dictCol = typedLit(dict)
     val enc = Tables
       .documents(spark, dir)
       .select(
@@ -179,7 +250,7 @@ object Bpe {
         flatten(
           transform(
             filter(tokens($"text"), w => w.rlike(WordRe)),
-            w => encode(w, merges)
+            w => element_at(dictCol, w)
           )
         ).as("syms")
       )

@@ -61,7 +61,8 @@ object ExplainDump {
     "stream_layout_ingest" -> "foreachBatch commits one z-clustered tick + one manifest segment per micro-batch (work per commit bounded by the batch); the serve is the segmented-manifest pruned scan — readers never rescan history",
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
-    "text_bpe_encode" -> "train = EncodeMerges bounded-shuffle pair-count rounds; the encode itself is a statically-unrolled per-word fold in one map-side projection (no shuffle, no UDF); only the per-shard packing window and the output sort exchange rows",
+    "text_bpe_encode" -> "one vocabulary-bounded wordcount shuffle trains the merges (count-weighted dict, the subword-nmt shape); the corpus encode is a broadcast-dictionary element_at lookup per token in one map pass; only the per-shard packing window and the output sort exchange rows",
+    "sim_ann_filtered" -> "metadata-constrained ANN with the predicate PRE-applied at the index: probed posting candidates drop non-matching labels when they fetch their metadata row, before any distance math — a selective filter shrinks the scored set instead of starving a post-filtered top-k",
     "stats_corr" -> "the whole correlation matrix from ONE corpus pass: every moment (n, Σx, Σx², Σxy) is an exact-decimal partial-aggregated sum; the 6 matrix rows explode out of the single moment row",
     "sim_hybrid_rerank" -> "RRF fusion of two K-bounded source lists: cost lives in the source plans (BM25 map pass, broadcast-query cosine), the fusion is a K-row full-outer join",
     "sim_hybrid_rerank_pq" -> "same K-row RRF fusion, semantic source swapped to the IVF-PQ index: probed posting lists bound WHICH vectors are ADC-scored, stored 6-byte codes bound the BYTES, fixed 50-row exact tail — the hybrid serve inherits sim_ivf_pq's bounded-scan shape",

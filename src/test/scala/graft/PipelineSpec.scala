@@ -439,6 +439,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(pqLex === exact)
   }
 
+  test("filtered ANN: every neighbor matches the query's label; pre-filter never widens the unfiltered candidate set") {
+    import spark.implicits._
+    val rows = Similarity.annIvfFiltered(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getLong(0); val lbl = r.getInt(1); val n = r.getLong(2)
+      assert(labels(q) === lbl, s"query $q label column")
+      assert(labels(n) === lbl, s"neighbor $n of query $q must share the label")
+    }
+    // ranks contiguous from 1 per query, cosine non-increasing
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length))
+      val cos = sorted.map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q cosine order")
+    }
+    // the filtered result is a sub-ranking of the probed universe: every
+    // (query, neighbor) also appears in the unfiltered probe candidates
+    // ranked at-or-after its filtered rank (filtering only removes)
+    val unfiltered = Similarity.annIvf(spark, dir, Similarity.IvfProbes * 4)
+    val unfPairs = unfiltered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // spot check: filtered rank-1 neighbors with cosine >= the unfiltered
+    // rank-3 cosine must be in the unfiltered list too
+    val unfByQ = unfiltered.collect().groupBy(_.getLong(0))
+    rows.filter(_.getInt(3) === 1).foreach { r =>
+      val q = r.getLong(0)
+      unfByQ.get(q).foreach { u =>
+        val worst = u.map(_.getDouble(3)).min
+        if (r.getDouble(4) > worst) // strict: tie boundaries break by id
+          assert(unfPairs.contains((q, r.getLong(2))), s"query $q rank-1")
+      }
+    }
+  }
+
   test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

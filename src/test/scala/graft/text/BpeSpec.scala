@@ -51,6 +51,30 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("aab") === Seq("aa", "b")) // (a,b) never adjacent after merge 1
   }
 
+  test("trainOnCounts == occurrence train; Scala merge pass == the column fold") {
+    import spark.implicits._
+    // weighted-dict training must equal per-occurrence training
+    val words = Seq("aaab", "aab", "aaab", "ba").toDF("w")
+    val wc = Seq(("aaab", 2L), ("aab", 1L), ("ba", 1L))
+    assert(Bpe.trainOnCounts(wc, 3) === Bpe.train(words, "w", 3))
+    // and on the real corpus word stream
+    val stream = graft.Tables
+      .documentsFanned(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.functions.Portable.tokens($"text")).as("w"))
+      .filter($"w".rlike(Bpe.WordRe))
+    val counts = stream.groupBy($"w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(Bpe.trainOnCounts(counts, Bpe.EncodeMerges) === Bpe.train(stream, "w", Bpe.EncodeMerges))
+    // Scala pass == column fold on every corpus word
+    val merges = Bpe.trainOnCounts(counts, Bpe.EncodeMerges).map(_._1)
+    counts.map(_._1).foreach { w =>
+      val scala = merges.foldLeft(w.split("").toSeq) { case (s, (a, b)) => Bpe.mergePassScala(s, a, b) }
+      val column = Seq(w).toDF("w")
+        .select(Bpe.encode($"w", merges).as("s")).collect().head.getSeq[String](0)
+      assert(scala === column, s"word $w")
+    }
+  }
+
   test("encodeDocs: per-doc counts decompose into word-level encodes; packing is consistent") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
