@@ -65,9 +65,11 @@ object SparkEntry {
     "q29_scalar_subquery" -> ((s, d) => Relational.q29ScalarSubquery(s, d)),
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
+    "q33_dynamic_pruning" -> ((s, d) => Relational.q33DynamicPruning(s, d)),
     "q32_salted_join" -> ((s, d) => Relational.q32SaltedJoin(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
     "stats_corr" -> ((s, d) => Relational.statsCorr(s, d)),
+    "stats_histogram" -> ((s, d) => Relational.statsHistogram(s, d)),
     // SQL-string surface: the SAME ANSI text the DuckDB oracle runs,
     // executed by Catalyst over temp views (graft.queries.SqlSurface)
     "sql_q1_pricing" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q1PricingSummary)),
@@ -81,6 +83,7 @@ object SparkEntry {
     "layout_incremental" -> ((s, d) => graft.queries.Layout.incrementalScan(s, d)),
     "layout_snapshot" -> ((s, d) => graft.queries.Layout.snapshotScan(s, d)),
     "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
+    "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -229,10 +232,14 @@ object SparkEntry {
     "q29_scalar_subquery" -> Oracles.q29ScalarSubquery,
     "q30_merge_upsert" -> Oracles.q30MergeUpsert,
     "q31_partition_pruning" -> Oracles.q31PartitionPruning,
+    // DPP changes which partitions are read, never the result: the
+    // oracle replays the dim-filtered star join from the raw tables
+    "q33_dynamic_pruning" -> Oracles.q33DynamicPruning,
     // the oracle is the UNSALTED join: salting must be result-invariant
     "q32_salted_join" -> Oracles.q32SaltedJoin,
     "stats_profile" -> Oracles.statsProfile,
     "stats_corr" -> Oracles.statsCorr,
+    "stats_histogram" -> Oracles.statsHistogram,
     // one query text, two engines: the oracle IS the statement
     "sql_q1_pricing" -> Oracles.q1PricingSummary,
     "sql_q3_segment" -> Oracles.q3SegmentRevenue,
@@ -251,6 +258,9 @@ object SparkEntry {
     // post-vacuum reads replayed from the raw table — expiry must
     // delete nothing a retained snapshot references
     "layout_vacuum" -> Oracles.layoutVacuum,
+    // both serve paths (DV anti-join, post-purge layout) answer the
+    // equality-delete live set the oracle computes from the raw table
+    "layout_deletes" -> Oracles.layoutDeletes,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -381,6 +381,26 @@ object Oracles {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Dynamic-partition-pruning replay: the oracle recomputes the
+    * calendar dim from the orders date domain and runs the same
+    * dim-filtered star join — DPP changes which partitions are READ,
+    * never the result.
+    */
+  val q33DynamicPruning: String = {
+    import graft.queries.Relational.DppEpoch
+    s"""WITH cal AS (
+       |  SELECT DISTINCT year(o_orderdate) AS cal_year,
+       |    CASE WHEN year(o_orderdate) BETWEEN 1997 AND 1999 THEN 'late90s'
+       |         WHEN year(o_orderdate) < 1997 THEN 'mid90s'
+       |         ELSE '2000s' END AS epoch_label
+       |  FROM orders)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM orders JOIN cal ON year(o_orderdate) = cal_year
+       |WHERE epoch_label = '$DppEpoch'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** UNPIVOT replay as the portable long-form UNION ALL. */
   val q28Unpivot: String =
     """WITH long AS (
@@ -567,6 +587,42 @@ object Oracles {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  /** Equi-height histogram replay, generated from the SAME bucket
+    * count / column list the Spark query profiles: fences via
+    * quantile_cont at i/B (the interpolation convention q20 already
+    * pins), the identical value-based bucket when-chain, identical
+    * per-bucket aggregates under round4.
+    */
+  val statsHistogram: String = {
+    import graft.queries.Relational.{HistBuckets => B, HistCols}
+    val parts = HistCols.map { c =>
+      val fdefs =
+        (1 until B).map(i => s"quantile_cont($c, ${i.toDouble / B}) AS f$i").mkString(", ")
+      val bucket = "1" +
+        (1 until B).map(i => s" + (CASE WHEN CAST($c AS DOUBLE) > f$i THEN 1 ELSE 0 END)").mkString
+      val lo = "CASE " +
+        (2 to B).map(i => s"WHEN bucket = $i THEN round(f${i - 1}, 4) ").mkString + "ELSE NULL END"
+      val hi = "CASE " +
+        (1 until B).map(i => s"WHEN bucket = $i THEN round(f$i, 4) ").mkString + "ELSE NULL END"
+      val fcols = (1 until B).map(i => s"f$i").mkString(", ")
+      val cte =
+        s"""f_$c AS (SELECT $fdefs FROM lineitem),
+           |b_$c AS (
+           |  SELECT v, bucket, $lo AS lo, $hi AS hi FROM (
+           |    SELECT CAST($c AS DOUBLE) AS v, $bucket AS bucket, $fcols
+           |    FROM lineitem, f_$c))""".stripMargin
+      val sel =
+        s"""SELECT '$c' AS col, CAST(bucket AS BIGINT) AS bucket, lo, hi,
+           |  count(*) AS n_rows, count(DISTINCT v) AS ndv,
+           |  round(min(v), 4) AS bucket_min, round(max(v), 4) AS bucket_max
+           |FROM b_$c GROUP BY bucket, lo, hi""".stripMargin
+      (cte, sel)
+    }
+    s"""WITH ${parts.map(_._1).mkString(",\n")}
+       |${parts.map(_._2).mkString("\nUNION ALL\n")}
+       |ORDER BY col, bucket""".stripMargin
+  }
+
   /** Salting changes the shuffle histogram, never the result: the
     * oracle runs the PLAIN unsalted join — equality proves the
     * (orderkey, salt) rewrite is result-invariant.
@@ -618,6 +674,25 @@ object Oracles {
       m("pruned_box", s"l_partkey BETWEEN $PartLo AND $PartHi AND l_suppkey BETWEEN $SuppLo AND $SuppHi"),
       m("snapshot_v3", "TRUE")
     ).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
+  }
+
+  /** Merge-on-read delete replay: the DV holds the write-time lineage
+    * ids of exactly the predicate rows, and lineage ids are unique —
+    * so the live set both serve paths (DV anti-join and post-purge
+    * layout) must answer is precisely the predicate's complement on
+    * the raw table.
+    */
+  val layoutDeletes: String = {
+    import graft.queries.Layout.MorPartHi
+    def m(metric: String) =
+      s"""SELECT '$metric' AS metric, l_returnflag, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem WHERE l_partkey > $MorPartHi GROUP BY 1, 2""".stripMargin
+    s"""${m("mor_read")}
+       |UNION ALL
+       |${m("purged_read")}
+       |ORDER BY metric, l_returnflag""".stripMargin
   }
 
   val layoutSnapshot: String = {

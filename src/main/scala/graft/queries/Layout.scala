@@ -592,6 +592,182 @@ object Layout {
       .orderBy($"metric")
   }
 
+  // ---- row-level deletes: merge-on-read deletion vectors ---------------
+
+  val MorFiles = 8
+
+  /** The row-level DELETE the deletion-vector commit encodes: a "part
+    * recall" over the low-partkey range. Correlated with the layout's
+    * cluster dimension on purpose — that is the production shape (a
+    * GDPR user purge against a user-clustered table), and it is what
+    * makes the purge's only-rewrite-affected-files claim non-vacuous:
+    * rows to delete live in FEW files of the z-clustered layout.
+    */
+  val MorPartHi = 47
+  private def morPred(spark: SparkSession): Column = {
+    import spark.implicits._
+    $"l_partkey" <= MorPartHi
+  }
+  private val MorKeys = Seq("mor_rid")
+
+  /** Base layout for the merge-on-read lineage: the lineitem corpus as
+    * [[MorFiles]] immutable z-clustered data files (its own
+    * fingerprinted dir, separate from the shared zorder artifact,
+    * because the purge rewrite retires files from it). The write
+    * materializes a row-lineage id (`mor_rid`) — the Iceberg-v3
+    * row-lineage / Delta row-tracking shape: lineitem has no natural
+    * unique key ((l_orderkey, l_linenumber) collides), and row-level
+    * deletes need one, so the table format assigns it at write time.
+    * The id only needs to be unique WITHIN the stored artifact; every
+    * downstream commit (DV, purge) derives from the stored files.
+    */
+  private[queries] def morDataDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    tmpDirOnce("graft_mord_", fp) { path =>
+      Tables
+        .lineitem(spark, dir)
+        .withColumn("z", zValue($"l_partkey".cast("int"), $"l_suppkey".cast("int")))
+        .repartitionByRange(MorFiles, $"z")
+        .sortWithinPartitions($"z")
+        .drop("z")
+        .withColumn("mor_rid", monotonically_increasing_id())
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+  }
+
+  /** The DELETE commit: a key-delete file — the row-lineage ids of the
+    * rows the predicate kills, written as one tiny parquet (the shape a
+    * MERGE … DELETE / CDC-apply lands as in Iceberg/Delta). The data
+    * files are NOT touched: at 100 TB a row-level delete that rewrote
+    * data files would turn a kilobyte of intent into a terabyte of
+    * I/O. Readers apply the DV with a broadcast anti-join
+    * (merge-on-read); because lineage ids are unique, the live set is
+    * exactly the non-matching rows, which is what the oracle replays.
+    */
+  private[queries] def morDvDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    tmpDirOnce("graft_mordv_", fp) { path =>
+      spark.read
+        .parquet(morDataDir(spark, dir))
+        .filter(morPred(spark))
+        .select(MorKeys.map(col): _*)
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+  }
+
+  private[graft] def morLedger(spark: SparkSession, dir: String): (Long, Int, Int) = {
+    val f = new java.io.File(morPurgedDir(spark, dir), "_ledger")
+    val parts = new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8"
+    ).trim.split(" ")
+    (parts(0).toLong, parts(1).toInt, parts(2).toInt)
+  }
+
+  /** The compaction half of merge-on-read: purge materializes the
+    * deletes by rewriting ONLY the data files that contain a deleted
+    * row (found by a semi-join of the file-tagged scan against the DV —
+    * the same metadata-scale decision an Iceberg `rewrite_data_files`
+    * with a delete-file filter makes). Untouched files are carried by
+    * reference; the purged layout needs no DV at read time. The build
+    * writes a `_ledger` ("dvRows affectedFiles totalFiles") next to the
+    * rewritten files so the spec can audit scope without re-deriving it.
+    */
+  private[queries] def morPurgedDir(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    tmpDirOnce("graft_morp_", fp) { path =>
+      val data = morDataDir(spark, dir)
+      val dv = spark.read.parquet(morDvDir(spark, dir))
+      val tagged = spark.read.parquet(data).withColumn("f", input_file_name())
+      val affected = tagged
+        .join(broadcast(dv), MorKeys, "left_semi")
+        .select($"f")
+        .distinct()
+        .collect()
+        .map(_.getString(0))
+        .sorted
+      val total = dataFiles(data).length
+      val rewritten = (
+        if (affected.isEmpty) spark.read.parquet(data).limit(0)
+        else spark.read.parquet(affected.toIndexedSeq: _*)
+      )
+        .join(broadcast(dv), MorKeys, "left_anti")
+        .coalesce(math.max(1, affected.length))
+      rewritten.write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(
+        new java.io.File(path, "_ledger").toPath,
+        s"${dv.count()} ${affected.length} $total\n".getBytes("UTF-8")
+      )
+      java.nio.file.Files.write(
+        new java.io.File(path, "_affected").toPath,
+        affected.mkString("", "\n", "\n").getBytes("UTF-8")
+      )
+      ()
+    }
+  }
+
+  private[graft] def morAffectedFiles(spark: SparkSession, dir: String): Set[String] =
+    new String(
+      java.nio.file.Files.readAllBytes(
+        new java.io.File(morPurgedDir(spark, dir), "_affected").toPath
+      ),
+      "UTF-8"
+    ).split("\n").filter(_.nonEmpty).toSet
+
+  /** Merge-on-read serve: scan ∖ DV via a broadcast LeftAnti hash join
+    * (the DV is kilobytes at any table size, so the join adds one
+    * codegen'd hash probe per row — no shuffle, no sort).
+    */
+  private[graft] def morRead(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .parquet(morDataDir(spark, dir))
+      .join(broadcast(spark.read.parquet(morDvDir(spark, dir))), MorKeys, "left_anti")
+
+  /** Post-purge serve: untouched files by reference + the rewritten
+    * files — an ordinary scan, no DV work at all.
+    */
+  private[graft] def morPurgedRead(spark: SparkSession, dir: String): DataFrame = {
+    val purged = morPurgedDir(spark, dir)
+    val affected = morAffectedFiles(spark, dir)
+    val untouched = dataFiles(morDataDir(spark, dir))
+      .map(_.getAbsolutePath)
+      .filterNot(p => affected.exists(_.endsWith(p)))
+    spark.read.parquet((untouched ++ dataFiles(purged).map(_.getAbsolutePath)): _*)
+  }
+
+  /** Registered query `layout_deletes`: the merge-on-read row-level
+    * delete lifecycle. A DELETE lands as a key-delete file over the
+    * write-time row-lineage ids (data files untouched — the
+    * kilobytes-of-intent contract); `mor_read` serves scan-minus-DV
+    * through a broadcast anti-join; purge then materializes the delete
+    * by rewriting ONLY the affected files and `purged_read` proves the
+    * compacted form answers identically. Lineage ids are unique, so
+    * the live set is exactly the rows the predicate spared — which is
+    * what the oracle replays from the raw table.
+    */
+  def morScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def agg(df: DataFrame, metric: String) =
+      df.groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+        )
+        .select(lit(metric).as("metric"), $"l_returnflag", $"n_rows", $"sum_qty", $"revenue")
+    agg(morRead(spark, dir), "mor_read")
+      .unionByName(agg(morPurgedRead(spark, dir), "purged_read"))
+      .orderBy($"metric", $"l_returnflag")
+  }
+
   /** The registered query: a selective conjunctive box scan over the
     * z-ordered layout. Results are layout-invariant (the oracle runs
     * the same predicate on the raw table); the layout's value — most

@@ -887,7 +887,7 @@ object Relational {
     * content fingerprint so regenerated source data can never reuse a
     * stale layout.
     */
-  def q31PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ordersByYearTable(spark: SparkSession, dir: String): String = {
     import spark.implicits._
     val fp = sourceFingerprint(spark, s"$dir/orders.parquet")
     val t = s"graft_orders_byyear_$fp"
@@ -901,9 +901,70 @@ object Relational {
         .partitionBy("o_year")
         .saveAsTable(t)
     }
+    t
+  }
+
+  def q31PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     spark
-      .table(t)
+      .table(ordersByYearTable(spark, dir))
       .filter($"o_year" === 1997)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The epoch the q33 dim filter selects — shared with the oracle so
+    * both engines filter the same label.
+    */
+  val DppEpoch = "late90s"
+
+  /** Dynamic partition pruning — the RUNTIME half of the partition-
+    * pruning story q31 pins statically. The fact side is the same
+    * year-partitioned orders table; the filter, though, lives on a
+    * separate calendar DIMENSION (`epoch_label`), so at compile time
+    * Catalyst cannot know which years survive. DPP closes the gap: the
+    * broadcast of the filtered dim is REUSED as a dynamic partition
+    * filter on the fact scan (`dynamicpruningexpression` in the scan's
+    * PartitionFilters — plan-pinned), so only the matching year
+    * directories are ever listed or read. At 100 TB this is the
+    * difference between scanning 3 years and scanning 30 for every
+    * star-schema query whose time filter arrives through a dim table —
+    * no query rewrite needed, the optimizer derives the partition list
+    * at runtime from the join itself. The calendar dim is a build-once
+    * fingerprinted artifact derived from the orders date domain.
+    */
+  def q33DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt = ordersByYearTable(spark, dir)
+    val fp = sourceFingerprint(spark, s"$dir/orders.parquet")
+    val ct = s"graft_calendar_$fp"
+    buildOnce(spark, Seq("graft_calendar_"), Seq(ct)) {
+      Tables
+        .orders(spark, dir)
+        .select(year($"o_orderdate").as("cal_year"))
+        .distinct()
+        .withColumn(
+          "epoch_label",
+          when($"cal_year".between(1997, 1999), "late90s")
+            .when($"cal_year" < 1997, "mid90s")
+            .otherwise("2000s")
+        )
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ct)
+    }
+    spark
+      .table(pt)
+      .join(
+        spark.table(ct).filter($"epoch_label" === DppEpoch),
+        $"o_year" === $"cal_year"
+      )
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n_orders"),
@@ -1080,6 +1141,73 @@ object Relational {
     st.select(explode(array(pairRows: _*)).as("r"))
       .select($"r.*")
       .orderBy($"col_x", $"col_y")
+  }
+
+  /** Equi-height histogram shape: bucket count and profiled columns,
+    * shared with the oracle generator so both engines build the same
+    * fences.
+    */
+  val HistBuckets = 8
+  val HistCols: Seq[String] = Seq("l_extendedprice", "l_quantity")
+
+  /** Equi-height histograms — the third piece of ANALYZE
+    * ([[statsProfile]] marginals, [[statsCorr]] pairwise): per column,
+    * [[HistBuckets]] buckets fenced at the exact interpolated i/B
+    * percentiles, with per-bucket row count, exact NDV, and data
+    * min/max — what a cost-based optimizer consumes for selectivity on
+    * skewed columns. Fences come from the same rank-based plan as q20
+    * (never a full-column aggregation buffer; the one-row fence frame
+    * broadcasts back over the corpus), bucket assignment is a codegen'd
+    * when-chain per row, and the per-bucket stats are ordinary
+    * partial-aggregable aggregates — two corpus passes per column total
+    * (fence derivation + assignment), both partition-parallel at any
+    * scale. Tie semantics are value-based on purpose: a value with more
+    * mass than a bucket's nominal height spills its whole tie group
+    * into one bucket (l_quantity, 50 distinct values under heavy ties,
+    * pins this path; l_extendedprice pins the near-unique path), which
+    * keeps the histogram deterministic where a row-number split would
+    * depend on physical row order. Comparison parity with the oracle is
+    * exact for the q19 reason: duplicate-position fences are data
+    * values, interpolated fences fall strictly between adjacent
+    * distinct values, so an ULP of engine difference can never flip a
+    * row's bucket.
+    */
+  def statsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val B = HistBuckets
+    val per = HistCols.map { c =>
+      val vals = li.select(lit(c).as("g"), col(c).cast("double").as("v"))
+      val ps = (1 until B).map(i => s"f$i" -> i.toDouble / B)
+      val fences = rankPercentiles(vals, ps).drop("g")
+      val bucket = (1 until B).foldLeft(lit(1)) { (acc, i) =>
+        acc + when($"v" > col(s"f$i"), 1).otherwise(0)
+      }
+      val lo = (2 to B).foldLeft(lit(null).cast("double")) { (acc, i) =>
+        when($"bucket" === i, round(col(s"f${i - 1}"), 4)).otherwise(acc)
+      }
+      val hi = (1 until B).foldLeft(lit(null).cast("double")) { (acc, i) =>
+        when($"bucket" === i, round(col(s"f$i"), 4)).otherwise(acc)
+      }
+      vals
+        .crossJoin(broadcast(fences))
+        .withColumn("bucket", bucket)
+        .withColumn("lo", lo)
+        .withColumn("hi", hi)
+        .groupBy($"bucket", $"lo", $"hi")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"v").as("ndv"),
+          round(min($"v"), 4).as("bucket_min"),
+          round(max($"v"), 4).as("bucket_max")
+        )
+        .select(
+          lit(c).as("col"),
+          $"bucket".cast("long").as("bucket"),
+          $"lo", $"hi", $"n_rows", $"ndv", $"bucket_min", $"bucket_max"
+        )
+    }
+    per.reduce(_.unionByName(_)).orderBy($"col", $"bucket")
   }
 
   /** Replication factor for the salted join: the small-but-not-broadcast

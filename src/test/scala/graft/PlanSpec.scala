@@ -619,6 +619,35 @@ class PlanSpec extends AnyFunSuite {
     assert(cols === Set("o_orderpriority", "o_totalprice"), cols)
   }
 
+  test("q33 dynamic partition pruning: the dim filter reaches the fact scan at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Relational.q33DynamicPruning(spark, dir)
+    // the fact scan's PartitionFilters must carry a dynamicpruning
+    // expression on o_year — the runtime filter DPP derives from the
+    // broadcast dim — NOT a static year literal (none exists at compile
+    // time: the filter arrives through epoch_label on the dim)
+    val fact = scans(df).filter(_.requiredSchema.fieldNames.contains("o_orderpriority"))
+    assert(fact.nonEmpty, scans(df).map(_.toString).mkString("\n"))
+    val pf = fact.head.partitionFilters.map(_.toString).mkString(",")
+    assert(pf.toLowerCase.contains("dynamicpruning"), s"PartitionFilters: $pf")
+    // result invariance: identical to the statically-filtered aggregate
+    val got = df.collect().map(_.toSeq).toSeq
+    val want = spark
+      .table(Relational.ordersByYearTable(spark, dir))
+      .filter($"o_year".between(1997, 1999))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"o_orderpriority")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(got === want)
+  }
+
   test("q30 merge applies the change feed with one key join and no cartesian") {
     val plan = Relational.q30MergeUpsert(spark, dir).queryExecution.optimizedPlan
     val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }

@@ -253,6 +253,63 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sdir))
   }
 
+  test("merge-on-read deletes: DV commit touches no data file, purge rewrites only affected files") {
+    import spark.implicits._
+    // fresh lineage (copied corpus → fresh fingerprint) so every commit
+    // in the delete story happens inside this test's observation window
+    val mdir = java.nio.file.Files.createTempDirectory("graft-mor-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$mdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+
+    // base layout first; snapshot its files before any delete commit
+    val data = Layout.morDataDir(spark, mdir)
+    def fileState(d: String) =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified()))
+        .sortBy(_._1)
+        .toSeq
+    val before = fileState(data)
+    assert(before.size === Layout.MorFiles)
+
+    val out = Layout.morScan(spark, mdir).collect()
+    // 1) the DELETE commit wrote only the DV: data files byte-identical
+    assert(fileState(data) === before, "a row-level delete must not rewrite data files")
+
+    // 2) DV holds exactly one lineage id per predicate row, and the
+    // write-time lineage ids are unique across the whole layout
+    val (dvRows, affected, total) = Layout.morLedger(spark, mdir)
+    val predRows = spark.read.parquet(data)
+      .filter($"l_partkey" <= Layout.MorPartHi).count()
+    assert(dvRows === predRows)
+    val allRows = spark.read.parquet(data).count()
+    val distinctRids = spark.read.parquet(data).select($"mor_rid").distinct().count()
+    assert(distinctRids === allRows, "row-lineage ids must be unique")
+    assert(total === Layout.MorFiles)
+    // 3) purge scope: the clustered layout confines predicate rows to
+    // a strict subset of files (the non-vacuous rewrite claim)
+    assert(affected > 0 && affected < total, s"affected $affected of $total")
+
+    // 4) both serve paths answer identically, and rows actually died
+    val byMetric = out
+      .groupBy(_.getString(0))
+      .view
+      .mapValues(_.map(_.toSeq.tail.toString).sorted.toSeq)
+      .toMap
+    assert(byMetric("mor_read") === byMetric("purged_read"))
+    val liveRows = out.filter(_.getString(0) == "mor_read").map(_.getLong(2)).sum
+    val rawRows = spark.read.parquet(data).count()
+    assert(liveRows < rawRows, "the delete must remove rows")
+
+    // 5) the MoR serve plan is a broadcast anti hash join — no shuffle
+    val plan = Layout.morRead(spark, mdir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
+  }
+
   test("vacuum: expired tick files physically removed, retained snapshot answers identically") {
     import spark.implicits._
     // fresh lineage: copy the corpus so the path-based fingerprint (and
