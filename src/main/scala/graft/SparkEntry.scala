@@ -66,6 +66,7 @@ object SparkEntry {
     "q30_merge_upsert" -> ((s, d) => Relational.q30MergeUpsert(s, d)),
     "q31_partition_pruning" -> ((s, d) => Relational.q31PartitionPruning(s, d)),
     "q33_dynamic_pruning" -> ((s, d) => Relational.q33DynamicPruning(s, d)),
+    "q34_window_topk" -> ((s, d) => Relational.q34WindowTopK(s, d)),
     "q32_salted_join" -> ((s, d) => Relational.q32SaltedJoin(s, d)),
     "stats_profile" -> ((s, d) => Relational.statsProfile(s, d)),
     "stats_corr" -> ((s, d) => Relational.statsCorr(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "layout_snapshot" -> ((s, d) => graft.queries.Layout.snapshotScan(s, d)),
     "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
+    "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -235,6 +237,7 @@ object SparkEntry {
     // DPP changes which partitions are read, never the result: the
     // oracle replays the dim-filtered star join from the raw tables
     "q33_dynamic_pruning" -> Oracles.q33DynamicPruning,
+    "q34_window_topk" -> Oracles.q34WindowTopK,
     // the oracle is the UNSALTED join: salting must be result-invariant
     "q32_salted_join" -> Oracles.q32SaltedJoin,
     "stats_profile" -> Oracles.statsProfile,
@@ -261,6 +264,8 @@ object SparkEntry {
     // both serve paths (DV anti-join, post-purge layout) answer the
     // equality-delete live set the oracle computes from the raw table
     "layout_deletes" -> Oracles.layoutDeletes,
+    // tick-maintained MV must answer the full-table aggregate exactly
+    "mv_incremental" -> Oracles.mvIncremental,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -381,6 +381,21 @@ object Oracles {
       |FROM orders WHERE year(o_orderdate) = 1997
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Window top-k replay: identical row_number spec with the orderkey
+    * tie-break, so the selected rows are a total order on both engines.
+    */
+  val q34WindowTopK: String = {
+    import graft.queries.Relational.WindowTopK
+    s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+       |  SELECT o_custkey, o_orderkey, o_totalprice,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY o_custkey
+       |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+       |  FROM orders)
+       |WHERE rn <= $WindowTopK
+       |ORDER BY o_custkey, rn""".stripMargin
+  }
+
   /** Dynamic-partition-pruning replay: the oracle recomputes the
     * calendar dim from the orders date domain and runs the same
     * dim-filtered star join — DPP changes which partitions are READ,
@@ -675,6 +690,18 @@ object Oracles {
       m("snapshot_v3", "TRUE")
     ).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
   }
+
+  /** Incremental-MV replay: the oracle aggregates the RAW table in
+    * full — equality proves per-tick delta maintenance (merge of
+    * groups-sized partials) lost nothing, including the exact decimal
+    * sum and the serve-time derived avg.
+    */
+  val mvIncremental: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Merge-on-read delete replay: the DV holds the write-time lineage
     * ids of exactly the predicate rows, and lineage ids are unique —

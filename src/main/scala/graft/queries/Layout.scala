@@ -592,6 +592,92 @@ object Layout {
       .orderBy($"metric")
   }
 
+  // ---- incremental materialized-view maintenance -----------------------
+
+  /** Spec ledger: DELTA input rows aggregated by MV maintenance in
+    * this JVM. The incremental contract: after N ticks the counter
+    * equals the TABLE row count — each row aggregated exactly once,
+    * when its tick landed — and further serves leave it unchanged
+    * (a full refresh would re-aggregate the whole table every tick).
+    */
+  private[graft] val mvRowsAggregated = new java.util.concurrent.atomic.AtomicLong
+
+  /** Materialized-view tick k: mv_k = merge(mv_{k-1}, aggregate(slice
+    * k)) — incremental view maintenance for the self-maintainable
+    * aggregates (count / sum; avg derives at serve time). The delta
+    * aggregate reads ONLY the arriving slice, and the merge is an
+    * aggregate over mv_{k-1} ∪ delta — both GROUP-sized frames, so
+    * maintenance cost per tick is O(slice scan) + O(groups), never a
+    * table rescan. Sums stay exact decimals until the serve casts
+    * once. This is the Delta Live Tables / Materialize shape: the MV
+    * is a versioned warehouse artifact advanced by commits.
+    */
+  private def mvTick(spark: SparkSession, dir: String, fp: String, k: Int): String = {
+    import spark.implicits._
+    val prev = if (k == 0) None else Some(mvTick(spark, dir, fp, k - 1))
+    tmpDirOnce(s"graft_mv${k}_", fp) { path =>
+      val delta = incSlice(spark, dir, k)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price")
+        )
+      val merged = prev match {
+        case None => delta
+        case Some(p) =>
+          spark.read
+            .parquet(p)
+            .unionByName(delta)
+            .groupBy($"l_returnflag", $"l_linestatus")
+            .agg(
+              sum($"n_rows").as("n_rows"),
+              sum($"sum_qty").as("sum_qty"),
+              sum($"sum_price").cast("decimal(38,2)").as("sum_price")
+            )
+      }
+      merged.coalesce(1).write.mode("overwrite").parquet(path)
+      // ledger: the delta's own row count (Σ n_rows of the slice
+      // aggregate — a groups-sized read, not a rescan)
+      val deltaRows = spark.read
+        .parquet(path)
+        .agg(sum($"n_rows"))
+        .collect()
+        .head
+        .getLong(0)
+      val prevRows = prev
+        .map(p => spark.read.parquet(p).agg(sum($"n_rows")).collect().head.getLong(0))
+        .getOrElse(0L)
+      mvRowsAggregated.addAndGet(deltaRows - prevRows)
+      ()
+    }
+  }
+
+  /** Registered query `mv_incremental`: serve the tick-maintained
+    * materialized aggregate. The MV was advanced by [[IncSlices]]
+    * ingest commits, each aggregating only its slice; the serve is a
+    * groups-sized artifact read (no corpus scan at all — the steady-
+    * state cost a 100 TB dashboard query actually pays), with avg
+    * derived from the exact stored sums. The oracle aggregates the
+    * raw table in full, proving maintenance lost nothing.
+    */
+  def mvServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val last = mvTick(spark, dir, fp, IncSlices - 1)
+    spark.read
+      .parquet(last)
+      .select(
+        $"l_returnflag",
+        $"l_linestatus",
+        $"n_rows",
+        $"sum_qty".cast("long").as("sum_qty"),
+        $"sum_price".cast("double").as("sum_price"),
+        round($"sum_price".cast("double") / $"n_rows", 4).as("avg_price")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   // ---- row-level deletes: merge-on-read deletion vectors ---------------
 
   val MorFiles = 8

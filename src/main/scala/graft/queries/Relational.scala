@@ -917,6 +917,35 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Per-group k for the window top-k query — shared with the oracle. */
+  val WindowTopK = 3
+
+  /** Per-group top-k through a ranked window — the query shape Spark's
+    * WindowGroupLimit optimization exists for. A naive engine buffers
+    * and sorts EVERY group in full to evaluate row_number, then throws
+    * away all but k rows; Catalyst instead pushes the rank limit INTO
+    * the window (WindowGroupLimitExec below the shuffle, plan-pinned):
+    * each map task keeps a bounded top-k per group before the exchange,
+    * so the shuffle carries O(groups × k) rows instead of the corpus —
+    * the same partial-vs-final shape that makes q8's TakeOrdered scale,
+    * applied per group. Tie-break on orderkey makes the selection a
+    * total order, so both engines pick identical rows.
+    */
+  def q34WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables
+      .orders(spark, dir)
+      .select(
+        $"o_custkey",
+        $"o_orderkey",
+        $"o_totalprice",
+        row_number().over(w).cast("long").as("rn")
+      )
+      .filter($"rn" <= WindowTopK)
+      .orderBy($"o_custkey", $"rn")
+  }
+
   /** The epoch the q33 dim filter selects — shared with the oracle so
     * both engines filter the same label.
     */

@@ -62,6 +62,8 @@ object ExplainDump {
     "layout_deletes" -> "merge-on-read: the DELETE is a kilobyte lineage-key file, data files untouched; serving adds one broadcast LeftAnti hash probe per row (no shuffle), and purge rewrites only the semi-join-identified affected files",
     "q33_dynamic_pruning" -> "the broadcast of the filtered calendar dim is REUSED as a dynamicpruningexpression in the fact scan's PartitionFilters — only the matching year directories are listed or read, derived at runtime from the join itself",
     "stats_histogram" -> "fences from the q20 rank-based percentile plan (1-row frame, broadcast back); bucket assignment is a codegen'd when-chain per row; per-bucket count/NDV/min-max partial-aggregate — no full-column buffer anywhere",
+    "q34_window_topk" -> "partial WindowGroupLimit on the map side bounds each group to k rows BEFORE the exchange; the shuffle carries O(groups x k) rows, never the corpus",
+    "mv_incremental" -> "the serve is a groups-sized artifact read — zero corpus scan; each maintenance tick aggregated only its slice and merged groups-sized partials",
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
     "text_bpe_encode" -> "one vocabulary-bounded wordcount shuffle trains the merges (count-weighted dict, the subword-nmt shape); the corpus encode is a broadcast-dictionary element_at lookup per token in one map pass; only the per-shard packing window and the output sort exchange rows",

@@ -648,6 +648,15 @@ class PlanSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("q34 window top-k: the rank limit is pushed into the window as a group limit") {
+    val plan = Relational.q34WindowTopK(spark, dir).queryExecution.executedPlan.toString
+    // Partial group-limit on the map side (bounded top-k per group
+    // before the exchange) + Final after — the shuffle carries
+    // O(groups × k) rows, never the corpus
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit, found $hits in:\n$plan")
+  }
+
   test("q30 merge applies the change feed with one key join and no cartesian") {
     val plan = Relational.q30MergeUpsert(spark, dir).queryExecution.optimizedPlan
     val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }

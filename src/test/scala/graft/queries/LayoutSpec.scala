@@ -253,6 +253,43 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sdir))
   }
 
+  test("incremental MV: each row aggregated exactly once across ticks; serve is scan-free and exact") {
+    import spark.implicits._
+    // fresh lineage so every MV commit happens inside this JVM's window
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_mv"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    Layout.mvRowsAggregated.set(0L)
+
+    val got = Layout.mvServe(spark, dir).collect().map(_.toSeq).toSeq
+    val want = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
+        round(
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1)),
+          4
+        ).as("avg_price")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "tick-maintained MV must equal the full-table aggregate")
+
+    // incremental contract: delta rows aggregated across the ticks sum
+    // to the table row count — each row touched once, when its tick
+    // landed (a full refresh would count ~3× the table)
+    val total = Tables.lineitem(spark, dir).count()
+    assert(Layout.mvRowsAggregated.get() === total, s"ledger ${Layout.mvRowsAggregated.get()} vs $total")
+
+    // steady-state serve: artifact read only, no re-aggregation
+    val again = Layout.mvServe(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again === want)
+    assert(Layout.mvRowsAggregated.get() === total, "serving must not re-run maintenance")
+  }
+
   test("merge-on-read deletes: DV commit touches no data file, purge rewrites only affected files") {
     import spark.implicits._
     // fresh lineage (copied corpus → fresh fingerprint) so every commit
