@@ -155,6 +155,7 @@ object SparkEntry {
     "sim_hybrid_rerank" -> ((s, d) => Similarity.hybridRerank(s, d)),
     "sim_hybrid_rerank_pq" -> ((s, d) => Similarity.hybridRerankPq(s, d)),
     "sim_ann_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
+    "sim_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -344,6 +345,8 @@ object SparkEntry {
     "sim_hybrid_rerank" -> PipelineOracles.simHybridRerank,
     "sim_hybrid_rerank_pq" -> PipelineOracles.simHybridRerankPq,
     "sim_ann_filtered" -> PipelineOracles.simAnnFiltered,
+    // greedy MMR unrolled CTE-per-pick; identical IEEE trajectory
+    "sim_mmr_diversify" -> PipelineOracles.simMmrDiversify,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

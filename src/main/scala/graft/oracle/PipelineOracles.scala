@@ -579,6 +579,62 @@ object PipelineOracles {
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= ${Similarity.TopK} ORDER BY query_id, rank""".stripMargin
 
+  /** MMR replay: the greedy diversification unrolled into one CTE per
+    * pick. Candidate pool and pairwise sims use the same left-fold dot
+    * as every cosine oracle (bit-identical doubles), the λ/(1−λ)
+    * weights are the same decimal literals the Spark side uses, and
+    * every argmax breaks ties by cand_id — so each pick's comparison
+    * runs on identical IEEE values and the greedy trajectories cannot
+    * diverge.
+    */
+  val simMmrDiversify: String = {
+    import graft.similarity.Similarity.{MmrLambda, MmrPenaltyW, MmrPool, MmrSelect, NumQueries}
+    val steps = (2 to MmrSelect)
+      .map { k =>
+        s"""rem$k AS (SELECT c.* FROM cand c LEFT JOIN sel${k - 1} s
+           |  ON s.query_id = c.query_id AND s.cand_id = c.cand_id WHERE s.cand_id IS NULL),
+           |pen$k AS (SELECT r.query_id, r.cand_id, r.rel, max(s.sim) AS pen
+           |  FROM rem$k r JOIN sims s ON s.query_id = r.query_id AND s.a_id = r.cand_id
+           |  JOIN sel${k - 1} z ON z.query_id = s.query_id AND z.cand_id = s.b_id
+           |  GROUP BY 1, 2, 3),
+           |s$k AS (SELECT query_id, cand_id, rel, mmr FROM (
+           |  SELECT query_id, cand_id, rel, $MmrLambda*rel - $MmrPenaltyW*pen AS mmr,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY $MmrLambda*rel - $MmrPenaltyW*pen DESC, cand_id) AS rn
+           |  FROM pen$k) WHERE rn = 1),
+           |sel$k AS (SELECT query_id, cand_id FROM sel${k - 1}
+           |  UNION ALL SELECT query_id, cand_id FROM s$k)""".stripMargin
+      }
+      .mkString(",\n")
+    val picks = (1 to MmrSelect)
+      .map { k =>
+        s"""SELECT query_id, CAST($k AS BIGINT) AS pick, cand_id,
+           |  ${round6Sql("rel")} AS rel, ${round6Sql("mmr")} AS mmr_score FROM s$k""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH $embNorms,
+       |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn FROM norms WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, n.vec_id AS cand_id,
+       |    ${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm) AS rel
+       |  FROM q, norms n WHERE n.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, cand_id, rel FROM (
+       |  SELECT query_id, cand_id, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+       |  FROM scored) WHERE rn <= $MmrPool),
+       |sims AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+       |    ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+       |  JOIN norms na ON na.vec_id = a.cand_id JOIN norms nb ON nb.vec_id = b.cand_id),
+       |s1 AS (SELECT query_id, cand_id, rel, $MmrLambda*rel - $MmrPenaltyW*0 AS mmr FROM (
+       |  SELECT query_id, cand_id, rel,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+       |  FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT query_id, cand_id FROM s1),
+       |$steps
+       |$picks
+       |ORDER BY query_id, pick""".stripMargin
+  }
+
   /** ε-ball replay: same cosine arithmetic as simTopK, thresholded on
     * the UNROUNDED value (both engines compute bit-identical doubles,
     * so the τ comparison can never straddle the rounding).

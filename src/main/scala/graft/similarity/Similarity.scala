@@ -967,6 +967,112 @@ object Similarity {
     rrfFuse(lex, sem)
   }
 
+  /** MMR shape constants (Carbonell & Goldstein 1998): pool depth,
+    * picks, and the λ / (1−λ) weights as EXPLICIT literals — both
+    * engines must parse the same decimal text (computing `1 - 0.7` in
+    * doubles yields 0.30000000000000004, which would diverge from the
+    * oracle's literal 0.3).
+    */
+  val MmrPool = 20
+  val MmrSelect = 5
+  val MmrLambda = 0.7
+  val MmrPenaltyW = 0.3
+
+  /** Maximal-marginal-relevance diversification — the re-rank between
+    * retrieval and the user that every production vector stack runs so
+    * five near-identical neighbors don't fill the page: greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) from the top-
+    * [[MmrPool]] candidate pool. Scale shape: the pool comes from the
+    * bounded TopKByCosine aggregator (each partition ships its local
+    * top-K per query — the pinned 100 TB source), candidate embeddings
+    * ride back via ONE broadcast join against the corpus scan, and the
+    * greedy runs inside flatMapGroups with state bounded by
+    * MmrPool × dim per query, parallel across queries — O(S·K) dot
+    * products each, never a corpus pass. Determinism: the pool is a
+    * total order (cosine desc, id), penalties/scores are the same IEEE
+    * double ops the oracle's left-fold dot replays bit-identically,
+    * and argmax ties break by cand_id.
+    */
+  def mmrDiversify(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val queries = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val scored = emb
+      .join(broadcast(queries), $"vec_id" =!= $"query_id")
+      .select(
+        $"query_id".as[Long],
+        struct(
+          $"vec_id".as("neighbor_id"),
+          (dot($"qe", $"embedding") / ($"qn" * $"nrm")).as("cosine")
+        ).as[Scored]
+      )
+    val pool = scored
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKByCosine(MmrPool).toColumn)
+      .flatMap { case (qid, top) => top.map(s => (qid, s.neighbor_id, s.cosine)) }
+      .toDF("query_id", "cand_id", "rel")
+    val withVec = emb
+      .select($"vec_id".as("cand_id"), $"embedding".as("ce"), $"nrm".as("cn"))
+      .join(broadcast(pool), "cand_id")
+      .select(
+        $"query_id".as[Long],
+        $"cand_id".as[Long],
+        $"rel".as[Double],
+        $"ce".as[Array[Float]],
+        $"cn".as[Double]
+      )
+    withVec
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Float], Double)]) =>
+        // left-fold double dot — the accumulation order the oracle's
+        // list_reduce replays bit-identically
+        def fdot(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          it.toArray.sortBy(c => (-c._3, c._2)): _*
+        )
+        val selected =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Float], Double, Double)]
+        while (selected.length < MmrSelect && remaining.nonEmpty) {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < remaining.length) {
+            val c = remaining(i)
+            var pen = 0.0
+            var j = 0
+            while (j < selected.length) {
+              val s = selected(j)
+              val sim = fdot(c._4, s._3) / (c._5 * s._4)
+              if (j == 0 || sim > pen) pen = sim
+              j += 1
+            }
+            val score = MmrLambda * c._3 - MmrPenaltyW * pen
+            if (score > bestScore || (score == bestScore && c._2 < remaining(bestIdx)._2)) {
+              bestScore = score
+              bestIdx = i
+            }
+            i += 1
+          }
+          val b = remaining.remove(bestIdx)
+          selected += ((b._2, b._3, b._4, b._5, bestScore))
+        }
+        selected.zipWithIndex.map { case ((cid, rel, _, _, mmr), k) =>
+          (qid, (k + 1).toLong, cid, r6(rel), r6(mmr))
+        }
+      }
+      .toDF("query_id", "pick", "cand_id", "rel", "mmr_score")
+      .orderBy($"query_id", $"pick")
+  }
+
   /** Shared RRF tail: rrf(d) = Σ 1/(k + rank_src(d)) over the sources
     * that ranked d (missing source → 0), fused total order
     * (score desc, doc_id). Inputs are K-row (doc_id, *_rank) frames —

@@ -409,6 +409,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.exists(!_.isNullAt(1)) && rows.exists(!_.isNullAt(2)))
   }
 
+  test("MMR diversification: picks are distinct pool members, pick 1 is the relevance argmax, scores never increase") {
+    val rows = Similarity.mmrDiversify(spark, dir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === (0L until Similarity.NumQueries.toLong).toSet)
+    // exact top-k gives the relevance ranking MMR's pool extends
+    val top1 = Similarity
+      .topKBruteForce(spark, dir)
+      .collect()
+      .filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    byQuery.foreach { case (qid, picks) =>
+      val ordered = picks.sortBy(_.getLong(1))
+      assert(ordered.map(_.getLong(1)).toSeq === (1L to Similarity.MmrSelect.toLong))
+      // distinct selections
+      assert(ordered.map(_.getLong(2)).distinct.length === Similarity.MmrSelect)
+      // the first pick is pure relevance: identical to exact top-1
+      assert(ordered.head.getLong(2) === top1(qid), s"query $qid pick 1")
+      // its score is λ·rel exactly (empty penalty)
+      val r6 = (x: Double) => math.floor(x * 1e6 + 0.5) / 1e6
+      assert(ordered.head.getDouble(4) === r6(Similarity.MmrLambda * ordered.head.getDouble(3)))
+      // greedy MMR scores are monotone non-increasing: a later pick was
+      // available earlier with a no-larger penalty
+      val scores = ordered.map(_.getDouble(4)).toSeq
+      scores.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, s"query $qid scores $scores") }
+      // diversification bites: at least one pick departs from the pure
+      // relevance prefix OR every pick's penalty left its score at λ·rel
+      // (both legal; the oracle pins the exact trajectory either way)
+    }
+  }
+
   test("hybrid RRF over IVF-PQ: semantic list IS the index's refined top-K; fusion decomposes") {
     val rows = Similarity.hybridRerankPq(spark, dir).collect()
     assert(rows.nonEmpty)
