@@ -201,6 +201,57 @@ case class CharEntropyBits(child: Expression) extends UnaryExpression with Codeg
     copy(child = newChild)
 }
 
+/** Per-document term statistics for a FIXED query vocabulary:
+  * [dl, tf(term1), …, tf(termQ)] in one pass over the string — the
+  * BM25 scoring inputs. Replaces Q interpreted `filter(w, _ === t)`
+  * higher-order scans over a materialized token array (lambda
+  * machinery per element, array allocation per row). Tokenization
+  * contract is TextSplit.splitWs's: split on ' '/'\t', KEEP empty
+  * segments (so dl = separators + 1), input lowered by the caller —
+  * byte-equal to the declarative split+filter form and the oracle's
+  * regexp_split_to_array + list_filter replay.
+  */
+case class TermStats(child: Expression, terms: Seq[String])
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val out = new Array[Long](terms.length + 1)
+    val n = s.length
+    var start = 0
+    var i = 0
+    def seg(endExcl: Int): Unit = {
+      out(0) += 1
+      var t = 0
+      while (t < terms.length) {
+        val term = terms(t)
+        if (endExcl - start == term.length) {
+          var j = 0
+          var ok = true
+          while (ok && j < term.length) {
+            if (s.charAt(start + j) != term.charAt(j)) ok = false
+            j += 1
+          }
+          if (ok) out(t + 1) += 1
+        }
+        t += 1
+      }
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t') { seg(i); start = i + 1 }
+      i += 1
+    }
+    seg(n)
+    new GenericArrayData(out.map(Long.box).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct char count of a string — the companion statistic of
   * [[CharEntropyBits]], same single sorted pass instead of
   * size(array_distinct(split(...))).
@@ -239,4 +290,6 @@ object TextExpressions {
     Bridge.column(RollingHash(Bridge.expression(text), seed, mod))
   def cdcChunks(text: Column, window: Int, mask: Long, mod: Long): Column =
     Bridge.column(CdcChunks(Bridge.expression(text), window, mask, mod))
+  def termStats(loweredText: Column, terms: Seq[String]): Column =
+    Bridge.column(TermStats(Bridge.expression(loweredText), terms))
 }

@@ -140,14 +140,48 @@ object Pq {
     * code, v). Shared by the full-corpus ADC scan and the IVF-bounded
     * one, so both serve off identical codebooks/encodings.
     */
+  /** The DURABLE code-table pair — what "stored 6-byte codes" means
+    * physically: the trained per-subspace codebooks and the corpus
+    * code table are warehouse artifacts written once per content
+    * fingerprint (the ivfIndexTable/ivfCellTable discipline). The
+    * 512n-subvector-dot encoding pass belongs to the one-time build;
+    * a serve reads codes from the catalog and computes only the
+    * QUERY-side lookup table (queries × subspaces × codes dots).
+    */
+  private[graft] def pqCodebookTable(spark: SparkSession, dir: String): String = {
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val t = s"graft_pq_cents_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_pq_cents_"), Seq(t)) {
+      val emb = Tables.embeddingsFanned(spark, dir).select(col("vec_id"), col("embedding"))
+      pqCodebook(subvectors(emb))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  private[graft] def pqCodeTable(spark: SparkSession, dir: String): String = {
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val t = s"graft_pq_codes_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_pq_codes_"), Seq(t)) {
+      val emb = Tables.embeddingsFanned(spark, dir).select(col("vec_id"), col("embedding"))
+      pqEncode(subvectors(emb), spark.table(pqCodebookTable(spark, dir)))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
   private def codesAndLut(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
-    val subv = subvectors(emb)
-    val cents = pqCodebook(subv)
-    val codes = pqEncode(subv, cents)
-    val lut = subv
-      .filter($"vec_id" < Similarity.NumQueries)
+    val cents = spark.table(pqCodebookTable(spark, dir))
+    val codes = spark.table(pqCodeTable(spark, dir))
+    val lut = subvectors(emb.filter($"vec_id" < Similarity.NumQueries))
       .join(broadcast(cents), "m")
       .select($"vec_id".as("query_id"), $"m", $"code", dot($"sub", $"ce").as("v"))
     (codes, lut)
@@ -281,17 +315,18 @@ object Pq {
     import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
     val embN = emb.withColumn("nrm", norm($"embedding"))
-    val cents = Similarity.lloydCentroids(embN)
-    val scoredCells = embN
+    // serving reads the two persisted index artifacts — the trained
+    // centroids and the full-corpus posting table — from the catalog;
+    // the 256×n-dot assignment pass belongs to the one-time build
+    // (ivfCellTable), never the query path. Only the QUERY rows score
+    // against the centroid table here (queries × cells dots).
+    val cents = spark.table(Similarity.ivfIndexTable(spark, dir))
+    val cell = spark.table(Similarity.ivfCellTable(spark, dir))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+    val qprobe = embN
+      .filter($"vec_id" < Similarity.NumQueries)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
-    val cell = scoredCells
-      .groupBy($"vec_id")
-      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
-      .select($"vec_id", (-$"best.ncid").as("cid"))
-    val wProbe = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-    val qprobe = scoredCells
-      .filter($"vec_id" < Similarity.NumQueries)
       .withColumn("rn", row_number().over(wProbe))
       .filter($"rn" <= Similarity.IvfProbes)
       .select($"vec_id".as("query_id"), $"cid")

@@ -282,6 +282,28 @@ object Similarity {
     t
   }
 
+  /** The posting-table half of the durable index: the full-corpus
+    * (vec_id → cell) assignment against the STORED centroids, written
+    * once per content fingerprint. This is what an inverted-file index
+    * physically IS — serving reads postings from storage and never
+    * re-derives them (the 256×n-dot assignment pass belongs to the
+    * build, not the query). Assignment arithmetic is [[assignCells]]
+    * verbatim, so the stored rows equal the from-scratch ones
+    * bit-for-bit (the sim_ivf_persisted equality argument).
+    */
+  private[graft] def ivfCellTable(spark: SparkSession, dir: String): String = {
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val t = s"graft_ivf_cells_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_ivf_cells_"), Seq(t)) {
+      assignCells(corpusWithNorm(spark, dir), spark.table(ivfIndexTable(spark, dir)))
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
   /** Registered query: IVF ANN served from the PERSISTED quantizer —
     * identical output (and oracle) to sim_ann_ivf, because the stored
     * centroids are the trained centroids; what changes is the serving

@@ -595,13 +595,23 @@ object TextAnalysis {
     val k1p1 = Bm25K1 + 1.0
     val oneMinusB = 1.0 - Bm25B
     val n = Bm25Query.length
-    val tfs = Bm25Query.zipWithIndex.map { case (t, i) =>
-      size(filter($"w", x => x === lit(t))).cast("long").as(s"tf${i + 1}")
-    }
+    // [dl, tf1..tfQ] from ONE native pass over the lowered text — the
+    // declarative form (token-array materialization + Q interpreted
+    // higher-order filters) measured 17 s at sf10 against ~3 s here;
+    // byte-equal token semantics, and the oracle replay is unchanged.
+    // The narrow base persists so the stats pass and the scoring pass
+    // share one corpus scan (the rankPercentiles discipline).
     val base = Tables
       .documentsFanned(spark, dir)
-      .select($"doc_id", tokens($"text").as("w"))
-      .select($"doc_id" +: size($"w").cast("long").as("dl") +: tfs: _*)
+      .select(
+        $"doc_id",
+        graft.functions.TextExpressions.termStats(lower($"text"), Bm25Query).as("ts")
+      )
+      .select(
+        ($"doc_id" +: $"ts".getItem(0).as("dl") +:
+          (1 to n).map(i => $"ts".getItem(i).as(s"tf$i"))): _*
+      )
+      .persist()
     val dfs = (1 to n).map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = base
       .agg(count(lit(1)).as("n_docs"), (sum($"dl").as("sum_dl") +: dfs): _*)

@@ -39,7 +39,7 @@ object ExplainDump {
     "q29_scalar_subquery" -> "correlated scalar subquery decorrelated: per-customer aggregate joined back, no per-row subquery",
     "q30_merge_upsert" -> "CDC-apply: one key join folds updates/deletes, inserts union in",
     "q31_partition_pruning" -> "year predicate in PartitionFilters — pruning at file listing, 2-column data schema",
-    "text_bm25" -> "no corpus shuffle at all: map-side tf (no explode), 1-row stats broadcast, TakeOrdered top-k; rank window sees only K rows",
+    "text_bm25" -> "no corpus shuffle at all: [dl, tf..] from one native single-pass expression (no token array, no interpreted lambdas), persisted narrow base shared by the stats and scoring passes, 1-row stats broadcast, TakeOrdered top-k; rank window sees only K rows",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",
     "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame",
