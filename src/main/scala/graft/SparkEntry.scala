@@ -86,6 +86,7 @@ object SparkEntry {
     "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
+    "layout_schema_evolution" -> ((s, d) => graft.queries.Layout.schemaEvolutionScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -116,6 +117,7 @@ object SparkEntry {
     "stream_semantic_admit" -> ((s, d) => StreamingQueries.semanticAdmitStream(s, d)),
     "stream_scd2" -> ((s, d) => StreamingQueries.scd2Stream(s, d)),
     "stream_layout_ingest" -> ((s, d) => graft.queries.Layout.streamIngestScan(s, d)),
+    "stream_mv_ingest" -> ((s, d) => graft.queries.Layout.streamMvServe(s, d)),
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
@@ -267,6 +269,10 @@ object SparkEntry {
     "layout_deletes" -> Oracles.layoutDeletes,
     // tick-maintained MV must answer the full-table aggregate exactly
     "mv_incremental" -> Oracles.mvIncremental,
+    // evolved-column presence replayed through the tick predicates
+    "layout_schema_evolution" -> Oracles.layoutSchemaEvolution,
+    // the stream-maintained MV answers the same full-table contract
+    "stream_mv_ingest" -> Oracles.mvIncremental,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

@@ -691,6 +691,21 @@ object Oracles {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY metric")
   }
 
+  /** Schema-evolution replay: column PRESENCE is a function of which
+    * tick a row landed in (tick predicates on l_orderkey), so the
+    * oracle computes the evolved-column counts/sums over exactly the
+    * slices that carried them — equality proves the merged-schema read
+    * nulls precisely the rows whose files predate each column.
+    */
+  val layoutSchemaEvolution: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  count(CASE WHEN l_orderkey % 4 = 0 THEN 1 END) AS n_disc,
+      |  CAST(sum(CASE WHEN l_orderkey % 4 = 0
+      |    THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_disc,
+      |  count(CASE WHEN l_orderkey % 8 = 0 THEN 1 END) AS n_tax
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental-MV replay: the oracle aggregates the RAW table in
     * full — equality proves per-tick delta maintenance (merge of
     * groups-sized partials) lost nothing, including the exact decimal

@@ -466,6 +466,112 @@ object Layout {
       .orderBy($"l_returnflag")
   }
 
+  // ---- streaming MV maintenance ----------------------------------------
+
+  /** Spec ledger: (non-empty micro-batches, final cumulative MV rows)
+    * of the last streaming-MV build in this JVM.
+    */
+  private[graft] val lastStreamMv =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** Builds (once per fingerprint) the STREAM-maintained materialized
+    * view: the same upstream file stream as [[streamIngestRoot]], but
+    * `foreachBatch` advances an AGGREGATE instead of committing files —
+    * delta = groups-sized aggregate of ONLY the arriving batch, merged
+    * with the previous MV version (a groups ∪ groups aggregate), one
+    * immutable MV version per batch. This is the continuous half of
+    * [[mvTick]]'s contract — the Delta-Live-Tables "streaming
+    * materialized view": maintenance cost per trigger is O(batch) +
+    * O(groups), and a dashboard reads the latest version without ever
+    * scanning the corpus. Returns the root (mv_<batch>/ versions +
+    * `_latest` pointer).
+    */
+  private[graft] def streamMvRoot(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val frag = tmpDirOnce("graft_smvsrc_", fp) { path =>
+      Tables.lineitem(spark, dir).repartition(StreamIngestFragFiles).write.mode("overwrite").parquet(path)
+    }
+    tmpDirOnce("graft_smv_", fp) { root =>
+      new java.io.File(root).mkdirs()
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", StreamIngestFilesPerTrigger)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, id: java.lang.Long) =>
+          if (!df.isEmpty) {
+            val delta = df
+              .groupBy($"l_returnflag", $"l_linestatus")
+              .agg(
+                count(lit(1)).as("n_rows"),
+                sum($"l_quantity").as("sum_qty"),
+                sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price")
+              )
+            val merged = Option(latest.get()) match {
+              case None => delta
+              case Some(p) =>
+                spark.read
+                  .parquet(p)
+                  .unionByName(delta)
+                  .groupBy($"l_returnflag", $"l_linestatus")
+                  .agg(
+                    sum($"n_rows").as("n_rows"),
+                    sum($"sum_qty").as("sum_qty"),
+                    sum($"sum_price").cast("decimal(38,2)").as("sum_price")
+                  )
+            }
+            val out = s"$root/mv_$id"
+            merged.coalesce(1).write.mode("overwrite").parquet(out)
+            latest.set(out)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val total = spark.read.parquet(latest.get()).agg(sum($"n_rows")).collect().head.getLong(0)
+      lastStreamMv.set((batches.get, total))
+      java.nio.file.Files.write(
+        new java.io.File(root, "_latest").toPath,
+        latest.get().getBytes("UTF-8")
+      )
+      new java.io.File(root, "_SUCCESS").createNewFile()
+      ()
+    }
+  }
+
+  /** Registered query `stream_mv_ingest`: serve the latest version of
+    * the stream-maintained MV — same output contract (and oracle) as
+    * `mv_incremental`, proving the continuous write path maintains the
+    * identical aggregate. The serve reads the `_latest` pointer and a
+    * groups-sized parquet; the corpus is never scanned at query time.
+    */
+  def streamMvServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamMvRoot(spark, dir)
+    val latest = new String(
+      java.nio.file.Files.readAllBytes(new java.io.File(root, "_latest").toPath),
+      "UTF-8"
+    )
+    spark.read
+      .parquet(latest)
+      .select(
+        $"l_returnflag",
+        $"l_linestatus",
+        $"n_rows",
+        $"sum_qty".cast("long").as("sum_qty"),
+        $"sum_price".cast("double").as("sum_price"),
+        round($"sum_price".cast("double") / $"n_rows", 4).as("avg_price")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   // ---- snapshot expiry / vacuum (the retention half of the lifecycle) --
 
   val VacCompactFiles = 4
@@ -590,6 +696,61 @@ object Layout {
     )
       .unionByName(agg(spark.read.parquet(comp), "snapshot_v3"))
       .orderBy($"metric")
+  }
+
+  // ---- schema evolution (add-column, merge-on-read) --------------------
+
+  private val EvoBaseCols = Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  /** The add-column lineage: tick 0 lands with the base schema, tick 1
+    * starts carrying `l_discount`, tick 2 additionally `l_tax` — the
+    * way production schemas actually evolve under continuous ingest.
+    * Old files are NEVER rewritten: evolution is a metadata fact, and
+    * each tick's files physically contain exactly the columns that
+    * existed when it landed.
+    */
+  private[queries] def evoDirs(spark: SparkSession, dir: String): Seq[String] = {
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    (0 until IncSlices).map { k =>
+      tmpDirOnce(s"graft_evo_d${k}_", fp) { path =>
+        val cols = EvoBaseCols ++
+          (if (k >= 1) Seq("l_discount") else Nil) ++
+          (if (k >= 2) Seq("l_tax") else Nil)
+        incSlice(spark, dir, k)
+          .select(cols.map(col): _*)
+          .coalesce(2)
+          .write
+          .mode("overwrite")
+          .parquet(path)
+      }
+    }
+  }
+
+  /** Registered query `layout_schema_evolution`: the merged-schema read
+    * over the add-column lineage. `mergeSchema` unions the per-file
+    * schemas at planning time and the reader nulls the columns a file
+    * predates — so widening a 100 TB table costs ZERO data rewrite and
+    * queries see one consistent wide schema immediately. The aggregate
+    * exercises both regimes per group: counts over the evolved columns
+    * count exactly the rows from ticks that carried them (the oracle
+    * replays presence through the tick predicates on the raw table),
+    * and sums stay exact decimals over the present subset.
+    */
+  def schemaEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dirs = evoDirs(spark, dir)
+    spark.read
+      .option("mergeSchema", "true")
+      .parquet(dirs: _*)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        count($"l_discount").as("n_disc"),
+        sum($"l_discount".cast("decimal(18,2)")).cast("double").as("sum_disc"),
+        count($"l_tax").as("n_tax")
+      )
+      .orderBy($"l_returnflag")
   }
 
   // ---- incremental materialized-view maintenance -----------------------

@@ -253,6 +253,41 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sdir))
   }
 
+  test("schema evolution: old files keep their narrow schema; the merged read nulls exactly what predates a column") {
+    import spark.implicits._
+    val dirs = Layout.evoDirs(spark, dir)
+    // physical truth: each tick's files carry exactly the columns that
+    // existed when it landed — widening rewrote nothing
+    val s0 = spark.read.parquet(dirs(0)).schema.fieldNames.toSet
+    val s1 = spark.read.parquet(dirs(1)).schema.fieldNames.toSet
+    val s2 = spark.read.parquet(dirs(2)).schema.fieldNames.toSet
+    assert(!s0.contains("l_discount") && !s0.contains("l_tax"), s0.toString)
+    assert(s1.contains("l_discount") && !s1.contains("l_tax"), s1.toString)
+    assert(s2.contains("l_discount") && s2.contains("l_tax"), s2.toString)
+    // the merged read presents the full wide schema
+    val merged = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    assert(Set("l_discount", "l_tax").subsetOf(merged.schema.fieldNames.toSet))
+    // result contract: evolved-column presence == tick membership
+    val got = Layout.schemaEvolutionScan(spark, dir).collect().map(_.toSeq).toSeq
+    val li = Tables.lineitem(spark, dir)
+    val want = li
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        count(when(pmod($"l_orderkey", lit(4)) === 0, 1)).as("n_disc"),
+        sum(when(pmod($"l_orderkey", lit(4)) === 0, $"l_discount".cast("decimal(18,2)")))
+          .cast("double")
+          .as("sum_disc"),
+        count(when(pmod($"l_orderkey", lit(8)) === 0, 1)).as("n_tax")
+      )
+      .orderBy($"l_returnflag")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(got === want)
+  }
+
   test("incremental MV: each row aggregated exactly once across ticks; serve is scan-free and exact") {
     import spark.implicits._
     // fresh lineage so every MV commit happens inside this JVM's window
@@ -345,6 +380,52 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
+  }
+
+  test("streaming MV: one immutable version per micro-batch; latest equals the full-table aggregate") {
+    import spark.implicits._
+    // fresh corpus copy → fresh fingerprint → the stream actually runs
+    val sdir = java.nio.file.Files.createTempDirectory("graft-smv-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$sdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+
+    val got = Layout.streamMvServe(spark, sdir).collect().map(_.toSeq).toSeq
+    val (batches, totalRows) = Layout.lastStreamMv.get()
+    val wantBatches = Layout.StreamIngestFragFiles / Layout.StreamIngestFilesPerTrigger
+    assert(batches === wantBatches)
+    val root = Layout.streamMvRoot(spark, sdir)
+    val versions = Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("mv_"))
+    assert(versions.length === batches, "one immutable MV version per micro-batch")
+    // cumulative row counts grow monotonically across versions
+    val counts = versions.sortBy(_.getName.stripPrefix("mv_").toLong).map { v =>
+      spark.read.parquet(v.getAbsolutePath).agg(sum($"n_rows")).collect().head.getLong(0)
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => a < b }, counts.mkString(","))
+    assert(totalRows === Tables.lineitem(spark, sdir).count())
+    // latest version answers the batch MV contract exactly
+    val want = Tables.lineitem(spark, sdir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
+        round(
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1)),
+          4
+        ).as("avg_price")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want)
+    // build-once: a second serve replays nothing
+    Layout.lastStreamMv.set((-1, -1L))
+    val again = Layout.streamMvServe(spark, sdir).collect().map(_.toSeq).toSeq
+    assert(Layout.lastStreamMv.get() === ((-1, -1L)), "second serve must not re-run the stream")
+    assert(again === got)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sdir))
   }
 
   test("vacuum: expired tick files physically removed, retained snapshot answers identically") {
