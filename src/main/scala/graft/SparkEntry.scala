@@ -158,6 +158,7 @@ object SparkEntry {
     "sim_hybrid_rerank_pq" -> ((s, d) => Similarity.hybridRerankPq(s, d)),
     "sim_ann_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "sim_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
+    "sim_pq_append" -> ((s, d) => graft.similarity.Pq.adcTopKAppended(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -353,6 +354,8 @@ object SparkEntry {
     "sim_ann_filtered" -> PipelineOracles.simAnnFiltered,
     // greedy MMR unrolled CTE-per-pick; identical IEEE trajectory
     "sim_mmr_diversify" -> PipelineOracles.simMmrDiversify,
+    // maintained code table must equal the from-scratch index
+    "sim_pq_append" -> PipelineOracles.simPqAppend,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

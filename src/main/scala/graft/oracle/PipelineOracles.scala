@@ -930,13 +930,19 @@ object PipelineOracles {
     * `pcents` are multi-referenced → MATERIALIZED, so the Lloyd chain
     * runs once per oracle evaluation.
     */
-  private val pqCodesCtes: String = {
+  /** `trainWhere`/`stride`/`offset` let the append-index variant train
+    * the codebooks on the base slice with an init class that never
+    * leaves it (the ivfCellCtesFor pattern); the full-corpus form is
+    * `("TRUE", PqStride, 0)`. Encoding always covers ALL vectors — for
+    * the append index that IS the final table state after the ticks.
+    */
+  private def pqCodesCtesFor(trainWhere: String, stride: Int, offset: Int): String = {
     val s = Similarity.IvfMeanScale
     val sd = Pq.PqSubDim
     def lloydCtes(i: Int): String =
       s"""psc$i AS (SELECT v.vec_id, v.m, v.sub, c.code,
          |    2.0 * ${dotSql("v.sub", "c.ce")} - ${dotSql("c.ce", "c.ce")} AS score
-         |  FROM subv v JOIN pc${i - 1} c ON c.m = v.m),
+         |  FROM tsubv v JOIN pc${i - 1} c ON c.m = v.m),
          |par$i AS (SELECT vec_id, m, sub, code,
          |    row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, code) AS rn FROM psc$i),
          |pas$i AS (SELECT m, code, sub FROM par$i WHERE rn = 1),
@@ -949,8 +955,9 @@ object PipelineOracles {
     s"""subv AS MATERIALIZED (SELECT vec_id, mm.m AS m,
        |    embedding[mm.m * $sd + 1 : mm.m * $sd + $sd] AS sub
        |  FROM embeddings, (SELECT unnest(generate_series(0, ${Pq.PqSubspaces - 1})) AS m) mm),
-       |pc0 AS (SELECT m, CAST(vec_id // ${Pq.PqStride} AS INT) AS code, sub AS ce FROM subv
-       |  WHERE vec_id % ${Pq.PqStride} = 0 AND vec_id < ${Pq.PqStride.toLong * Pq.PqCodes}),
+       |tsubv AS MATERIALIZED (SELECT * FROM subv WHERE $trainWhere),
+       |pc0 AS (SELECT m, CAST((vec_id - $offset) // $stride AS INT) AS code, sub AS ce FROM tsubv
+       |  WHERE vec_id % $stride = $offset AND vec_id < ${offset.toLong + stride.toLong * Pq.PqCodes}),
        |${(1 to rounds).map(lloydCtes).mkString(",\n")},
        |pcents AS MATERIALIZED (SELECT m, code, ce FROM pc$rounds),
        |enc_sc AS (SELECT v.vec_id, v.m, c.code,
@@ -963,11 +970,11 @@ object PipelineOracles {
        |  FROM subv q JOIN pcents c ON c.m = q.m WHERE q.vec_id < ${Similarity.NumQueries})""".stripMargin
   }
 
-  /** Full-corpus ADC scan + refine tail over [[pqCodesCtes]]'s stored
-    * artifacts (`codes`, `lut`).
+  /** Full-corpus ADC scan + refine tail over the stored artifacts
+    * (`codes`, `lut`) of [[pqCodesCtesFor]].
     */
-  private val pqAdcCtes: String =
-    s"""$pqCodesCtes,
+  private def pqAdcCtesFor(trainWhere: String, stride: Int, offset: Int): String =
+    s"""${pqCodesCtesFor(trainWhere, stride, offset)},
        |adc AS (SELECT l.query_id, k.vec_id,
        |${(0 until Pq.PqSubspaces)
         .map(m => s"    sum(CASE WHEN k.m = $m THEN l.v END) AS l$m")
@@ -990,12 +997,31 @@ object PipelineOracles {
        |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
        |  FROM pq_refined)""".stripMargin
 
+  private lazy val pqAdcCtes: String = pqAdcCtesFor("TRUE", Pq.PqStride, 0)
+  private lazy val pqCodesCtes: String = pqCodesCtesFor("TRUE", Pq.PqStride, 0)
+
   /** Left-to-right 8-term ADC sum — matches Spark's reduce(_ + _). */
   private def adcSumSql: String =
     (1 until Pq.PqSubspaces).foldLeft("l0")((acc, m) => s"($acc + l$m)")
 
   val simPqAdc: String =
     s"""WITH $pqAdcCtes
+       |SELECT query_id, vec_id AS neighbor_id, rank,
+       |  ${round6Sql("xdot")} AS dot, ${round6Sql("adc_dot")} AS adc_dot
+       |FROM pq_rerank WHERE rank <= ${Pq.PqTopK} ORDER BY query_id, rank""".stripMargin
+
+  /** Replays the MAINTAINED PQ index's final state: codebooks trained
+    * on the base slice only (init class inside the slice), codes for
+    * the whole corpus (base build + ticks ≡ encode-all against the
+    * stored codebooks), the same ADC + exact-refine tail. Equality
+    * proves the tick API converges to exactly the from-scratch index.
+    */
+  val simPqAppend: String =
+    s"""WITH ${pqAdcCtesFor(
+        s"vec_id % ${Similarity.IvfNewMod} <> 0",
+        Pq.PqAppendStride,
+        Pq.PqAppendOffset
+      )}
        |SELECT query_id, vec_id AS neighbor_id, rank,
        |  ${round6Sql("xdot")} AS dot, ${round6Sql("adc_dot")} AS adc_dot
        |FROM pq_rerank WHERE rank <= ${Pq.PqTopK} ORDER BY query_id, rank""".stripMargin

@@ -535,6 +535,7 @@ object Layout {
         .start()
       try q.processAllAvailable()
       finally q.stop()
+      require(latest.get() != null, s"streaming MV drained zero non-empty batches from $frag")
       val total = spark.read.parquet(latest.get()).agg(sum($"n_rows")).collect().head.getLong(0)
       lastStreamMv.set((batches.get, total))
       java.nio.file.Files.write(

@@ -46,7 +46,7 @@ object Pq {
   val PqRefine = 50 // ADC candidates re-ranked exactly per query
 
   /** (vec_id, m, sub): the corpus exploded into per-subspace views. */
-  private def subvectors(emb: DataFrame): DataFrame = {
+  private[graft] def subvectors(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     emb
@@ -82,12 +82,23 @@ object Pq {
     * no vectors vanish on both engines alike. Persisted: ≤ M·K = 512 rows
     * — the stored codebook artifact of a production PQ index.
     */
-  private[graft] def pqCodebook(subv: DataFrame): DataFrame = {
+  private[graft] def pqCodebook(subv: DataFrame): DataFrame =
+    pqCodebook(subv, PqStride, 0)
+
+  /** `stride`/`offset` generalize the init so an append-index variant
+    * can train on a SLICE whose ids must all satisfy the slice
+    * predicate: with stride divisible by the slice modulus, the class
+    * `vec_id ≡ offset (mod stride)` never leaves the slice.
+    */
+  private[graft] def pqCodebook(subv: DataFrame, stride: Int, offset: Int): DataFrame = {
     val spark = subv.sparkSession
     import spark.implicits._
     var cents = subv
-      .filter($"vec_id" % PqStride === 0 && $"vec_id" < PqStride.toLong * PqCodes)
-      .select($"m", floor($"vec_id" / PqStride).cast("int").as("code"), $"sub".as("ce"))
+      .filter(
+        $"vec_id" % stride === offset &&
+          $"vec_id" < offset.toLong + stride.toLong * PqCodes
+      )
+      .select($"m", floor(($"vec_id" - offset) / stride).cast("int").as("code"), $"sub".as("ce"))
     for (_ <- 1 to PqLloydRounds) {
       val assigned = scored(subv, cents)
         .groupBy($"vec_id", $"m")
@@ -234,6 +245,156 @@ object Pq {
       .join(emb, "vec_id")
       .withColumn("xdot", dot($"qe", $"embedding"))
       .withColumn("xrank", row_number().over(w))
+      .filter($"xrank" <= PqTopK)
+      .select(
+        $"query_id",
+        $"vec_id".as("neighbor_id"),
+        $"xrank".as("rank"),
+        round($"xdot", 6).as("dot"),
+        round($"adc_dot", 6).as("adc_dot")
+      )
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ---- incrementally-maintained PQ (codes appended, never re-trained) --
+
+  /** Append-index init class: stride divisible by [[Similarity.IvfNewMod]]
+    * keeps `vec_id ≡ 1 (mod 10)` entirely inside the base slice
+    * (vec_id % 5 ≠ 0), so codebook training never sees a ticked vector.
+    */
+  val PqAppendStride = 10
+  val PqAppendOffset = 1
+
+  /** The incrementally-MAINTAINED PQ index triple (the code-table
+    * analog of `sim_ivf_append`): per-subspace codebooks trained on the
+    * BASE corpus only, the base code table, and the vector store
+    * (vec_id, embedding) the exact-refine tail reads — so vectors
+    * ingested after the build are first-class serve candidates without
+    * any corpus-file join. Ticks encode arriving vectors against the
+    * STORED codebooks — work ∝ batch, never a retrain.
+    */
+  private[graft] def pqAppendTables(spark: SparkSession, dir: String): (String, String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val ct = s"graft_pqa_cents_$fp"
+    val kt = s"graft_pqa_codes_$fp"
+    val vt = s"graft_pqa_vecs_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_pqa_cents_", "graft_pqa_codes_", "graft_pqa_vecs_"),
+      Seq(ct, kt, vt)
+    ) {
+      val base = Tables
+        .embeddingsFanned(spark, dir)
+        .select($"vec_id", $"embedding")
+        .filter($"vec_id" % Similarity.IvfNewMod =!= 0)
+      val bsub = subvectors(base)
+      pqCodebook(bsub, PqAppendStride, PqAppendOffset)
+        .write.mode("overwrite").format("parquet").saveAsTable(ct)
+      pqEncode(bsub, spark.table(ct))
+        .write.mode("overwrite").format("parquet").saveAsTable(kt)
+      base.write.mode("overwrite").format("parquet").saveAsTable(vt)
+    }
+    (ct, kt, vt)
+  }
+
+  /** The ingest tick: encode `batch` (vec_id, embedding) against the
+    * STORED codebooks and append codes + vectors — the codebook table
+    * is never touched (PqAppendSpec drives two ticks and pins it).
+    */
+  def pqAppendTick(
+      spark: SparkSession,
+      centTable: String,
+      codeTable: String,
+      vecTable: String,
+      batch: DataFrame
+  ): Unit = {
+    pqEncode(subvectors(batch), spark.table(centTable))
+      .write.mode("append").format("parquet").saveAsTable(codeTable)
+    batch.write.mode("append").format("parquet").saveAsTable(vecTable)
+  }
+
+  /** Registered query `sim_pq_append`: ADC + exact refine served over
+    * the incrementally-maintained code table — stored codes ∪ the
+    * in-flight batch's encoding (anti-joined on already-ticked ids, so
+    * a persisted tick is never re-encoded or double-counted), with the
+    * exact-dot tail reading the maintained VECTOR STORE rather than
+    * the corpus file — out-of-corpus arrivals are fully servable. No
+    * Lloyd jobs, no corpus-wide encoding in the serving path: the
+    * query-side work is the LUT (queries × subspaces × codes dots) and
+    * the pending batch's encoding.
+    */
+  def adcTopKAppended(spark: SparkSession, dir: String): DataFrame = {
+    val (codes, lut, queries, vecs) = adcAppendParts(spark, dir)
+    adcServeFrom(codes, lut, queries, vecs)
+  }
+
+  /** The maintained index's serve inputs: stored codes ∪ the in-flight
+    * batch's encoding (anti-joined on already-ticked ids), the
+    * query-side LUT off the stored codebooks, and the maintained
+    * vector store ∪ the in-flight batch.
+    */
+  private[graft] def adcAppendParts(
+      spark: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (ct, kt, vt) = pqAppendTables(spark, dir)
+    val cents = spark.table(ct)
+    val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val stored = spark.table(kt)
+    val tickedIds = stored
+      .filter($"vec_id" % Similarity.IvfNewMod === 0)
+      .select($"vec_id")
+      .distinct()
+    val pending = emb
+      .filter($"vec_id" % Similarity.IvfNewMod === 0)
+      .join(tickedIds, Seq("vec_id"), "left_anti")
+    val codes = stored.unionByName(pqEncode(subvectors(pending), cents))
+    val vecs = spark.table(vt).unionByName(pending)
+    val lut = queryLut(emb, cents)
+    val queries = emb
+      .filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    (codes, lut, queries, vecs)
+  }
+
+  private[graft] def queryLut(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    subvectors(emb.filter($"vec_id" < Similarity.NumQueries))
+      .join(broadcast(cents), "m")
+      .select($"vec_id".as("query_id"), $"m", $"code", dot($"sub", $"ce").as("v"))
+  }
+
+  /** ADC ranking + exact refine over EXPLICIT artifact frames — the
+    * refine tail reads `vecs` (the maintained vector store), never the
+    * corpus file, so ingested out-of-corpus vectors are servable.
+    */
+  private[graft] def adcServeFrom(
+      codes: DataFrame,
+      lut: DataFrame,
+      queries: DataFrame,
+      vecs: DataFrame
+  ): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cols = (0 until PqSubspaces).map(m => sum(when($"m" === m, $"v")).as(s"l$m"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc_dot".desc, $"vec_id")
+    val cand = codes
+      .join(broadcast(lut), Seq("m", "code"))
+      .groupBy($"query_id", $"vec_id")
+      .agg(cols.head, cols.tail: _*)
+      .withColumn("adc_dot", adcSum)
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= PqRefine)
+    val wx = Window.partitionBy($"query_id").orderBy($"xdot".desc, $"vec_id")
+    cand
+      .join(broadcast(queries), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("xdot", dot($"qe", $"embedding"))
+      .withColumn("xrank", row_number().over(wx))
       .filter($"xrank" <= PqTopK)
       .select(
         $"query_id",

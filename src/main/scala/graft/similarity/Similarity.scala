@@ -1009,8 +1009,9 @@ object Similarity {
     * top-K per query — the pinned 100 TB source), candidate embeddings
     * ride back via ONE broadcast join against the corpus scan, and the
     * greedy runs inside flatMapGroups with state bounded by
-    * MmrPool × dim per query, parallel across queries — O(S·K) dot
-    * products each, never a corpus pass. Determinism: the pool is a
+    * MmrPool × dim per query, parallel across queries — O(S²·K) dot
+    * products each (≤2.5k at S=5, K=20), never a corpus pass.
+    * Determinism: the pool is a
     * total order (cosine desc, id), penalties/scores are the same IEEE
     * double ops the oracle's left-fold dot replays bit-identically,
     * and argmax ties break by cand_id.

@@ -64,9 +64,10 @@ object ExplainDump {
     "stats_histogram" -> "fences from the q20 rank-based percentile plan (1-row frame, broadcast back); bucket assignment is a codegen'd when-chain per row; per-bucket count/NDV/min-max partial-aggregate — no full-column buffer anywhere",
     "q34_window_topk" -> "partial WindowGroupLimit on the map side bounds each group to k rows BEFORE the exchange; the shuffle carries O(groups x k) rows, never the corpus",
     "mv_incremental" -> "the serve is a groups-sized artifact read — zero corpus scan; each maintenance tick aggregated only its slice and merged groups-sized partials",
-    "sim_mmr_diversify" -> "pool via the bounded top-K aggregator (map-side k per query), embeddings back via one broadcast join; the greedy re-rank is flatMapGroups with MmrPool x dim state per query — O(S*K) dots, parallel across queries, never a corpus pass",
+    "sim_mmr_diversify" -> "pool via the bounded top-K aggregator (map-side k per query), embeddings back via one broadcast join; the greedy re-rank is flatMapGroups with MmrPool x dim state per query — O(S^2*K) dots, parallel across queries, never a corpus pass",
     "layout_schema_evolution" -> "widening is metadata: mergeSchema unions per-file schemas at planning time, the reader nulls columns a file predates — zero data rewrite, one aggregate pass over the unchanged files",
     "stream_mv_ingest" -> "foreachBatch merges a batch-only delta aggregate into the previous groups-sized MV version — O(batch)+O(groups) per trigger; the serve reads the _latest pointer and a groups-sized parquet, never the corpus",
+    "sim_pq_append" -> "serve reads the stored codebooks/codes/vector-store tables; only the pending batch encodes in-flight (anti-joined on ticked ids) and the exact-refine tail reads the maintained vector store — no Lloyd, no corpus-wide encoding, no corpus join in the query path",
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
     "text_bpe_encode" -> "one vocabulary-bounded wordcount shuffle trains the merges (count-weighted dict, the subword-nmt shape); the corpus encode is a broadcast-dictionary element_at lookup per token in one map pass; only the per-shard packing window and the output sort exchange rows",

@@ -163,6 +163,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("stats_histogram holds the q20 guarantee: fences without a percentile aggregate, fence frame broadcast") {
+    val df = Relational.statsHistogram(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // fences come from the rank-based plan, never a full-column buffer
+    assert(!plan.toLowerCase.contains("percentile"), plan)
+    // the per-column 1-row fence frame joins back via broadcast — the
+    // corpus-side assignment pass never shuffles for the fences
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"), physical)
+  }
+
   test("q21_sketch_gate verifies the sketch median by rank counting, not an exact percentile buffer") {
     val plan = Relational.q21SketchGate(spark, dir).queryExecution.optimizedPlan.toString
     // percentile_approx (the sketch under test) is allowed; the exact
@@ -646,6 +657,19 @@ class PlanSpec extends AnyFunSuite {
       .map(_.toSeq)
       .toSeq
     assert(got === want)
+  }
+
+  test("sim_ivf_pq serves from the persisted index artifacts, never a rebuild") {
+    val df = graft.similarity.Pq.ivfPqTopK(spark, dir)
+    val locations = scans(df).map(_.relation.location.rootPaths.mkString(","))
+    // the serve must READ the four stored index artifacts: trained
+    // centroids, full-corpus postings, subspace codebooks, code table —
+    // re-deriving any of them would put the build's corpus-wide
+    // assignment/encoding passes back into the query path
+    Seq("graft_ivf_cents_", "graft_ivf_cells_", "graft_pq_cents_", "graft_pq_codes_")
+      .foreach { t =>
+        assert(locations.exists(_.contains(t)), s"expected a scan of $t in:\n${locations.mkString("\n")}")
+      }
   }
 
   test("q34 window top-k: the rank limit is pushed into the window as a group limit") {

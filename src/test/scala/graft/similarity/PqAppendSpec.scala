@@ -1,0 +1,107 @@
+package graft.similarity
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the incrementally-maintained PQ index end-to-end: build the
+  * persisted (codebooks, codes, vector store) triple once, run two
+  * ingest ticks through [[Pq.pqAppendTick]], and pin that (a) ticks
+  * append exactly 8 code rows + 1 vector row per batch vector, (b) the
+  * codebooks are NEVER retrained by a tick, (c) build-once reuses the
+  * appended tables, (d) the served result equals a from-scratch
+  * encode-everything recompute against the same stored codebooks, and
+  * (e) ticked out-of-corpus vectors are servable from the maintained
+  * vector store alone.
+  */
+class PqAppendSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "pq-append-spec")
+
+  private val Dim = 64
+
+  private def vec(i: Long): Array[Float] =
+    Array.tabulate(Dim)(j => (((i * 29 + j * 11) % 17).toFloat - 8.0f) / 8.0f + 0.01f)
+
+  private def writeCorpus(n: Int): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqapp-").toString
+    (0 until n)
+      .map(i => (i.toLong, vec(i.toLong)))
+      .toDF("vec_id", "embedding")
+      .write
+      .parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ticks append codes without retraining; serving equals from-scratch; ticked vectors servable") {
+    import spark.implicits._
+    val dir = writeCorpus(60)
+    val (ct, kt, vt) = Pq.pqAppendTables(spark, dir)
+    val nBase = 60 - 60 / Similarity.IvfNewMod
+    assert(spark.table(kt).count() === nBase.toLong * Pq.PqSubspaces, "8 code rows per base vector")
+    assert(spark.table(vt).count() === nBase.toLong, "vector store covers the base slice")
+    // the init class stays inside the base slice by construction
+    assert(Pq.PqAppendStride % Similarity.IvfNewMod === 0)
+    assert(Pq.PqAppendOffset % Similarity.IvfNewMod != 0)
+    val centsBefore = spark.table(ct).collect().map(_.toString).sorted
+
+    def batch(ids: Seq[Long]) = ids.map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Pq.pqAppendTick(spark, ct, kt, vt, batch(Seq(100L, 105L)))
+    assert(spark.table(kt).count() === (nBase + 2L) * Pq.PqSubspaces, "tick 1 appends its batch's codes")
+    Pq.pqAppendTick(spark, ct, kt, vt, batch(Seq(110L)))
+    assert(spark.table(kt).count() === (nBase + 3L) * Pq.PqSubspaces, "tick 2 appends its batch's codes")
+    assert(spark.table(vt).count() === nBase + 3L)
+    val centsAfter = spark.table(ct).collect().map(_.toString).sorted
+    assert(centsBefore.sameElements(centsAfter), "a tick must never retrain the codebooks")
+    // every appended code addresses a stored codebook entry
+    val codeSet = spark.table(ct).select($"m", $"code").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val newCodes = spark.table(kt).filter($"vec_id" >= 100L).collect()
+    assert(newCodes.length === 3 * Pq.PqSubspaces)
+    assert(newCodes.forall(r => codeSet.contains((r.getInt(1), r.getInt(2)))))
+
+    // build-once must hand back the SAME appended tables, rows intact
+    assert(Pq.pqAppendTables(spark, dir) === ((ct, kt, vt)))
+    assert(spark.table(kt).count() === (nBase + 3L) * Pq.PqSubspaces)
+
+    // served == from-scratch: encode (corpus ∪ ticked) against the same
+    // stored codebooks, serve off the full vector set
+    val served = Pq.adcTopKAppended(spark, dir)
+    assert(served.queryExecution.analyzed.toString.contains("graft_pqa_codes_"))
+    val emb = graft.Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val embAll = emb.unionByName(batch(Seq(100L, 105L, 110L)))
+    val cents = spark.table(ct)
+    val scratch = Pq.adcServeFrom(
+      Pq.pqEncode(Pq.subvectors(embAll), cents),
+      Pq.queryLut(emb, cents),
+      emb.filter($"vec_id" < Similarity.NumQueries).select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      embAll
+    )
+    assert(
+      served.collect().map(_.toString).sameElements(scratch.collect().map(_.toString)),
+      "maintained index must serve exactly the from-scratch recompute"
+    )
+    assert(served.count() > 0)
+
+    // ticked-only servability: restrict codes to the appended rows —
+    // neighbors can then ONLY be ticked ids, so the exact-refine tail
+    // must be reading their vectors from the maintained store
+    val tickedOnly = Pq.adcServeFrom(
+      spark.table(kt).filter($"vec_id" >= 100L),
+      Pq.queryLut(emb, cents),
+      emb.filter($"vec_id" < Similarity.NumQueries).select($"vec_id".as("query_id"), $"embedding".as("qe")),
+      spark.table(vt)
+    )
+    val tickedRows = tickedOnly.collect()
+    assert(tickedRows.nonEmpty, "ticked codes must be servable")
+    assert(tickedRows.forall(_.getLong(1) >= 100L))
+
+    // a replayed (already corpus-resident) pending batch cannot occur:
+    // the serve's anti-join sources pending ids from the corpus file
+    // only, and out-of-corpus ticks were persisted above — a second
+    // serve returns the identical result
+    val again = Pq.adcTopKAppended(spark, dir).collect()
+    assert(again.map(_.toString).sameElements(served.collect().map(_.toString)))
+  }
+}
