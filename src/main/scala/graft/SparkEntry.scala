@@ -195,6 +195,7 @@ object SparkEntry {
     "mm_phash" -> ((s, d) => Multimodal.phash(s, d)),
     "mm_phash_png" -> ((s, d) => Multimodal.phashPng(s, d)),
     "mm_phash_jpeg" -> ((s, d) => Multimodal.phashJpeg(s, d)),
+    "mm_phash_gif" -> ((s, d) => Multimodal.phashGif(s, d)),
     "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
     "mm_audio_energy" -> ((s, d) => Multimodal.audioEnergy(s, d)),
@@ -393,6 +394,8 @@ object SparkEntry {
     // the same closed-form hash the BMP round-trip does
     "mm_phash_png" -> PipelineOracles.mmPhash,
     "mm_phash_jpeg" -> PipelineOracles.mmPhashJpeg,
+    // GIF is lossless on palette images: same pixels, same closed form
+    "mm_phash_gif" -> PipelineOracles.mmPhash,
     "mm_phash_pairs" -> PipelineOracles.mmPhashPairs,
     "mm_phash_dedup" -> PipelineOracles.mmPhashDedup,
     "mm_audio_energy" -> PipelineOracles.mmAudioEnergy,

@@ -176,6 +176,7 @@ object Multimodal {
     if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P') return decodePng(p)
     if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8)
       return Jpeg.decodeBaseline(p)
+    if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') return Gif.decode(p)
     def le16(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
     def le32(i: Int) = le16(i).toLong | (le16(i + 2).toLong << 16)
     if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
@@ -662,6 +663,27 @@ object Multimodal {
   def phashJpeg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     phashFrame(spark, dir, encodeGrayJpeg).orderBy($"media_id")
+  }
+
+  /** Writes a REAL GIF89a (256-gray global color table, LZW-compressed
+    * indices via [[Gif]]) of the same synthetic image as
+    * [[encodeGrayBmp]] — palette images are lossless under GIF, so the
+    * round-trip lands on identical pixels and `mm_phash_gif` shares
+    * `mm_phash`'s closed-form oracle verbatim.
+    */
+  private[multimodal] def encodeGrayGif(d: Long): Array[Byte] =
+    Gif.encodeGray(PhashW, PhashH, (x, y) => phashPixel(d, x, y))
+
+  /** Registered query: the [[phash]] contract through the engine's own
+    * GIF89a encoder and full LZW decode path — with PNG and baseline
+    * JPEG this makes all three dominant compressed web-image formats
+    * end-to-end real on the executor. Same partition-local shape;
+    * bytes never shuffle; a mismatch anywhere in the LZW coder, the
+    * variable code widths, or the palette mapping fails the hash-check.
+    */
+  def phashGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    phashFrame(spark, dir, encodeGrayGif).orderBy($"media_id")
   }
 
   /** Registered query: image near-dup pairs — 8×8-bit pigeonhole bands

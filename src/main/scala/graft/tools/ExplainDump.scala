@@ -54,6 +54,7 @@ object ExplainDump {
     "dedup_semantic_capped" -> "SemDeDup with the cell-population cap: hot cells leave via the broadcast ok-cell filter BEFORE the within-cell pair join — the Σ cell² term is cap-bounded",
     "mm_phash_png" -> "identical partition-local shape to mm_phash: scan → batched encode→inflate→defilter→hash iterator → sort; compression never adds a shuffle",
     "mm_phash_jpeg" -> "identical partition-local shape: scan → batched encode→Huffman-decode→IDCT→YCbCr→hash iterator → sort; the whole entropy/transform stack runs on the scan partition, bytes never shuffle",
+    "mm_phash_gif" -> "identical partition-local shape: scan → batched encode→LZW-decode→palette-map→hash iterator → sort; variable-width code handling runs on the scan partition, bytes never shuffle",
     "q32_salted_join" -> "salted sort-merge join: both exchanges hash on (key, salt), so one hot key spreads over SaltFactor reducers; no broadcast — the demo exercises the shuffle path salting exists for",
     "events_scd2" -> "both window passes (lag mark, version/lead close) share ONE user-keyed exchange; the second sort sees only surviving change points",
     "layout_snapshot" -> "all snapshots audited in one pass over the tick files: explode(sequence(tick, latest)) fans rows to their versions, partial-aggregated to #versions rows before the only exchange",
