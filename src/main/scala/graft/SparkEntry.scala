@@ -87,6 +87,7 @@ object SparkEntry {
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
     "layout_schema_evolution" -> ((s, d) => graft.queries.Layout.schemaEvolutionScan(s, d)),
+    "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -275,6 +276,8 @@ object SparkEntry {
     "layout_schema_evolution" -> Oracles.layoutSchemaEvolution,
     // the stream-maintained MV answers the same full-table contract
     "stream_mv_ingest" -> Oracles.mvIncremental,
+    // per-commit change rows replayed via the slice/delete predicates
+    "layout_changes" -> Oracles.layoutChanges,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale

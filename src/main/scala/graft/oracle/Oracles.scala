@@ -706,6 +706,24 @@ object Oracles {
       |  count(CASE WHEN l_orderkey % 8 = 0 THEN 1 END) AS n_tax
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** CDF replay: commit membership from the raw table through the
+    * slice/delete predicates — v1 inserts = slice 0, v2 inserts =
+    * slices 1-2, v3 deletes = the predicate rows (lineage ids unique).
+    */
+  val layoutChanges: String = {
+    import graft.queries.Layout.MorPartHi
+    def m(v: Int, ctype: String, where: String) =
+      s"""SELECT CAST($v AS BIGINT) AS version, '$ctype' AS change_type,
+         |  l_returnflag, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         |FROM lineitem WHERE $where GROUP BY 1, 2, 3""".stripMargin
+    Seq(
+      m(1, "insert", "l_orderkey % 4 <> 0"),
+      m(2, "insert", "l_orderkey % 4 = 0"),
+      m(3, "delete", s"l_partkey <= $MorPartHi")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY version, change_type, l_returnflag")
+  }
+
   /** Incremental-MV replay: the oracle aggregates the RAW table in
     * full — equality proves per-tick delta maintenance (merge of
     * groups-sized partials) lost nothing, including the exact decimal

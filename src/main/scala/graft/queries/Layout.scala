@@ -1016,6 +1016,93 @@ object Layout {
       .orderBy($"metric", $"l_returnflag")
   }
 
+  // ---- change data feed (table_changes between commits) ----------------
+
+  /** Offset that keeps insert-tick lineage ids disjoint from the base
+    * commit's (monotonically_increasing_id stays far below 2^40 at any
+    * test scale; production row tracking allocates id ranges per
+    * commit the same way).
+    */
+  private val CdcInsertRidOffset = 1L << 40
+
+  /** The CDF lineage: commit v1 = the base table (slice 0), commit
+    * v2 = an insert tick (slices 1-2), commit v3 = a row-level DELETE
+    * (the MoR key-file shape over the lineage ids of predicate rows
+    * across v1∪v2). Each commit is its own immutable artifact, so the
+    * change feed between any two versions is READ, never reconstructed
+    * by diffing table states.
+    */
+  private[queries] def cdcDirs(spark: SparkSession, dir: String): (String, String, String) = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val base = tmpDirOnce("graft_cdcb_", fp) { path =>
+      incSlice(spark, dir, 0)
+        .withColumn("cdc_rid", monotonically_increasing_id())
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    val ins = tmpDirOnce("graft_cdci_", fp) { path =>
+      incSlice(spark, dir, 1)
+        .unionByName(incSlice(spark, dir, 2))
+        .withColumn("cdc_rid", monotonically_increasing_id() + CdcInsertRidOffset)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    val dv = tmpDirOnce("graft_cdcd_", fp) { path =>
+      spark.read
+        .parquet(base)
+        .unionByName(spark.read.parquet(ins))
+        .filter($"l_partkey" <= MorPartHi)
+        .select($"cdc_rid")
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    (base, ins, dv)
+  }
+
+  /** Registered query `layout_changes`: the table_changes() read —
+    * Delta CDF / Iceberg changelog semantics: each commit's change
+    * rows come straight off that commit's own immutable artifact
+    * (insert commits ARE their data files; the delete commit is its
+    * key file joined back for payload), so reading the feed between
+    * versions costs O(changed rows), never a table diff and never a
+    * rewrite. At 100 TB this is what makes downstream incremental
+    * consumers (the MV family here) possible: the feed is a read-side
+    * contract of the commit log. The oracle replays each commit's
+    * membership from the raw table through the slice/delete
+    * predicates (lineage ids are unique, so the delete set is exactly
+    * the predicate rows).
+    */
+  def changesScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, ins, dv) = cdcDirs(spark, dir)
+    def agg(df: DataFrame, version: Int, ctype: String) =
+      df.groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity").cast("long").as("sum_qty")
+        )
+        .select(
+          lit(version.toLong).as("version"),
+          lit(ctype).as("change_type"),
+          $"l_returnflag",
+          $"n_rows",
+          $"sum_qty"
+        )
+    val deleted = spark.read
+      .parquet(base)
+      .unionByName(spark.read.parquet(ins))
+      .join(broadcast(spark.read.parquet(dv)), Seq("cdc_rid"), "left_semi")
+    agg(spark.read.parquet(base), 1, "insert")
+      .unionByName(agg(spark.read.parquet(ins), 2, "insert"))
+      .unionByName(agg(deleted, 3, "delete"))
+      .orderBy($"version", $"change_type", $"l_returnflag")
+  }
+
   /** The registered query: a selective conjunctive box scan over the
     * z-ordered layout. Results are layout-invariant (the oracle runs
     * the same predicate on the raw table); the layout's value — most

@@ -69,6 +69,7 @@ object ExplainDump {
     "layout_schema_evolution" -> "widening is metadata: mergeSchema unions per-file schemas at planning time, the reader nulls columns a file predates — zero data rewrite, one aggregate pass over the unchanged files",
     "stream_mv_ingest" -> "foreachBatch merges a batch-only delta aggregate into the previous groups-sized MV version — O(batch)+O(groups) per trigger; the serve reads the _latest pointer and a groups-sized parquet, never the corpus",
     "sim_pq_append" -> "serve reads the stored codebooks/codes/vector-store tables; only the pending batch encodes in-flight (anti-joined on ticked ids) and the exact-refine tail reads the maintained vector store — no Lloyd, no corpus-wide encoding, no corpus join in the query path",
+    "layout_changes" -> "each commit's change rows come off that commit's own immutable artifact (insert commits ARE their files; the delete commit is a broadcast semi-join of its key file) — O(changed rows), never a table diff",
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
     "text_bpe_encode" -> "one vocabulary-bounded wordcount shuffle trains the merges (count-weighted dict, the subword-nmt shape); the corpus encode is a broadcast-dictionary element_at lookup per token in one map pass; only the per-shard packing window and the output sort exchange rows",

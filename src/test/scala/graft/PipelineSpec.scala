@@ -440,6 +440,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR quality gate: diversified picks are no more self-similar than the pure relevance top-5") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // intra-list cohesion = mean pairwise cosine of the 5 selected
+    // vectors; MMR exists to lower it relative to plain top-k, and a
+    // regression that quietly reverts to pure relevance (λ→1 behavior)
+    // would show up as equality everywhere
+    val emb = graft.Tables
+      .embeddingsFanned(spark, dir)
+      .select($"vec_id", $"embedding", graft.functions.Portable.norm($"embedding").as("nrm"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .toMap
+    def cohesion(ids: Seq[Long]): Double = {
+      val pairs = for { i <- ids.indices; j <- (i + 1) until ids.length } yield {
+        val (a, an) = emb(ids(i)); val (b, bn) = emb(ids(j))
+        var acc = 0.0; var k = 0
+        while (k < a.length) { acc += a(k).toDouble * b(k).toDouble; k += 1 }
+        acc / (an * bn)
+      }
+      pairs.sum / pairs.length
+    }
+    val mmr = Similarity.mmrDiversify(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    val top = Similarity.topKBruteForce(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    val deltas = mmr.keys.toSeq.sorted.map(q => cohesion(top(q)) - cohesion(mmr(q)))
+    // averaged over the query set, diversification must strictly reduce
+    // cohesion (per-query it may tie when the pool is already diverse)
+    assert(deltas.sum / deltas.length > 0.0, s"mean cohesion delta ${deltas.sum / deltas.length}")
+    assert(deltas.forall(_ >= -1e-9), s"no query may get MORE self-similar: $deltas")
+  }
+
   test("hybrid RRF over IVF-PQ: semantic list IS the index's refined top-K; fusion decomposes") {
     val rows = Similarity.hybridRerankPq(spark, dir).collect()
     assert(rows.nonEmpty)

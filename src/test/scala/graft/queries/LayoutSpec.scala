@@ -382,6 +382,33 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
   }
 
+  test("change data feed: per-commit change rows come off each commit's own artifact") {
+    import spark.implicits._
+    val (base, ins, dv) = Layout.cdcDirs(spark, dir)
+    // lineage ids are unique ACROSS commits (disjoint ranges)
+    val all = spark.read.parquet(base).select($"cdc_rid")
+      .unionByName(spark.read.parquet(ins).select($"cdc_rid"))
+    assert(all.distinct().count() === all.count(), "cdc_rid must be globally unique")
+    // the delete key file holds exactly the predicate rows' ids
+    val predRows = spark.read.parquet(base).unionByName(spark.read.parquet(ins))
+      .filter($"l_partkey" <= Layout.MorPartHi).count()
+    assert(spark.read.parquet(dv).count() === predRows)
+    // the feed equals the raw-table replay through commit predicates
+    val got = Layout.changesScan(spark, dir).collect().map(_.toSeq).toSeq
+    val li = Tables.lineitem(spark, dir)
+    def want(v: Long, t: String, pred: org.apache.spark.sql.Column) = li
+      .filter(pred)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").cast("long").as("sum_qty"))
+      .select(lit(v).as("version"), lit(t).as("change_type"), $"l_returnflag", $"n_rows", $"sum_qty")
+    val wantAll = want(1L, "insert", pmod($"l_orderkey", lit(4)) =!= 0)
+      .unionByName(want(2L, "insert", pmod($"l_orderkey", lit(4)) === 0))
+      .unionByName(want(3L, "delete", $"l_partkey" <= Layout.MorPartHi))
+      .orderBy($"version", $"change_type", $"l_returnflag")
+      .collect().map(_.toSeq).toSeq
+    assert(got === wantAll)
+  }
+
   test("streaming MV: one immutable version per micro-batch; latest equals the full-table aggregate") {
     import spark.implicits._
     // fresh corpus copy → fresh fingerprint → the stream actually runs
