@@ -424,11 +424,11 @@ object Pq {
     * interactively: the full-corpus `sim_pq_adc` scan is the
     * memory-bound fallback, this is the latency path.
     *
-    * Plumbing: the IVF cell table and query probes come off the SAME
-    * session-cached Lloyd quantizer `sim_ann_ivf`/`dedup_semantic`
-    * train (one artifact, three consumers), and the code table + query
-    * LUT come off the same codebooks as `sim_pq_adc` — both stored
-    * index artifacts, built once. Candidates = vectors whose cell is
+    * Plumbing: serving reads the PERSISTED index artifacts from the
+    * catalog — the trained centroids (`ivfIndexTable`), the full-corpus
+    * posting table (`ivfCellTable`), the subspace codebooks and the
+    * 6-byte code table (`pqCodebookTable`/`pqCodeTable`) — and computes
+    * only the query-side probes and LUT. Candidates = vectors whose cell is
     * probed (equi-join on cell id against the broadcast probe set);
     * only their code rows join the broadcast LUT; the top `PqRefine`
     * per query get exact-dot refinement, exactly the `sim_pq_adc`
