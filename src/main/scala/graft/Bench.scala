@@ -14,6 +14,24 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.local(cpus, "graft-bench")
 
+    // Pre-bench load gate: the end-of-round driver windows historically
+    // tripped adjudications purely from host contention (r10: 19, r11:
+    // 8) while quiet windows trip zero. Wait (bounded) for the 1-min
+    // loadavg to fall below the threshold before the first timed query,
+    // and record the gate evidence in the detail JSON so a contended
+    // window is visible in the artifact instead of inferred post-hoc.
+    val gateThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "16.0").toDouble
+    val gateMaxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX_WAIT", "600").toInt
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val gateStart = System.nanoTime()
+    var loadNow = os.getSystemLoadAverage
+    while (loadNow >= gateThreshold && (System.nanoTime() - gateStart) / 1e9 < gateMaxWaitSec) {
+      System.err.println(f"[bench] load gate: loadavg $loadNow%.1f >= $gateThreshold%.1f, waiting")
+      Thread.sleep(10000)
+      loadNow = os.getSystemLoadAverage
+    }
+    val gateWaitedSec = (System.nanoTime() - gateStart) / 1e9
+
     // warmup: shuffle + agg + parquet read + codegen paths
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -98,8 +116,10 @@ object Bench {
     val adjObj = adjudicated
       .map { case (k, ts) => "\"" + k + "\":[" + ts.map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val gateObj =
+      s"""{"threshold":${fmt(gateThreshold)},"waited_sec":${fmt(gateWaitedSec)},"loadavg_at_start":${fmt(loadNow)}}"""
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(3)(_._2)},"queries_max":${obj(3)(_._3)},"adjudicated":$adjObj,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(3)(_._2)},"queries_max":${obj(3)(_._3)},"adjudicated":$adjObj,"failed":$failed,"load_gate":$gateObj,"sf":"$sfDir"}"""
     // a filtered run must not clobber the committed full-set record
     val detailPath = if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_ONLY.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detail.getBytes("UTF-8"))

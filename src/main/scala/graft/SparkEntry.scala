@@ -88,6 +88,8 @@ object SparkEntry {
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
     "layout_schema_evolution" -> ((s, d) => graft.queries.Layout.schemaEvolutionScan(s, d)),
     "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
+    "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
+    "mv_from_changes" -> ((s, d) => graft.queries.Layout.mvFromChangesServe(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.graph.Triangles.triangles(s, d)),
@@ -173,12 +175,14 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
+    "text_bm25_append" -> ((s, d) => TextAnalysis.bm25Append(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
     "text_entropy" -> ((s, d) => TextAnalysis.charEntropy(s, d)),
     "text_bpe_pairs" -> ((s, d) => graft.text.Bpe.pairStats(s, d)),
     "text_bpe_encode" -> ((s, d) => graft.text.Bpe.encodeDocs(s, d)),
+    "text_bpe_encode_capped" -> ((s, d) => graft.text.Bpe.encodeDocsCapped(s, d)),
     "text_classifier" -> ((s, d) => TextAnalysis.classify(s, d)),
     "text_hash_split" -> ((s, d) => Sampling.hashSplit(s, d)),
     "text_shuffle_shards" -> ((s, d) => Sampling.shuffleShards(s, d)),
@@ -278,6 +282,12 @@ object SparkEntry {
     "stream_mv_ingest" -> Oracles.mvIncremental,
     // per-commit change rows replayed via the slice/delete predicates
     "layout_changes" -> Oracles.layoutChanges,
+    // as-of v applies only delete commits ≤ v (v2 still serves the
+    // rows v3's DV drops)
+    "layout_snapshot_deletes" -> Oracles.layoutSnapshotDeletes,
+    // CDF-driven MV (delete commit as negative deltas) must equal the
+    // net-of-commits aggregate on the raw table
+    "mv_from_changes" -> Oracles.mvFromChanges,
     "graph_pagerank" -> Oracles.graphPagerank(
       graft.graph.PageRank.Iterations,
       graft.graph.PageRank.Scale
@@ -372,12 +382,15 @@ object SparkEntry {
     "text_tfidf" -> PipelineOracles.textTfidf,
     "text_lm_score" -> PipelineOracles.textLmScore,
     "text_bm25" -> PipelineOracles.textBm25,
+    // the durable-index serve answers the identical ranking contract
+    "text_bm25_append" -> PipelineOracles.textBm25,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,
     "text_entropy" -> PipelineOracles.textEntropy,
     "text_bpe_pairs" -> PipelineOracles.textBpePairs,
     "text_bpe_encode" -> PipelineOracles.textBpeEncode,
+    "text_bpe_encode_capped" -> PipelineOracles.textBpeEncodeCapped,
     "text_classifier" -> PipelineOracles.textClassifier,
     "text_hash_split" -> PipelineOracles.textHashSplit,
     "text_shuffle_shards" -> PipelineOracles.textShuffleShards,

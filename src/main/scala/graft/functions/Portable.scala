@@ -88,4 +88,37 @@ object Portable {
     */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
     VectorExpressions.lshSig(v, planes)
+
+  /** Global rank 1..K over a frame ALREADY bounded to K rows (post
+    * `orderBy(...).limit(K)`, or a join of two such lists) — WITHOUT a
+    * window: the K rows aggregate to ONE sorted array (the numeric
+    * rank key negated for descending order, ties broken by the
+    * ascending key) and posexplode re-emits them with their position.
+    * Cost is a 1-row aggregate over K rows; no WindowExec appears in
+    * the plan at all, so the "No Partition Defined" warning stays
+    * SIGNAL at every real site (an unpartitioned window over an
+    * UNBOUNDED frame is the scale bug that warning exists to catch —
+    * and a constant partition key wouldn't help: Spark 4's
+    * EliminateWindowPartitions strips foldable keys, restoring the
+    * empty spec).
+    *
+    * `descNum` must be numeric non-null (negation-ordered) and
+    * (`descNum`, `asc`) must be a total order — true at every call
+    * site: the asc key is the unique id the original orderBy already
+    * tie-broke on.
+    */
+  def withRankLimited(
+      df: org.apache.spark.sql.DataFrame,
+      rankName: String,
+      descNum: Column,
+      asc: Column
+  ): org.apache.spark.sql.DataFrame = {
+    val cols = df.columns.toSeq
+    df.select(
+      struct((-descNum).as("_d"), asc.as("_a"), struct(cols.map(col): _*).as("_r")).as("_s")
+    )
+      .agg(sort_array(collect_list(col("_s"))).as("_xs"))
+      .select(posexplode(col("_xs")).as(Seq("_i", "_s")))
+      .select((cols.map(c => col(s"_s._r.$c")) :+ (col("_i") + 1).cast("long").as(rankName)): _*)
+  }
 }

@@ -767,4 +767,38 @@ object Oracles {
       snap(2, "TRUE")
     ).mkString("", "\nUNION ALL\n", "\nORDER BY version")
   }
+
+  /** CDF-driven MV replay: the net of the three commits — inserts v1∪v2
+    * minus the delete predicate — aggregated from the raw table. The
+    * same exact-decimal sum and serve-derived avg as [[mvIncremental]];
+    * equality proves signed-delta maintenance (delete commits as
+    * negative deltas) ≡ recompute.
+    */
+  val mvFromChanges: String = {
+    import graft.queries.Layout.MorPartHi
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+       |FROM lineitem WHERE l_partkey > $MorPartHi GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** As-of × deletion-vector replay: version v from the raw table
+    * through the commit predicates, with the DV applied ONLY at-or-
+    * after its commit — v2 (before the delete) still contains the rows
+    * v3 drops, which is precisely the isolation property under test.
+    */
+  val layoutSnapshotDeletes: String = {
+    import graft.queries.Layout.MorPartHi
+    def snap(v: Int, pred: String): String =
+      s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM lineitem WHERE $pred""".stripMargin
+    Seq(
+      snap(1, "l_orderkey % 4 <> 0"),
+      snap(2, "TRUE"),
+      snap(3, s"l_partkey > $MorPartHi")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY version")
+  }
 }

@@ -2015,6 +2015,62 @@ object PipelineOracles {
        |FROM c ORDER BY doc_id""".stripMargin
   }
 
+  /** Capped-vocabulary replay of [[textBpeEncode]]: the top-V dictionary
+    * is selected with the same (freq desc, word asc) total order, the
+    * per-round pair counts are WEIGHTED by word frequency over the
+    * capped dictionary's current symbolization (Σ_w freq·pairs — the
+    * count-on-dictionary training shape), the merge pass is the same
+    * delimiter-doubled literal replace, and encoding falls back to
+    * per-character symbols for any word OUTSIDE the dictionary (the
+    * LEFT JOIN's null arm). V < fixture vocabulary, so the fallback arm
+    * is exercised on every scale factor. Tail: identical reassembly +
+    * pack arithmetic.
+    */
+  val textBpeEncodeCapped: String = {
+    import graft.text.{Bpe, Sampling}
+    val rounds = (1 to Bpe.EncodeMerges)
+      .map { r =>
+        s"""dl$r AS (SELECT w, freq, string_split(trim(s, '|'), '||') AS ls FROM d${r - 1}),
+           |dp$r AS (SELECT ls[i] AS a, ls[i + 1] AS b, sum(freq) AS cnt
+           |  FROM (SELECT freq, ls, unnest(generate_series(1, len(ls) - 1)) AS i FROM dl$r)
+           |  GROUP BY 1, 2),
+           |dt$r AS (SELECT a, b FROM dp$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |d$r AS (SELECT w, freq,
+           |    CASE WHEN t.a IS NULL THEN s
+           |         ELSE replace(s, '|' || t.a || '||' || t.b || '|', '|' || t.a || t.b || '|') END AS s
+           |  FROM d${r - 1} LEFT JOIN dt$r t ON TRUE)""".stripMargin
+      }
+      .mkString(",\n")
+    val n = Bpe.EncodeMerges
+    s"""WITH wd0 AS (SELECT doc_id, unnest($toks) AS w, generate_subscripts($toks, 1) AS pos
+       |  FROM documents),
+       |wd AS (SELECT doc_id, pos, w FROM wd0 WHERE regexp_matches(w, '${Bpe.WordRe}')),
+       |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY w
+       |  ORDER BY freq DESC, w LIMIT ${Bpe.EncodeCapV}),
+       |d0 AS (SELECT w, freq,
+       |    '|' || array_to_string(string_split(w, ''), '||') || '|' AS s FROM vocab),
+       |$rounds,
+       |dict AS (SELECT w, string_split(trim(s, '|'), '||') AS syms FROM d$n),
+       |enc AS (SELECT wd.doc_id, wd.pos,
+       |    COALESCE(dict.syms, string_split(wd.w, '')) AS syms
+       |  FROM wd LEFT JOIN dict ON wd.w = dict.w),
+       |de AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS toks FROM enc GROUP BY 1),
+       |base AS (SELECT d.doc_id,
+       |    COALESCE(CAST(len(de.toks) AS BIGINT), 0) AS n_bpe_tokens,
+       |    COALESCE(array_to_string(de.toks, ' '), '') AS bpe_text
+       |  FROM documents d LEFT JOIN de ON d.doc_id = de.doc_id),
+       |sh AS (SELECT doc_id, n_bpe_tokens, bpe_text, doc_id % ${Sampling.PackShards} AS shard
+       |  FROM base),
+       |c AS (SELECT doc_id, n_bpe_tokens, bpe_text, shard,
+       |    CAST(sum(n_bpe_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM sh)
+       |SELECT doc_id, n_bpe_tokens, bpe_text, shard,
+       |  (cum - n_bpe_tokens) // ${Sampling.PackBlockTokens} AS start_block,
+       |  greatest(cum - 1, 0) // ${Sampling.PackBlockTokens} AS end_block
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   val textBpePairs: String =
     s"""WITH w AS (SELECT unnest($toks) AS w FROM documents),
        |idx AS (

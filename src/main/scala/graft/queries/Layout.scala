@@ -161,7 +161,11 @@ object Layout {
     * `prefix*` dirs whose fingerprint no longer matches (each testdata
     * regeneration would otherwise leak a dir of parquet per prefix),
     * then runs `build` exactly once under [[tmpBuildLock]]
-    * (double-checked on the _SUCCESS marker).
+    * (double-checked on the _SUCCESS marker). A dir present WITHOUT the
+    * marker is a crashed partial build and is deleted before the retry:
+    * leftover state must not leak into the rebuild — in particular a
+    * streaming build's `_chk` checkpoint would make the retry resume
+    * past its already-committed batches and silently drop their rows.
     */
   private def tmpDirOnce(prefix: String, fp: String)(build: String => Unit): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -172,6 +176,8 @@ object Layout {
           .getOrElse(Array.empty)
           .filter(f => f.getName.startsWith(prefix) && f.getName != s"$prefix$fp")
           .foreach(stale => org.apache.commons.io.FileUtils.deleteQuietly(stale))
+        if (new java.io.File(path).exists())
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
         build(path)
       }
     }
@@ -927,6 +933,12 @@ object Layout {
     * reference; the purged layout needs no DV at read time. The build
     * writes a `_ledger` ("dvRows affectedFiles totalFiles") next to the
     * rewritten files so the spec can audit scope without re-deriving it.
+    * The rewritten parquet lands in a `files/` SUBDIR so the committer's
+    * own _SUCCESS can't satisfy the build-once sentinel early: the
+    * root-level marker is touched LAST, after the ledger files — the
+    * streamMvRoot discipline — so a crash mid-build can never leave an
+    * artifact that passes the completeness check but throws on
+    * [[morLedger]]/[[morAffectedFiles]].
     */
   private[queries] def morPurgedDir(spark: SparkSession, dir: String): String = {
     import spark.implicits._
@@ -949,7 +961,7 @@ object Layout {
       )
         .join(broadcast(dv), MorKeys, "left_anti")
         .coalesce(math.max(1, affected.length))
-      rewritten.write.mode("overwrite").parquet(path)
+      rewritten.write.mode("overwrite").parquet(s"$path/files")
       java.nio.file.Files.write(
         new java.io.File(path, "_ledger").toPath,
         s"${dv.count()} ${affected.length} $total\n".getBytes("UTF-8")
@@ -958,6 +970,7 @@ object Layout {
         new java.io.File(path, "_affected").toPath,
         affected.mkString("", "\n", "\n").getBytes("UTF-8")
       )
+      new java.io.File(path, "_SUCCESS").createNewFile()
       ()
     }
   }
@@ -988,7 +1001,7 @@ object Layout {
     val untouched = dataFiles(morDataDir(spark, dir))
       .map(_.getAbsolutePath)
       .filterNot(p => affected.exists(_.endsWith(p)))
-    spark.read.parquet((untouched ++ dataFiles(purged).map(_.getAbsolutePath)): _*)
+    spark.read.parquet((untouched ++ dataFiles(s"$purged/files").map(_.getAbsolutePath)): _*)
   }
 
   /** Registered query `layout_deletes`: the merge-on-read row-level
@@ -1018,44 +1031,46 @@ object Layout {
 
   // ---- change data feed (table_changes between commits) ----------------
 
-  /** Offset that keeps insert-tick lineage ids disjoint from the base
-    * commit's (monotonically_increasing_id stays far below 2^40 at any
-    * test scale; production row tracking allocates id ranges per
-    * commit the same way).
-    */
-  private val CdcInsertRidOffset = 1L << 40
-
   /** The CDF lineage: commit v1 = the base table (slice 0), commit
     * v2 = an insert tick (slices 1-2), commit v3 = a row-level DELETE
     * (the MoR key-file shape over the lineage ids of predicate rows
     * across v1∪v2). Each commit is its own immutable artifact, so the
     * change feed between any two versions is READ, never reconstructed
-    * by diffing table states.
+    * by diffing table states. Row lineage is the PAIR (cdc_commit,
+    * cdc_rid): ids are unique within their commit by construction
+    * (monotonically_increasing_id over that commit's write), and the
+    * commit column makes cross-commit disjointness STRUCTURAL — no
+    * numeric-offset scheme to outgrow when a commit is written with
+    * enough input partitions to push ids past the offset (the id's
+    * high bits are the partition id, so any fixed offset has a
+    * partition-count cliff; the pair key has none).
     */
   private[queries] def cdcDirs(spark: SparkSession, dir: String): (String, String, String) = {
     import spark.implicits._
     val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
-    val base = tmpDirOnce("graft_cdcb_", fp) { path =>
+    val base = tmpDirOnce("graft_cdcb2_", fp) { path =>
       incSlice(spark, dir, 0)
+        .withColumn("cdc_commit", lit(1L))
         .withColumn("cdc_rid", monotonically_increasing_id())
         .write
         .mode("overwrite")
         .parquet(path)
     }
-    val ins = tmpDirOnce("graft_cdci_", fp) { path =>
+    val ins = tmpDirOnce("graft_cdci2_", fp) { path =>
       incSlice(spark, dir, 1)
         .unionByName(incSlice(spark, dir, 2))
-        .withColumn("cdc_rid", monotonically_increasing_id() + CdcInsertRidOffset)
+        .withColumn("cdc_commit", lit(2L))
+        .withColumn("cdc_rid", monotonically_increasing_id())
         .write
         .mode("overwrite")
         .parquet(path)
     }
-    val dv = tmpDirOnce("graft_cdcd_", fp) { path =>
+    val dv = tmpDirOnce("graft_cdcd2_", fp) { path =>
       spark.read
         .parquet(base)
         .unionByName(spark.read.parquet(ins))
         .filter($"l_partkey" <= MorPartHi)
-        .select($"cdc_rid")
+        .select($"cdc_commit", $"cdc_rid")
         .coalesce(1)
         .write
         .mode("overwrite")
@@ -1063,6 +1078,12 @@ object Layout {
     }
     (base, ins, dv)
   }
+
+  /** Join key of the CDF delete commit: the structural row-lineage
+    * pair — delete membership can only match rows of the commit that
+    * minted the id.
+    */
+  private[queries] val CdcKeys = Seq("cdc_commit", "cdc_rid")
 
   /** Registered query `layout_changes`: the table_changes() read —
     * Delta CDF / Iceberg changelog semantics: each commit's change
@@ -1096,11 +1117,166 @@ object Layout {
     val deleted = spark.read
       .parquet(base)
       .unionByName(spark.read.parquet(ins))
-      .join(broadcast(spark.read.parquet(dv)), Seq("cdc_rid"), "left_semi")
+      .join(broadcast(spark.read.parquet(dv)), CdcKeys, "left_semi")
     agg(spark.read.parquet(base), 1, "insert")
       .unionByName(agg(spark.read.parquet(ins), 2, "insert"))
       .unionByName(agg(deleted, 3, "delete"))
       .orderBy($"version", $"change_type", $"l_returnflag")
+  }
+
+  // ---- CDF-driven MV maintenance (the change feed's consumer) ----------
+
+  /** Spec ledger: change-feed rows consumed by CDF-driven MV
+    * maintenance in this JVM. The incremental contract: after the three
+    * commits the counter equals |v1| + |v2| + |v3 deletes| — each change
+    * row consumed exactly once, when its commit's feed was read — and
+    * serves leave it unchanged.
+    */
+  private[graft] val cdfMvRowsConsumed = new java.util.concurrent.atomic.AtomicLong
+
+  /** The table_changes(v, v) read: commit v's change rows straight off
+    * that commit's own immutable artifact, signed (+1 insert /
+    * −1 delete) — the exact frames [[changesScan]] aggregates, exposed
+    * as the feed downstream consumers read.
+    */
+  private def tableChanges(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    import spark.implicits._
+    val (base, ins, dv) = cdcDirs(spark, dir)
+    v match {
+      case 1 => spark.read.parquet(base).withColumn("sign", lit(1L))
+      case 2 => spark.read.parquet(ins).withColumn("sign", lit(1L))
+      case _ =>
+        spark.read
+          .parquet(base)
+          .unionByName(spark.read.parquet(ins))
+          .join(broadcast(spark.read.parquet(dv)), CdcKeys, "left_semi")
+          .withColumn("sign", lit(-1L))
+    }
+  }
+
+  /** MV version v, advanced STRICTLY from the change feed: delta =
+    * signed groups-sized aggregate of table_changes(v, v) — a delete
+    * commit lands as NEGATIVE deltas, the composition that makes CDF
+    * the MV family's input contract — merged with version v−1 by
+    * addition (both frames groups-sized). Groups whose row count
+    * reaches zero drop out of the view, exactly as a full recompute
+    * would drop them.
+    */
+  private def cdfMvVersion(spark: SparkSession, dir: String, fp: String, v: Int): String = {
+    import spark.implicits._
+    val prev = if (v == 1) None else Some(cdfMvVersion(spark, dir, fp, v - 1))
+    tmpDirOnce(s"graft_cmv${v}_", fp) { path =>
+      val changes = tableChanges(spark, dir, v)
+      val delta = changes
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          max($"sign").as("sign"), // constant within a commit
+          count(lit(1)).as("cnt"),
+          sum($"l_quantity").as("q"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(38,2)").as("p")
+        )
+        .select(
+          $"l_returnflag",
+          $"l_linestatus",
+          ($"cnt" * $"sign").as("n_rows"),
+          // negate, don't multiply: a decimal × decimal product would
+          // re-derive precision; negation preserves the exact type
+          when($"sign" === 1L, $"q").otherwise(-$"q").as("sum_qty"),
+          when($"sign" === 1L, $"p").otherwise(-$"p").cast("decimal(38,2)").as("sum_price")
+        )
+      val merged = prev match {
+        case None => delta
+        case Some(p) =>
+          spark.read
+            .parquet(p)
+            .unionByName(delta)
+            .groupBy($"l_returnflag", $"l_linestatus")
+            .agg(
+              sum($"n_rows").as("n_rows"),
+              sum($"sum_qty").as("sum_qty"),
+              sum($"sum_price").cast("decimal(38,2)").as("sum_price")
+            )
+            .filter($"n_rows" > 0)
+      }
+      merged.coalesce(1).write.mode("overwrite").parquet(path)
+      // ledger: the feed rows this commit contributed — O(changed rows),
+      // counted once at build (tmpDirOnce), never on a serve
+      cdfMvRowsConsumed.addAndGet(changes.count())
+      ()
+    }
+  }
+
+  /** Registered query `mv_from_changes`: the change feed's registered
+    * CONSUMER — the incremental MV advanced by table_changes() reads
+    * alone, delete commit included as negative deltas. Maintenance per
+    * commit is O(that commit's change rows) + O(groups); the serve is a
+    * groups-sized artifact read. The oracle aggregates the raw table
+    * through the NET commit predicates (inserts minus the delete
+    * predicate), proving feed-driven maintenance ≡ recompute — the
+    * read-side contract `layout_changes`'s docstring promises, now
+    * closed end to end.
+    */
+  def mvFromChangesServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val last = cdfMvVersion(spark, dir, fp, 3)
+    spark.read
+      .parquet(last)
+      .select(
+        $"l_returnflag",
+        $"l_linestatus",
+        $"n_rows",
+        $"sum_qty".cast("long").as("sum_qty"),
+        $"sum_price".cast("double").as("sum_price"),
+        round($"sum_price".cast("double") / $"n_rows", 4).as("avg_price")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---- as-of reads × deletion vectors -----------------------------------
+
+  /** Registered query `layout_snapshot_deletes`: time travel COMPOSED
+    * with row-level deletes — the as-of read a real lakehouse serves.
+    * Snapshot v applies exactly the delete commits at-or-before v:
+    * v1 = the base commit, v2 = v1 + the insert commit (the DV does NOT
+    * apply yet — an as-of read BEFORE the delete commit still serves
+    * the deleted rows, the point of snapshot isolation), v3 = v2 minus
+    * the DV rows. One scan audits all three: each row read from commit
+    * c is visible in versions c..(2 if deleted else 3), an
+    * explode(sequence(...)) over per-row bounds — partial-aggregated to
+    * #versions × #groups before the only exchange, so the as-of
+    * composition costs one pass regardless of version count. The DV
+    * joins on the STRUCTURAL lineage pair ([[CdcKeys]]) as a broadcast
+    * left join; the oracle replays each version from the raw table
+    * through the commit/delete predicates.
+    */
+  def snapshotDeletesScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (base, ins, dv) = cdcDirs(spark, dir)
+    val marked = broadcast(
+      spark.read.parquet(dv).withColumn("del", lit(true))
+    )
+    spark.read
+      .parquet(base)
+      .unionByName(spark.read.parquet(ins))
+      .join(marked, CdcKeys, "left")
+      .select(
+        $"l_quantity",
+        $"l_extendedprice",
+        explode(
+          sequence(
+            $"cdc_commit",
+            when(coalesce($"del", lit(false)), lit(2L)).otherwise(lit(3L))
+          )
+        ).as("version")
+      )
+      .groupBy($"version".cast("long").as("version"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"version")
   }
 
   /** The registered query: a selective conjunctive box scan over the

@@ -948,23 +948,22 @@ object Similarity {
     */
   def hybridRerank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // lexical list off the DURABLE lexical index (identical ranking,
+    // serve-path cost: stored narrow postings, no corpus re-scan)
     val lex = graft.text.TextAnalysis
-      .bm25(spark, dir)
+      .bm25Append(spark, dir)
       .select($"doc_id", $"rank".as("lex_rank"))
     val emb = corpusWithNorm(spark, dir)
     val q = emb
       .filter($"vec_id" === HybridQueryVec)
       .select($"embedding".as("qe"), $"nrm".as("qn"))
-    val sem = emb
+    val semTop = emb
       .filter($"vec_id" =!= HybridQueryVec)
       .crossJoin(broadcast(q))
       .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
       .orderBy($"cosine".desc, $"vec_id")
       .limit(HybridListK)
-      .withColumn(
-        "sem_rank",
-        row_number().over(Window.orderBy($"cosine".desc, $"vec_id")).cast("long")
-      )
+    val sem = withRankLimited(semTop, "sem_rank", $"cosine", $"vec_id")
       .select($"vec_id".as("doc_id"), $"sem_rank")
     rrfFuse(lex, sem)
   }
@@ -982,8 +981,10 @@ object Similarity {
     */
   def hybridRerankPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // both sources read persisted artifacts: PQ tables for the
+    // semantic list, the durable lexical index for BM25
     val lex = graft.text.TextAnalysis
-      .bm25(spark, dir)
+      .bm25Append(spark, dir)
       .select($"doc_id", $"rank".as("lex_rank"))
     val sem = Pq.ivfPqNeighbors(spark, dir, HybridQueryVec, HybridListK)
     rrfFuse(lex, sem)
@@ -1106,16 +1107,14 @@ object Similarity {
     import spark.implicits._
     def rrfTerm(rank: org.apache.spark.sql.Column) =
       coalesce(lit(1.0) / (rank + lit(HybridRrfK)).cast("double"), lit(0.0))
-    lex
+    // ≤2K rows after the K∪K full-outer join — the bounded-frame rank
+    val fused = lex
       .join(sem, Seq("doc_id"), "full_outer")
       .withColumn(
         "rrf_score",
         graft.text.TextAnalysis.round6(rrfTerm($"lex_rank") + rrfTerm($"sem_rank"))
       )
-      .withColumn(
-        "fused_rank",
-        row_number().over(Window.orderBy($"rrf_score".desc, $"doc_id")).cast("long")
-      )
+    withRankLimited(fused, "fused_rank", $"rrf_score", $"doc_id")
       .select($"doc_id", $"lex_rank", $"sem_rank", $"rrf_score", $"fused_rank")
       .orderBy($"fused_rank")
   }

@@ -39,8 +39,7 @@ object Bpe {
     */
   def pairStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    Tables
+    val topk = Tables
       .documentsFanned(spark, dir)
       .select(explode(tokens($"text")).as("w"))
       .filter(length($"w") >= 2)
@@ -49,10 +48,8 @@ object Bpe {
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"pair")
       .limit(PairTopK)
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy($"cnt".desc, $"pair")).cast("long")
-      )
+    graft.functions.Portable
+      .withRankLimited(topk, "rank", $"cnt", $"pair")
       .select($"rank", $"pair", $"cnt")
   }
 
@@ -205,19 +202,23 @@ object Bpe {
   }
 
   /** Registered query `text_bpe_encode` — the tokenize→pack chain made
-    * real, in the shape that holds at corpus scale: ONE wordcount
-    * shuffle builds the word-frequency dictionary (group count is
-    * vocabulary-bounded — the same bound every trained tokenizer
-    * already assumes; an open-vocab web corpus caps to top-V with
-    * char-fallback, standard practice), [[trainOnCounts]] learns the
-    * merges over that dictionary at driver speed, every distinct word
-    * is encoded ONCE, and the corpus projection is a broadcast
-    * dictionary lookup per token — `element_at` on a literal map, one
-    * map-side pass, no per-occurrence fold, no UDF, no extra shuffle.
+    * real: ONE wordcount shuffle builds the word-frequency dictionary,
+    * [[trainOnCounts]] learns the merges over that dictionary at driver
+    * speed, every distinct word is encoded ONCE, and the corpus
+    * projection is a broadcast dictionary lookup per token —
+    * `element_at` on a literal map, one map-side pass, no
+    * per-occurrence fold, no UDF, no extra shuffle.
     * The resulting BPE token counts feed the `text_pack_blocks`
     * packing. Output: per doc, its BPE token count, the encoded text
     * (symbols space-joined — the hash-checked proof the merges applied
     * identically), and its start/end block.
+    *
+    * This exact form collects the FULL distinct-word set to the driver,
+    * which is only sound when the vocabulary is genuinely bounded (a
+    * pre-tokenized corpus); on open-vocab web text the distinct-"word"
+    * count grows with the corpus (Heap's law), so the registered 100 TB
+    * path is the capped twin [[encodeDocsCapped]] — top-V dictionary,
+    * character fallback, dictionary moved as broadcast DATA.
     *
     * The oracle replays training AND encoding independently in SQL —
     * per-round pair counts over the raw occurrence stream + argmax, and
@@ -251,6 +252,89 @@ object Bpe {
           transform(
             filter(tokens($"text"), w => w.rlike(WordRe)),
             w => element_at(dictCol, w)
+          )
+        ).as("syms")
+      )
+      .select(
+        $"doc_id",
+        size($"syms").cast("long").as("n_tokens"),
+        array_join($"syms", " ").as("bpe_text")
+      )
+    Sampling
+      .packOver(enc)
+      .select(
+        $"doc_id",
+        $"n_tokens".as("n_bpe_tokens"),
+        $"bpe_text",
+        $"shard",
+        $"start_block",
+        $"end_block"
+      )
+      .orderBy($"doc_id")
+  }
+
+  /** Vocabulary cap of the production encode path. DELIBERATELY smaller
+    * than the test fixture's vocabulary, so the out-of-vocabulary
+    * fallback is exercised ON the oracled path at every scale factor —
+    * a cap the fixture never reaches would be dead code wearing a
+    * scale argument.
+    */
+  val EncodeCapV = 24
+
+  /** Registered query `text_bpe_encode_capped` — the 100 TB form of
+    * [[encodeDocs]]: open-vocabulary safe end to end.
+    *
+    *  - The dictionary is the top-[[EncodeCapV]] words by (freq desc,
+    *    word asc) — a TakeOrdered over the wordcount aggregate, so the
+    *    driver holds V rows, never the distinct-word set (on web text
+    *    that set grows with the corpus; V is the fixed budget every
+    *    trained tokenizer publishes as its vocab size).
+    *  - Merges train on the CAPPED word-frequency dictionary
+    *    ([[trainOnCounts]] — the subword-nmt shape, counts weighted by
+    *    word frequency).
+    *  - Out-of-vocabulary words encode by CHARACTER FALLBACK (the
+    *    tail's occurrence mass is Zipf-small, so per-char tokens there
+    *    cost little; in-dictionary words — the bulk of occurrences —
+    *    take the precomputed symbolization).
+    *  - The dictionary reaches executors as broadcast DATA (a 1-row
+    *    map frame crossJoined with `broadcast()`), not a plan literal:
+    *    a typedLit dictionary is serialized into every task
+    *    description, a broadcast ships once per executor.
+    *
+    * The oracle replays the cap, the capped training, and the fallback
+    * independently in SQL, so hash equality proves all three: the top-V
+    * selection order, count-weighted training on the capped dict, and
+    * dictionary-encode ≡ char-fallback at the V boundary.
+    */
+  def encodeDocsCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wcTop = Tables
+      .documentsFanned(spark, dir)
+      .select(explode(tokens($"text")).as("w"))
+      .filter($"w".rlike(WordRe))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"w")
+      .limit(EncodeCapV)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
+    val merges = trainOnCounts(wcTop, EncodeMerges).map(_._1)
+    val dictDf = wcTop
+      .map { case (w, _) =>
+        (w, merges.foldLeft(w.split("").toSeq) { case (s, (a, b)) => mergePassScala(s, a, b) })
+      }
+      .toDF("w", "syms")
+      .agg(map_from_entries(collect_list(struct($"w", $"syms"))).as("dict"))
+    val enc = Tables
+      .documents(spark, dir)
+      .crossJoin(broadcast(dictDf))
+      .select(
+        $"doc_id",
+        flatten(
+          transform(
+            filter(tokens($"text"), w => w.rlike(WordRe)),
+            w => coalesce(try_element_at($"dict", w), split(w, "", 0))
           )
         ).as("syms")
       )

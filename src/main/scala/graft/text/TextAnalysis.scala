@@ -574,76 +574,194 @@ object TextAnalysis {
   /** Fixed retrieval query (the "search terms"); constants shared with the oracle. */
   val Bm25Query: Seq[String] = Seq("spark", "query", "fast")
 
-  /** BM25 retrieval scoring of the corpus against the fixed
-    * [[Bm25Query]] term set — the ranking function behind corpus search
-    * and retrieval-based curation. The idf is the RATIONAL Robertson
-    * form (n − df + ½)/(df + ½) without the usual log wrapper — the
-    * same portability decision as [[tfidf]] (libm log is not
-    * bit-portable; the rational form is exactly replayable and keeps
-    * the saturation shape that makes BM25 BM25).
-    *
-    * Scale shape: the query vocabulary is FIXED and tiny, so per-doc
-    * term frequencies are array-filter counts computed map-side — the
-    * corpus never explodes to (doc, term) rows and never shuffles. The
-    * only aggregates are one 1-row corpus-stats pass (n_docs, Σdl, per-
-    * term df — map-side combined) broadcast back, and the final
-    * TakeOrdered top-[[Bm25TopK]]. The rank window runs on the K-row
-    * TakeOrdered output, never the corpus.
+  /** The narrow BM25 base: [doc_id, dl, tf1..tfQ] from ONE native pass
+    * over the lowered text — the declarative form (token-array
+    * materialization + Q interpreted higher-order filters) measured
+    * 17 s at sf10 against ~3 s here; byte-equal token semantics, and
+    * the oracle replay is unchanged.
     */
-  def bm25(spark: SparkSession, dir: String): DataFrame = {
+  private def bm25Narrow(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val k1p1 = Bm25K1 + 1.0
-    val oneMinusB = 1.0 - Bm25B
     val n = Bm25Query.length
-    // [dl, tf1..tfQ] from ONE native pass over the lowered text — the
-    // declarative form (token-array materialization + Q interpreted
-    // higher-order filters) measured 17 s at sf10 against ~3 s here;
-    // byte-equal token semantics, and the oracle replay is unchanged.
-    // The narrow base persists so the stats pass and the scoring pass
-    // share one corpus scan (the rankPercentiles discipline).
-    val base = Tables
-      .documentsFanned(spark, dir)
+    docs
       .select(
         $"doc_id",
         graft.functions.TextExpressions.termStats(lower($"text"), Bm25Query).as("ts")
       )
       .select(
-        ($"doc_id" +: $"ts".getItem(0).as("dl") +:
-          (1 to n).map(i => $"ts".getItem(i).as(s"tf$i"))): _*
+        ($"doc_id" +: $"ts".getItem(0).cast("long").as("dl") +:
+          (1 to n).map(i => $"ts".getItem(i).cast("long").as(s"tf$i"))): _*
       )
-      .persist()
+  }
+
+  /** Corpus statistics of a narrow base slice, as a 1-row DataFrame of
+    * pure SUMS — (n_docs, sum_dl, df1..dfQ) — so stats rows from
+    * successive ingest ticks MERGE by addition (the delta contract the
+    * durable index's stats table relies on).
+    */
+  private def bm25StatsDelta(narrow: DataFrame): DataFrame = {
+    val spark = narrow.sparkSession
+    import spark.implicits._
+    val n = Bm25Query.length
     val dfs = (1 to n).map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
-    val stats = base
-      .agg(count(lit(1)).as("n_docs"), (sum($"dl").as("sum_dl") +: dfs): _*)
-      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs".cast("double"))
-    val idfs = (1 to n).map { i =>
-      (($"n_docs".cast("double") - col(s"df$i").cast("double") + lit(0.5)) /
-        (col(s"df$i").cast("double") + lit(0.5))).as(s"idf$i")
-    }
-    val statsIdf = stats.select(col("*") +: idfs: _*)
+    narrow.agg(count(lit(1)).as("n_docs"), (sum($"dl").as("sum_dl") +: dfs): _*)
+  }
+
+  /** Collected corpus stats with the derived BM25 constants. idf is the
+    * RATIONAL Robertson form (n − df + ½)/(df + ½) without the usual
+    * log wrapper — the same portability decision as [[tfidf]] (libm log
+    * is not bit-portable; the rational form is exactly replayable and
+    * keeps the saturation shape that makes BM25 BM25). The arithmetic
+    * is the same IEEE double ops the previous column form ran rowwise,
+    * so inlining the values as literals changes no bit of any score.
+    */
+  private[graft] case class Bm25Stats(nDocs: Long, sumDl: Long, dfs: Seq[Long]) {
+    def avgdl: Double = sumDl.toDouble / nDocs.toDouble
+    def idfs: Seq[Double] =
+      dfs.map(df => (nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+  }
+
+  /** One 1-row stats pass, collected (metadata-scale: one row of
+    * longs). Eager collection replaces the former session-lived
+    * `.persist()` of the corpus-proportional base — the scoring pass
+    * re-scans instead (bounded cost), and no cache entry outlives the
+    * query (r11 ADVICE).
+    */
+  private def bm25CollectStats(statsRows: DataFrame): Bm25Stats = {
+    val n = Bm25Query.length
+    val spark = statsRows.sparkSession
+    import spark.implicits._
+    val r = statsRows
+      .agg(
+        sum($"n_docs").as("n_docs"),
+        (sum($"sum_dl").as("sum_dl") +: (1 to n).map(i => sum(col(s"df$i")).as(s"df$i"))): _*
+      )
+      .collect()
+      .head
+    Bm25Stats(r.getLong(0), r.getLong(1), (2 until 2 + n).map(r.getLong))
+  }
+
+  /** The scoring pass over a narrow base: map-side score arithmetic
+    * against literal stats, TakeOrdered top-[[Bm25TopK]]; the rank
+    * window sees only the K-row TakeOrdered output, never the corpus.
+    */
+  private def bm25Score(base: DataFrame, st: Bm25Stats): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    val n = Bm25Query.length
     val pre = base
-      .crossJoin(broadcast(statsIdf))
       .filter((1 to n).map(i => col(s"tf$i")).reduceLeft(_ + _) > 0)
       .withColumn(
         "nrm",
-        lit(Bm25K1) * (lit(oneMinusB) + lit(Bm25B) * ($"dl".cast("double") / $"avgdl"))
+        lit(Bm25K1) * (lit(oneMinusB) + lit(Bm25B) * ($"dl".cast("double") / lit(st.avgdl)))
       )
     val score = (1 to n)
       .map { i =>
-        col(s"idf$i") * ((col(s"tf$i").cast("double") * lit(k1p1)) /
+        lit(st.idfs(i - 1)) * ((col(s"tf$i").cast("double") * lit(k1p1)) /
           (col(s"tf$i").cast("double") + $"nrm"))
       }
       .reduceLeft(_ + _)
-    pre
+    val topk = pre
       .withColumn("score", round6(score))
       .orderBy($"score".desc, $"doc_id")
       .limit(Bm25TopK)
-      .withColumn(
-        "rank",
-        row_number().over(Window.orderBy($"score".desc, $"doc_id")).cast("long")
-      )
+    withRankLimited(topk, "rank", $"score", $"doc_id")
       .select($"doc_id", $"dl".as("n_tokens"), $"score", $"rank")
       .orderBy($"rank")
+  }
+
+  /** BM25 retrieval scoring of the corpus against the fixed
+    * [[Bm25Query]] term set — the ranking function behind corpus search
+    * and retrieval-based curation; from-scratch form (the durable-index
+    * serve is [[bm25Append]]).
+    *
+    * Scale shape: the query vocabulary is FIXED and tiny, so per-doc
+    * term frequencies are array-filter counts computed map-side — the
+    * corpus never explodes to (doc, term) rows and never shuffles. The
+    * only aggregates are one 1-row corpus-stats pass (n_docs, Σdl, per-
+    * term df — map-side combined, collected and inlined as literals)
+    * and the final TakeOrdered top-[[Bm25TopK]].
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val base = bm25Narrow(Tables.documentsFanned(spark, dir))
+    bm25Score(base, bm25CollectStats(bm25StatsDelta(base)))
+  }
+
+  /** doc_id % Bm25NewMod == 0 is the ingest batch the lexical index's
+    * append tick covers (the IvfNewMod discipline).
+    */
+  val Bm25NewMod = 5
+
+  /** The DURABLE lexical index: the narrow [doc_id, dl, tf..] postings
+    * and the additive stats rows as buildOnce warehouse tables — the
+    * missing cell of the maintenance matrix (every other serving
+    * artifact — minhash, IVF, PQ, manifest, MV — already had the
+    * buildOnce + tick-append treatment). The base build indexes the
+    * base slice (doc_id % [[Bm25NewMod]] ≠ 0) and then ingests the
+    * remaining docs through [[bm25AppendTick]] — the SAME API any later
+    * batch uses — so "build" is just tick zero plus one tick, and the
+    * stored index always covers exactly the docs that have arrived.
+    * A fresh serving JVM reads BOTH tables from the catalog: no corpus
+    * scan, no text decode, no stats recompute — the index outlives the
+    * trainer (the r11 lesson: serving paths read persisted artifacts,
+    * never rebuild).
+    */
+  private[graft] def bm25IndexTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val bt = s"graft_bm25_post_$fp"
+    val st = s"graft_bm25_stats_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_bm25_post_", "graft_bm25_stats_"),
+      Seq(bt, st)
+    ) {
+      val docs = Tables.documentsFanned(spark, dir)
+      val base = bm25Narrow(docs.filter($"doc_id" % Bm25NewMod =!= 0)).persist()
+      try {
+        base.write.mode("overwrite").format("parquet").saveAsTable(bt)
+        bm25StatsDelta(base).write.mode("overwrite").format("parquet").saveAsTable(st)
+      } finally { base.unpersist(); () }
+      bm25AppendTick(spark, bt, st, docs.filter($"doc_id" % Bm25NewMod === 0))
+    }
+    (bt, st)
+  }
+
+  /** The ingest tick: index `batch` (doc_id, text) against the stored
+    * lexical index — narrow postings appended, ONE additive stats-delta
+    * row appended; existing postings and stats rows are never read or
+    * rewritten, so tick cost ∝ batch (Bm25AppendSpec pins both). The
+    * batch-sized narrow frame persists only across its two writes and
+    * is explicitly released.
+    */
+  private[graft] def bm25AppendTick(
+      spark: SparkSession,
+      postTable: String,
+      statsTable: String,
+      batch: DataFrame
+  ): Unit = {
+    val nb = bm25Narrow(batch).persist()
+    try {
+      nb.write.mode("append").format("parquet").saveAsTable(postTable)
+      bm25StatsDelta(nb).write.mode("append").format("parquet").saveAsTable(statsTable)
+    } finally { nb.unpersist(); () }
+  }
+
+  /** Registered query `text_bm25_append`: BM25 served from the
+    * tick-maintained durable index — identical output (and oracle) to
+    * [[bm25]], because postings ∪ ticks cover exactly the corpus and
+    * the summed stats deltas equal the from-scratch stats. What changes
+    * is the serving cost model: one scan of the NARROW stored postings
+    * (a handful of longs per doc — no text bytes, no tokenization) plus
+    * a rows-of-longs stats read, flat against corpus text size and
+    * exactly what a 100 TB search tier pays per query.
+    */
+  def bm25Append(spark: SparkSession, dir: String): DataFrame = {
+    val (bt, st) = bm25IndexTables(spark, dir)
+    bm25Score(spark.table(bt), bm25CollectStats(spark.table(st)))
   }
 
   /** Rolling-hash document fingerprint: left fold of

@@ -39,7 +39,8 @@ object ExplainDump {
     "q29_scalar_subquery" -> "correlated scalar subquery decorrelated: per-customer aggregate joined back, no per-row subquery",
     "q30_merge_upsert" -> "CDC-apply: one key join folds updates/deletes, inserts union in",
     "q31_partition_pruning" -> "year predicate in PartitionFilters — pruning at file listing, 2-column data schema",
-    "text_bm25" -> "no corpus shuffle at all: [dl, tf..] from one native single-pass expression (no token array, no interpreted lambdas), persisted narrow base shared by the stats and scoring passes, 1-row stats broadcast, TakeOrdered top-k; rank window sees only K rows",
+    "text_bm25" -> "no corpus shuffle at all: [dl, tf..] from one native single-pass expression (no token array, no interpreted lambdas), 1-row stats collected and inlined as literals (no session-lived cache), TakeOrdered top-k; rank derived windowless from the K-row sorted array",
+    "text_bm25_append" -> "serve reads the stored narrow postings + additive stats tables from the catalog — no corpus scan, no text decode, no tokenization in the query path; scoring is map-side literal math over [dl, tf..] longs, TakeOrdered top-k",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",
     "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame",
@@ -73,6 +74,9 @@ object ExplainDump {
     "text_entropy" -> "zero per-char shuffle: the char histogram + entropy fold run inside the projection; the only exchange is the final doc_id sort",
     "text_bpe_pairs" -> "pair counts partial-combine to ≤|alphabet|² groups before the one exchange — the shuffle is alphabet-sized at any corpus; TakeOrdered caps the top-K",
     "text_bpe_encode" -> "one vocabulary-bounded wordcount shuffle trains the merges (count-weighted dict, the subword-nmt shape); the corpus encode is a broadcast-dictionary element_at lookup per token in one map pass; only the per-shard packing window and the output sort exchange rows",
+    "text_bpe_encode_capped" -> "top-V dictionary via TakeOrdered (driver holds V rows, never the Heap's-law distinct-word set); dictionary ships as broadcast DATA (1-row map frame, BroadcastNestedLoopJoin of one row) not a plan literal; per-token try_element_at with char-split fallback for OOV — one map pass, then the packing window",
+    "mv_from_changes" -> "each commit's signed change rows come off its own CDF artifact (delete commit = broadcast semi-join of the key file, aggregated as NEGATIVE deltas); delta and previous MV version are both groups-sized; the serve reads one groups-sized parquet",
+    "layout_snapshot_deletes" -> "one scan over base∪insert commits; the DV applies as a broadcast left join on the (commit, rid) lineage pair; per-row visibility range explodes to ≤3 version tags and partial-aggregates before the only exchange",
     "sim_ann_filtered" -> "metadata-constrained ANN with the predicate PRE-applied at the index: probed posting candidates drop non-matching labels when they fetch their metadata row, before any distance math — a selective filter shrinks the scored set instead of starving a post-filtered top-k",
     "stats_corr" -> "the whole correlation matrix from ONE corpus pass: every moment (n, Σx, Σx², Σxy) is an exact-decimal partial-aggregated sum; the 6 matrix rows explode out of the single moment row",
     "sim_hybrid_rerank" -> "RRF fusion of two K-bounded source lists: cost lives in the source plans (BM25 map pass, broadcast-query cosine), the fusion is a K-row full-outer join",

@@ -487,28 +487,33 @@ class PlanSpec extends AnyFunSuite {
     assert(takeOrdered.size === 2, root.toString)
   }
 
-  test("text_bm25: no corpus explode, rank window only over the TakeOrdered top-k") {
+  test("text_bm25: no corpus explode, rank derived WINDOWLESS over the TakeOrdered top-k") {
     val df = graft.text.TextAnalysis.bm25(spark, dir)
     val root = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.inputPlan
       case other                    => other
     }
     val plan = root.toString
-    // per-doc tf is an array-filter count: the corpus never explodes to
-    // (doc, term) rows and never shuffles on terms
-    assert(!plan.contains("Generate"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    // the single-partition rank window is fed by the K-row TakeOrdered
-    // output, never the corpus
+    // rank comes from the sorted-array posexplode (withRankLimited) —
+    // no WindowExec anywhere, so the unpartitioned-window warning stays
+    // signal across the engine
     val windows = root.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(windows.nonEmpty, plan)
-    windows.foreach { w =>
-      val bounded = w.collectFirst {
+    assert(windows.isEmpty, plan)
+    // the ONLY Generate is that posexplode, fed by the K-row TakeOrdered
+    // output — per-doc tf is an array-filter count, so the corpus never
+    // explodes to (doc, term) rows and never shuffles on terms
+    val gens = root.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.nonEmpty, plan)
+    gens.foreach { g =>
+      val bounded = g.collectFirst {
         case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
       }
-      assert(bounded.nonEmpty, w.toString)
+      assert(bounded.nonEmpty, g.toString)
     }
   }
 

@@ -35,6 +35,50 @@ class GifSpec extends AnyFunSuite {
     roundTrip(64, 48, (x, y) => noise(y * 64 + x))
   }
 
+  test("LZW 4096-entry dictionary overflow: the clear/reset handoff round-trips, both layers") {
+    // indices long and noisy enough that nextCode reaches the 12-bit
+    // ceiling and the encoder must emit CLEAR and rebuild (the branch
+    // the phash fixtures never reach — r11 ADVICE)
+    val rnd = new scala.util.Random(1234)
+    val indices = Array.fill(40000)(rnd.nextInt(256).toByte)
+    // independent simulation of LZW greedy parsing proves the input
+    // actually overflows the dictionary (≥1 clear fires)
+    var clears = 0
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 258 // eoi + 1 for minCodeSize 8
+    var prefix = indices(0) & 0xff
+    indices.drop(1).foreach { b =>
+      val k = b & 0xff
+      dict.get((prefix, k)) match {
+        case Some(c) => prefix = c
+        case None =>
+          if (nextCode == 4096) { clears += 1; dict = dict.empty; nextCode = 258 }
+          else { dict((prefix, k)) = nextCode; nextCode += 1 }
+          prefix = k
+      }
+    }
+    assert(clears >= 1, s"fixture must overflow the dictionary (clears=$clears)")
+
+    // raw LZW layer round-trip
+    val packed = Gif.lzwEncode(indices, 8)
+    val back = Gif.lzwDecode(packed, 8, indices.length).getOrElse(fail("lzwDecode failed"))
+    assert(back.toSeq === indices.toSeq, "post-clear codes must decode byte-exact")
+
+    // whole-file layer at overflow scale, plus the independent JDK reader
+    val noise = Array.fill(128 * 96)(rnd.nextInt(256))
+    def pix(x: Int, y: Int): Int = noise(y * 128 + x)
+    roundTrip(128, 96, pix)
+    val bytes = Gif.encodeGray(128, 96, pix)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth === 128 && img.getHeight === 96)
+    for (y <- 0 until 96; x <- 0 until 128) {
+      val g = pix(x, y) & 0xff
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) === g && ((p >> 8) & 0xff) === g && (p & 0xff) === g,
+        s"ImageIO pixel ($x,$y) across the clear boundary")
+    }
+  }
+
   test("encoder output decodes identically under the JDK's independent GIF reader") {
     val pixels: Seq[(Int, Int) => Int] = Seq(
       (x, y) => (x * 7 + y * 13) % 251,

@@ -385,10 +385,17 @@ class LayoutSpec extends AnyFunSuite {
   test("change data feed: per-commit change rows come off each commit's own artifact") {
     import spark.implicits._
     val (base, ins, dv) = Layout.cdcDirs(spark, dir)
-    // lineage ids are unique ACROSS commits (disjoint ranges)
-    val all = spark.read.parquet(base).select($"cdc_rid")
-      .unionByName(spark.read.parquet(ins).select($"cdc_rid"))
-    assert(all.distinct().count() === all.count(), "cdc_rid must be globally unique")
+    // row lineage is the (cdc_commit, cdc_rid) pair: unique across ALL
+    // commits structurally — disjointness comes from the commit column,
+    // not a numeric id offset with a partition-count cliff
+    val all = spark.read.parquet(base).select($"cdc_commit", $"cdc_rid")
+      .unionByName(spark.read.parquet(ins).select($"cdc_commit", $"cdc_rid"))
+    assert(all.distinct().count() === all.count(), "(cdc_commit, cdc_rid) must be globally unique")
+    assert(
+      spark.read.parquet(base).filter($"cdc_commit" =!= 1L).count() === 0 &&
+        spark.read.parquet(ins).filter($"cdc_commit" =!= 2L).count() === 0,
+      "each commit stamps its own commit id"
+    )
     // the delete key file holds exactly the predicate rows' ids
     val predRows = spark.read.parquet(base).unionByName(spark.read.parquet(ins))
       .filter($"l_partkey" <= Layout.MorPartHi).count()
@@ -503,5 +510,57 @@ class LayoutSpec extends AnyFunSuite {
     ).count()
     assert(keep < Layout.VacCompactFiles.toLong, "the z-clustered manifest must still skip files")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+  }
+
+  test("mv_from_changes: MV advanced strictly from the feed; delete commit = negative deltas") {
+    import spark.implicits._
+    // fresh CDF-MV lineage so maintenance happens inside this JVM's window
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_cmv"))
+      .foreach(f => org.apache.commons.io.FileUtils.deleteQuietly(f))
+    Layout.cdfMvRowsConsumed.set(0L)
+
+    val got = Layout.mvFromChangesServe(spark, dir).collect().map(_.toSeq).toSeq
+    val want = Tables.lineitem(spark, dir)
+      .filter($"l_partkey" > Layout.MorPartHi)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
+        round(
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double") / count(lit(1)),
+          4
+        ).as("avg_price")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    assert(got === want, "feed-driven MV must equal the net-of-commits aggregate")
+
+    // O(changed rows) maintenance: the ledger equals |v1| + |v2| insert
+    // rows plus |v3| delete rows — each change-feed row consumed exactly
+    // once, when its commit's feed was read
+    val li = Tables.lineitem(spark, dir)
+    val changed = li.count() + li.filter($"l_partkey" <= Layout.MorPartHi).count()
+    assert(Layout.cdfMvRowsConsumed.get() === changed,
+      s"ledger ${Layout.cdfMvRowsConsumed.get()} vs $changed")
+
+    // steady-state serve is an artifact read — no feed re-consumption
+    val again = Layout.mvFromChangesServe(spark, dir).collect().map(_.toSeq).toSeq
+    assert(again === want)
+    assert(Layout.cdfMvRowsConsumed.get() === changed, "serving must not re-consume the feed")
+  }
+
+  test("snapshot × deletion vectors: as-of v2 still serves the rows the v3 DV drops") {
+    import spark.implicits._
+    val rows = Layout.snapshotDeletesScan(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val n = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, dir)
+    assert(n(1L) === li.filter(pmod($"l_orderkey", lit(4)) =!= 0).count(), "v1 = base commit")
+    assert(n(2L) === li.count(), "v2 = base + insert; the DV does NOT apply before its commit")
+    assert(n(3L) === li.filter($"l_partkey" > Layout.MorPartHi).count(), "v3 applies the DV")
+    assert(n(2L) > n(3L), "the pre-delete snapshot serves the deleted rows")
   }
 }

@@ -121,6 +121,48 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeDocsCapped: top-V dictionary, char fallback for OOV, merges on in-dict words") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val wc = graft.Tables
+      .documentsFanned(spark, dir)
+      .select(explode(graft.functions.Portable.tokens($"text")).as("w"))
+      .filter($"w".rlike(Bpe.WordRe))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // the cap must be EXERCISED: fixture vocabulary strictly exceeds V
+    assert(wc.length > Bpe.EncodeCapV, s"fixture vocab ${wc.length} must exceed cap ${Bpe.EncodeCapV}")
+    val topV = wc.sortBy { case (w, f) => (-f, w) }.take(Bpe.EncodeCapV)
+    val dictWords = topV.map(_._1).toSet
+    val merges = Bpe.trainOnCounts(topV, Bpe.EncodeMerges).map(_._1)
+    def enc(w: String): Seq[String] =
+      if (dictWords(w))
+        merges.foldLeft(w.split("").toSeq) { case (s, (a, b)) => Bpe.mergePassScala(s, a, b) }
+      else w.split("").toSeq // character fallback
+
+    val out = Bpe.encodeDocsCapped(spark, dir).collect()
+    val perDoc = graft.Tables
+      .documents(spark, dir)
+      .select($"doc_id", graft.functions.Portable.tokens($"text").as("ws"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).filter(_.matches(Bpe.WordRe)))
+      .toMap
+    var oovMultiChar = false
+    var mergedInDict = false
+    out.foreach { r =>
+      val ws = perDoc(r.getLong(0))
+      ws.foreach { w =>
+        if (!dictWords(w) && w.length >= 2) oovMultiChar = true
+        if (dictWords(w) && enc(w).exists(_.length >= 2)) mergedInDict = true
+      }
+      val syms = ws.flatMap(enc)
+      assert(r.getLong(1) === syms.length.toLong, s"doc ${r.getLong(0)} token count")
+      assert(r.getString(2) === syms.mkString(" "), s"doc ${r.getLong(0)} encoded text")
+    }
+    assert(oovMultiChar, "the OOV char-fallback arm must be exercised by the fixture")
+    assert(mergedInDict, "trained merges must apply to in-dictionary words")
+  }
+
   test("pairStats matches manual counting on sf0.001 and is rank-total-ordered") {
     val rows = Bpe.pairStats(spark, "/root/testdata/sf0.001").collect()
     assert(rows.length === Bpe.PairTopK)
