@@ -89,6 +89,7 @@ object SparkEntry {
     "layout_schema_evolution" -> ((s, d) => graft.queries.Layout.schemaEvolutionScan(s, d)),
     "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
     "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
+    "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
     "mv_from_changes" -> ((s, d) => graft.queries.Layout.mvFromChangesServe(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
@@ -124,6 +125,7 @@ object SparkEntry {
     // Deduplication (LLM-pipeline north star)
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "dedup_index_delete" -> ((s, d) => Dedup.indexDeleted(s, d)),
     "dedup_bloom_admit" -> ((s, d) => Dedup.bloomAdmit(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_containment_capped" -> ((s, d) => Dedup.containment(s, d, Some(Dedup.NgramDfCap))),
@@ -176,6 +178,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_bm25_append" -> ((s, d) => TextAnalysis.bm25Append(s, d)),
+    "text_bm25_delete" -> ((s, d) => TextAnalysis.bm25Deleted(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -329,6 +332,8 @@ object SparkEntry {
     "stream_anomaly" -> Oracles.eventsAnomaly(Events.AnomWindow, Events.AnomMinPrior, Events.AnomZ, Events.AnomScale),
     "dedup_exact" -> PipelineOracles.dedupExact,
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
+    // admission replayed with victims absent from both duplicate sources
+    "dedup_index_delete" -> PipelineOracles.dedupIndexDelete,
     "dedup_bloom_admit" -> PipelineOracles.dedupBloomAdmit,
     "dedup_containment" -> PipelineOracles.dedupContainment,
     "dedup_containment_capped" -> PipelineOracles.dedupContainmentCapped(Dedup.NgramDfCap),
@@ -357,6 +362,9 @@ object SparkEntry {
     // result, same oracle — durability must not change the answer
     "sim_ivf_persisted" -> PipelineOracles.simAnnIvf,
     "sim_ivf_append" -> PipelineOracles.simIvfAppend,
+    // post-delete serve: same index replay, victims excluded from the
+    // candidate set only
+    "sim_ivf_delete" -> PipelineOracles.simIvfDelete,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
     "sim_prototypes" -> PipelineOracles.simPrototypes,
     "sim_quantized" -> PipelineOracles.simQuantized,
@@ -384,6 +392,8 @@ object SparkEntry {
     "text_bm25" -> PipelineOracles.textBm25,
     // the durable-index serve answers the identical ranking contract
     "text_bm25_append" -> PipelineOracles.textBm25,
+    // post-delete serve == BM25 built fresh on the surviving corpus
+    "text_bm25_delete" -> PipelineOracles.textBm25Deleted,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,

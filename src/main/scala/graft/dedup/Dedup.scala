@@ -609,6 +609,60 @@ object Dedup {
     )
   }
 
+  /** The takedown fixture for the signature index: existing-corpus docs
+    * with doc_id ≡ [[IndexDeleteRem]] (mod [[IndexDeleteMod]]).
+    */
+  val IndexDeleteMod = 10
+  val IndexDeleteRem = 1
+
+  /** DV/tombstone table for the dedup signature index — victim doc_ids
+    * written once as a kilobyte key table. The index rows themselves are
+    * never rewritten (the merge-on-read contract shared with the
+    * layout, lexical, and vector indexes).
+    */
+  private[graft] def indexDvTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val t = s"graft_dedup_dv_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_dedup_dv_"), Seq(t)) {
+      Tables
+        .documents(spark, dir)
+        .filter($"doc_id" % NewBatchMod =!= 0 && $"doc_id" % IndexDeleteMod === IndexDeleteRem)
+        .select($"doc_id")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Registered query `dedup_index_delete`: ingest admission AFTER an
+    * index takedown — the right-to-be-forgotten semantics a dedup index
+    * uniquely adds to the delete story: removing a doc from the index
+    * doesn't just stop SERVING it, it changes future DECISIONS — a
+    * batch doc whose only duplicate source was a victim flips to
+    * ADMITTED (a forgotten document's content is ingestible again).
+    * The serve is [[dedupBatchAgainstIndex]] verbatim over
+    * `stored index ∖ DV` (one broadcast LeftAnti probe); victims can't
+    * produce candidates, so the verification fetch stays batch-bounded
+    * exactly as before. The oracle replays admission with the victims
+    * absent from both duplicate sources; IngestSpec pins the planted
+    * flip.
+    */
+  def indexDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val live = spark
+      .table(incrementalIndexTable(spark, dir))
+      .join(broadcast(spark.table(indexDvTable(spark, dir))), Seq("doc_id"), "left_anti")
+    dedupBatchAgainstIndexDf(
+      spark,
+      live,
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+    )
+  }
+
   /** The production ingest-tick core: dedup `batchDocs` (doc_id, text)
     * against the persisted signature index `indexTable`, fetching
     * candidate verification text from `corpusDocs` — the doc store that
@@ -632,9 +686,27 @@ object Dedup {
       batchDocs: DataFrame,
       corpusDocs: DataFrame,
       materializeCandidates: Boolean = true
+  ): DataFrame =
+    dedupBatchAgainstIndexDf(
+      spark,
+      spark.table(indexTable),
+      batchDocs,
+      corpusDocs,
+      materializeCandidates
+    )
+
+  /** [[dedupBatchAgainstIndex]] over an index VIEW — the merge-on-read
+    * seam: the delete path passes `stored index ∖ DV` here, so takedown
+    * needs no index rewrite and no second admission implementation.
+    */
+  private[graft] def dedupBatchAgainstIndexDf(
+      spark: SparkSession,
+      index: DataFrame,
+      batchDocs: DataFrame,
+      corpusDocs: DataFrame,
+      materializeCandidates: Boolean = true
   ): DataFrame = {
     import spark.implicits._
-    val index = spark.table(indexTable)
     val exactDup = batchDocs
       .select($"doc_id", md5($"text").as("h"))
       .join(index.select($"h"), Seq("h"), "left_semi")

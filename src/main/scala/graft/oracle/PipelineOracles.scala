@@ -282,14 +282,29 @@ object PipelineOracles {
 
   /** Replays incremental ingest dedup: same NewBatchMod split, same
     * exact-hash semi-join, same batch×corpus band candidates, same
-    * verified-Jaccard near-dup minimum.
+    * verified-Jaccard near-dup minimum. `corpusLive` further restricts
+    * which EXISTING-corpus docs the index still holds (the delete
+    * variant's tombstone predicate); the batch side is never filtered.
     */
-  val dedupIncremental: String =
+  val dedupIncremental: String = dedupIncrementalReplay(_ => "TRUE")
+
+  /** Admission after the index takedown: identical replay with the
+    * victims absent from BOTH duplicate sources (exact-hash and banded
+    * candidates) — a batch doc whose only match was a victim flips to
+    * admitted, the right-to-be-forgotten semantics the spec pins on a
+    * planted pair.
+    */
+  val dedupIndexDelete: String = dedupIncrementalReplay(c =>
+    s"NOT ($c % ${Dedup.IndexDeleteMod} = ${Dedup.IndexDeleteRem})"
+  )
+
+  private def dedupIncrementalReplay(corpusLive: String => String): String =
     s"""WITH $minhashBandCtes,
        |candn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-       |  WHERE a.doc_id % ${Dedup.NewBatchMod} = 0 AND b.doc_id % ${Dedup.NewBatchMod} <> 0),
+       |  WHERE a.doc_id % ${Dedup.NewBatchMod} = 0 AND b.doc_id % ${Dedup.NewBatchMod} <> 0
+       |    AND ${corpusLive("b.doc_id")}),
        |cint AS (SELECT candn.id_a, candn.id_b, count(*) AS c
        |  FROM candn
        |  JOIN shx sa ON sa.doc_id = candn.id_a
@@ -304,6 +319,7 @@ object PipelineOracles {
        |ex AS (SELECT DISTINCT n.doc_id
        |  FROM documents n JOIN documents o
        |    ON md5(n.text) = md5(o.text) AND o.doc_id % ${Dedup.NewBatchMod} <> 0
+       |      AND ${corpusLive("o.doc_id")}
        |  WHERE n.doc_id % ${Dedup.NewBatchMod} = 0)
        |SELECT d.doc_id,
        |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
@@ -808,12 +824,12 @@ object PipelineOracles {
     * nprobe nearest cells per query (from cell_rank), posting-list
     * candidates, exact cosine re-rank, top-3.
     */
-  private val ivfProbeTail: String =
+  private def ivfProbeTailFor(liveWhere: String): String =
     s"""qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
        |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
        |cand AS (SELECT DISTINCT qprobe.query_id, cell.vec_id
        |  FROM cell JOIN qprobe ON cell.cid = qprobe.cid
-       |  WHERE cell.vec_id <> qprobe.query_id),
+       |  WHERE cell.vec_id <> qprobe.query_id AND ($liveWhere)),
        |scored AS (SELECT cand.query_id, cand.vec_id AS neighbor_id,
        |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
        |  FROM cand JOIN norms q ON q.vec_id = cand.query_id JOIN norms e ON e.vec_id = cand.vec_id),
@@ -822,6 +838,8 @@ object PipelineOracles {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private val ivfProbeTail: String = ivfProbeTailFor("TRUE")
 
   /** IVF probe-path replay (training shared via [[ivfCellCtes]]). */
   val simAnnIvf: String =
@@ -840,6 +858,24 @@ object PipelineOracles {
         Similarity.IvfAppendInitOffset
       )},
        |$ivfProbeTail""".stripMargin
+
+  /** Replays the append-maintained IVF index AFTER the delete commit:
+    * identical quantizer training and assignment to [[simIvfAppend]],
+    * with the DV'd victims excluded from the CANDIDATE set only — the
+    * merge-on-read anti-join. Centroids and stored postings are
+    * untouched by a delete, so the replay differs from simIvfAppend in
+    * exactly one predicate, which is the whole point: un-indexing must
+    * not perturb anything else.
+    */
+  val simIvfDelete: String =
+    s"""WITH ${ivfCellCtesFor(
+        s"vec_id % ${Similarity.IvfNewMod} <> 0",
+        Similarity.IvfAppendInitOffset
+      )},
+       |${ivfProbeTailFor(
+        s"NOT (cell.vec_id % ${Similarity.IvfDeleteMod} = ${Similarity.IvfDeleteRem}" +
+          s" AND cell.vec_id >= ${Similarity.NumQueries})"
+      )}""".stripMargin
 
   /** Replays SemDeDup: the shared quantizer training + cell assignment,
     * exact cosine pairs WITHIN each cell, min-id duplicate groups, keep
@@ -1321,7 +1357,18 @@ object PipelineOracles {
     * expression per score term summed in query-term order, same
     * (score DESC, doc_id) top-K cut.
     */
-  val textBm25: String = {
+  val textBm25: String = textBm25Over("documents")
+
+  /** BM25 served post-delete: identical replay over the SURVIVING
+    * corpus — retracting the victims' additive stats contributions must
+    * leave exactly the stats (and so the idf/avgdl constants and the
+    * ranking) of an index built fresh on the live docs.
+    */
+  val textBm25Deleted: String = textBm25Over(
+    s"(SELECT * FROM documents WHERE doc_id % ${TextAnalysis.Bm25DeleteMod} <> ${TextAnalysis.Bm25DeleteRem})"
+  )
+
+  private def textBm25Over(rel: String): String = {
     val k1p1 = TextAnalysis.Bm25K1 + 1.0
     val oneMinusB = 1.0 - TextAnalysis.Bm25B
     val terms = TextAnalysis.Bm25Query
@@ -1344,7 +1391,7 @@ object PipelineOracles {
         s"idf$d * ((CAST(tf$d AS DOUBLE) * $k1p1) / (CAST(tf$d AS DOUBLE) + nrm))"
       }
       .mkString(" + ")
-    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM documents),
+    s"""WITH tk AS (SELECT doc_id, $toks AS w FROM $rel),
        |base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfCols FROM tk),
        |stats0 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
        |  $dfCols FROM base),

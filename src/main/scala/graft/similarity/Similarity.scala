@@ -412,6 +412,18 @@ object Similarity {
     * first-class serve candidates.
     */
   def annIvfAppended(spark: SparkSession, dir: String): DataFrame = {
+    val (emb, cents, postings) = ivfAppendServeParts(spark, dir)
+    ivfServeFromPostings(emb, cents, postings, IvfProbes)
+  }
+
+  /** The append-maintained index's full posting view: stored postings ∪
+    * the in-flight pending tick (shared by the append serve and the
+    * delete serve).
+    */
+  private def ivfAppendServeParts(
+      spark: SparkSession,
+      dir: String
+  ): (DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val (ct, at) = ivfAppendTables(spark, dir)
     val cents = spark.table(ct)
@@ -425,7 +437,57 @@ object Similarity {
       .filter($"vec_id" % IvfNewMod === 0)
       .join(ticked, Seq("vec_id"), "left_anti")
     val tick = withVectors(assignCells(pending, cents), pending)
-    ivfServeFromPostings(emb, cents, stored.unionByName(tick), IvfProbes)
+    (emb, cents, stored.unionByName(tick))
+  }
+
+  /** The delete fixture: vec_id ≡ [[IvfDeleteRem]] (mod
+    * [[IvfDeleteMod]]), guarded to the non-query id space — un-indexing
+    * a query vector is meaningless (queries aren't corpus members).
+    */
+  val IvfDeleteMod = 9
+  val IvfDeleteRem = 4
+
+  /** The vector-index DV: victim ids written once as a kilobyte key
+    * table. A delete NEVER touches the quantizer or the stored
+    * postings — the same merge-on-read contract as the layout and
+    * lexical-index deletes, applied to the vector store (FAISS-style
+    * indexes call this an IDSelector / tombstone set).
+    */
+  private[graft] def ivfDvTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val t = s"graft_ivfapp_dv_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_ivfapp_dv_"), Seq(t)) {
+      corpusWithNorm(spark, dir)
+        .filter($"vec_id" % IvfDeleteMod === IvfDeleteRem && $"vec_id" >= NumQueries)
+        .select($"vec_id")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Registered query `sim_ivf_delete`: the append-maintained IVF serve
+    * AFTER a delete commit — the vector store's takedown path. Live
+    * candidates = (stored ∪ pending-tick postings) ∖ DV via one
+    * broadcast LeftAnti probe; centroids, stored postings, and the
+    * probe path are bit-identical to sim_ivf_append (the oracle differs
+    * from the append replay in exactly the candidate predicate). At
+    * 100 TB this is why vector deletes are cheap: the DV is kilobytes,
+    * the anti-join rides the already-probed posting lists, and the
+    * index never retrains or rewrites.
+    */
+  def annIvfDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (emb, cents, postings) = ivfAppendServeParts(spark, dir)
+    val live = postings.join(
+      broadcast(spark.table(ivfDvTable(spark, dir))),
+      Seq("vec_id"),
+      "left_anti"
+    )
+    ivfServeFromPostings(emb, cents, live, IvfProbes)
   }
 
   /** IVF probe-path serving where the posting rows carry their vectors:

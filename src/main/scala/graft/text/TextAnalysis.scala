@@ -764,6 +764,98 @@ object TextAnalysis {
     bm25Score(spark.table(bt), bm25CollectStats(spark.table(st)))
   }
 
+  /** The deleted slice of the index-delete fixture: doc_id ≡
+    * [[Bm25DeleteRem]] (mod [[Bm25DeleteMod]]) — a takedown/opt-out
+    * batch, the production reason a serving index must un-index
+    * documents without a rebuild.
+    */
+  val Bm25DeleteMod = 7
+  val Bm25DeleteRem = 3
+
+  /** The DELETE tick — merge-on-read applied to a serving index (the
+    * layout_deletes discipline, lexical-index edition). A doc-level
+    * delete lands as (1) a key-delete (DV) row per victim and (2) ONE
+    * NEGATIVE stats-delta row derived from the STORED postings of
+    * exactly the victim docs — no text rescan, no postings rewrite:
+    * existing posting rows are untouched and the additive stats table
+    * retracts the victims' contribution exactly (count/Σdl/df are all
+    * pure sums, so subtraction is exact). Tick cost ∝ victims.
+    */
+  private[graft] def bm25DeleteTick(
+      spark: SparkSession,
+      postTable: String,
+      statsTable: String,
+      dvTable: String,
+      keys: DataFrame
+  ): Unit = {
+    import spark.implicits._
+    val n = Bm25Query.length
+    val victims = spark
+      .table(postTable)
+      .join(broadcast(keys.select($"doc_id")), Seq("doc_id"), "left_semi")
+      .persist()
+    try {
+      victims.select($"doc_id").write.mode("append").format("parquet").saveAsTable(dvTable)
+      bm25StatsDelta(victims)
+        .select(
+          (-$"n_docs").as("n_docs") +: (-$"sum_dl").as("sum_dl") +:
+            (1 to n).map(i => (-col(s"df$i")).as(s"df$i")): _*
+        )
+        .write
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(statsTable)
+    } finally { victims.unpersist(); () }
+  }
+
+  /** The delete-lifecycle index: its OWN table family (the shared
+    * append index must keep serving the full corpus), initialized by a
+    * NARROW copy of the stored append-index tables — no corpus rescan —
+    * then advanced by one [[bm25DeleteTick]] for the victim slice.
+    */
+  private[graft] def bm25DeleteTables(spark: SparkSession, dir: String): (String, String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val bt = s"graft_bm25d_post_$fp"
+    val st = s"graft_bm25d_stats_$fp"
+    val dvt = s"graft_bm25d_dv_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_bm25d_post_", "graft_bm25d_stats_", "graft_bm25d_dv_"),
+      Seq(bt, st, dvt)
+    ) {
+      val (abt, ast) = bm25IndexTables(spark, dir)
+      spark.table(abt).write.mode("overwrite").format("parquet").saveAsTable(bt)
+      spark.table(ast).write.mode("overwrite").format("parquet").saveAsTable(st)
+      bm25DeleteTick(
+        spark,
+        bt,
+        st,
+        dvt,
+        spark.table(bt).filter($"doc_id" % Bm25DeleteMod === Bm25DeleteRem)
+      )
+    }
+    (bt, st, dvt)
+  }
+
+  /** Registered query `text_bm25_delete`: BM25 served AFTER a doc-level
+    * delete tick — the full CRUD story for the lexical index. The live
+    * posting set is stored postings ∖ DV (one broadcast LeftAnti probe
+    * per posting row, the MoR serve shape), and the scoring constants
+    * derive from the summed stats deltas, which the negative delta has
+    * already retracted — so ranking, idf and avgdl are EXACTLY those of
+    * an index built fresh on the surviving corpus, which is what the
+    * oracle replays (BM25 over documents minus the victim slice).
+    */
+  def bm25Deleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (bt, st, dvt) = bm25DeleteTables(spark, dir)
+    val live = spark
+      .table(bt)
+      .join(broadcast(spark.table(dvt)), Seq("doc_id"), "left_anti")
+    bm25Score(live, bm25CollectStats(spark.table(st)))
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * h ← (h·31 + codepoint) mod 1e9+7 over the text's characters, seeded
     * with 7 — a distributed-friendly content id that (unlike md5) can be

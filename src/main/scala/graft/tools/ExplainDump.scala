@@ -41,6 +41,9 @@ object ExplainDump {
     "q31_partition_pruning" -> "year predicate in PartitionFilters — pruning at file listing, 2-column data schema",
     "text_bm25" -> "no corpus shuffle at all: [dl, tf..] from one native single-pass expression (no token array, no interpreted lambdas), 1-row stats collected and inlined as literals (no session-lived cache), TakeOrdered top-k; rank derived windowless from the K-row sorted array",
     "text_bm25_append" -> "serve reads the stored narrow postings + additive stats tables from the catalog — no corpus scan, no text decode, no tokenization in the query path; scoring is map-side literal math over [dl, tf..] longs, TakeOrdered top-k",
+    "text_bm25_delete" -> "merge-on-read on a serving index: live postings = stored ∖ DV via one broadcast LeftAnti probe per row; the negative stats delta already retracted the victims, so scoring constants equal a fresh build on the survivors — no postings rewrite, no corpus scan",
+    "sim_ivf_delete" -> "vector-store takedown: the kilobyte DV anti-joins the probed posting lists (broadcast LeftAnti), centroids and stored postings untouched — the serve differs from sim_ivf_append by exactly one predicate, no retrain, no rewrite",
+    "dedup_index_delete" -> "right-to-be-forgotten on the signature index: stored index ∖ DV feeds the UNCHANGED admission pipeline — victims stop sourcing exact-hash hits AND banded candidates, so a forgotten doc's content re-admits; index rows never rewritten",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",
     "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame",

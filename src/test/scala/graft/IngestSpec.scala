@@ -77,4 +77,37 @@ class IngestSpec extends AnyFunSuite {
     assert(Dedup.incrementalIndexTable(spark, dir) === t)
     assert(spark.table(t).count() === 6L, "build-once must not clobber appended rows")
   }
+
+  test("index takedown: a forgotten doc's content re-admits; index rows never rewritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-forget-").toString
+    val keptText = "an ordinary corpus page about columnar storage footers and row group statistics"
+    val forgottenText = "the exact page that will be forgotten speaks of retention policies and purges"
+    // doc 11 is the victim-to-be (11 % 10 == IndexDeleteRem == 1); doc 2 stays
+    val corpus = Seq((2L, keptText), (11L, forgottenText))
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val t = Dedup.incrementalIndexTable(spark, dir)
+
+    // batch: byte-dups of BOTH corpus docs
+    val batch = Seq((100L, keptText), (105L, forgottenText)).toDF("doc_id", "text")
+    val store = corpus.toDF("doc_id", "text")
+    def verdicts(index: org.apache.spark.sql.DataFrame) = Dedup
+      .dedupBatchAgainstIndexDf(spark, index, batch, store)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+
+    // before the takedown: both batch docs are duplicates → dropped
+    assert(verdicts(spark.table(t)) === Map(100L -> 0L, 105L -> 0L))
+
+    // takedown of doc 11, merge-on-read: stored index ∖ DV
+    val dv = Seq(11L).toDF("doc_id")
+    val live = spark.table(t).join(dv, Seq("doc_id"), "left_anti")
+    val after = verdicts(live)
+    assert(after(105L) === 1L,
+      "the forgotten doc's content must RE-ADMIT — its only duplicate source is gone")
+    assert(after(100L) === 0L, "other admission decisions must not change")
+    // the stored index itself is untouched by the takedown
+    assert(spark.table(t).count() === 2L, "a takedown must never rewrite index rows")
+  }
 }

@@ -105,4 +105,47 @@ class IvfAppendSpec extends AnyFunSuite {
     assert(afterDup.map(_.toString).sameElements(scratch.collect().map(_.toString)),
       "duplicate postings must not change the served result")
   }
+
+  test("delete: DV tombstones exclude victims; centroids and postings untouched; exact re-rank over survivors") {
+    import spark.implicits._
+    val dir = writeCorpus(60)
+    val victims = (0L until 60L)
+      .filter(i => i % Similarity.IvfDeleteMod == Similarity.IvfDeleteRem && i >= Similarity.NumQueries)
+      .toSet
+    assert(victims.nonEmpty, "the fixture must exercise the delete")
+
+    val (ct, at) = Similarity.ivfAppendTables(spark, dir)
+    val postBefore = spark.table(at).count()
+    val centsBefore = spark.table(ct).collect().map(_.toString).sorted
+
+    val served = Similarity.annIvfDeleted(spark, dir).collect()
+    // the DV holds exactly the victim ids (non-query id space only)
+    val dvt = Similarity.ivfDvTable(spark, dir)
+    assert(spark.table(dvt).collect().map(_.getLong(0)).toSet === victims)
+    // merge-on-read: a delete never touches the quantizer or postings
+    assert(spark.table(at).count() === postBefore, "postings must not be rewritten")
+    assert(spark.table(ct).collect().map(_.toString).sorted.sameElements(centsBefore),
+      "the quantizer must not retrain")
+    // no victim can serve as a neighbor
+    assert(served.nonEmpty && served.forall(r => !victims.contains(r.getLong(1))))
+
+    // exactness: the post-delete serve equals a from-scratch probe over
+    // the surviving candidate set (removal can PROMOTE new neighbors
+    // into the top-3 — a result filter would not be equivalent)
+    val emb = graft.Tables
+      .embeddingsFanned(spark, dir)
+      .select($"vec_id", $"embedding", graft.functions.Portable.norm($"embedding").as("nrm"))
+    val postAll = Similarity
+      .assignCells(emb, spark.table(ct))
+      .join(emb.select($"vec_id", $"embedding", $"nrm"), "vec_id")
+    val live = postAll.filter(
+      !($"vec_id" % Similarity.IvfDeleteMod === Similarity.IvfDeleteRem &&
+        $"vec_id" >= Similarity.NumQueries)
+    )
+    val scratch = Similarity
+      .ivfServeFromPostings(emb, spark.table(ct), live, Similarity.IvfProbes)
+      .collect()
+    assert(served.map(_.toString).sameElements(scratch.map(_.toString)),
+      "post-delete serve must equal the from-scratch probe over survivors")
+  }
 }

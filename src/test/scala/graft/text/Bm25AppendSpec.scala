@@ -69,4 +69,47 @@ class Bm25AppendSpec extends AnyFunSuite {
     assert(sums(st) === sums(refSt), "stats deltas must merge by addition to corpus stats")
     Seq(bt, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("delete tick: DV + negative stats delta, postings never rewritten, survivors-only serve") {
+    import spark.implicits._
+    val (bt, st, dvt) = TextAnalysis.bm25DeleteTables(spark, dir)
+    val docs = graft.Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val victims = docs
+      .filter($"doc_id" % TextAnalysis.Bm25DeleteMod === TextAnalysis.Bm25DeleteRem)
+    val nVictims = victims.count()
+    assert(nVictims > 0, "the fixture must exercise the delete")
+
+    // merge-on-read: the postings table still holds EVERY doc's row
+    // (no rewrite); the DV holds exactly the victim ids
+    assert(spark.table(bt).count() === nDocs)
+    assert(
+      spark.table(dvt).orderBy($"doc_id").collect().map(_.getLong(0)).toSeq ===
+        victims.orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    )
+
+    // the negative delta retracts the victims EXACTLY: summed stats ==
+    // stats recomputed over the live posting rows
+    val n = TextAnalysis.Bm25Query.length
+    val live = spark.table(bt).join(spark.table(dvt), Seq("doc_id"), "left_anti")
+    val liveStats = live
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum($"dl").as("sum_dl") +:
+          (1 to n).map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*
+      )
+      .collect().head.toSeq
+    val summed = spark.table(st)
+      .agg(
+        sum($"n_docs").as("n_docs"),
+        (sum($"sum_dl").as("sum_dl") +: (1 to n).map(i => sum(col(s"df$i")).as(s"df$i"))): _*
+      )
+      .collect().head.toSeq
+    assert(summed === liveStats, "summed deltas must equal fresh stats over survivors")
+
+    // no deleted doc can rank
+    val servedIds = TextAnalysis.bm25Deleted(spark, dir).collect().map(_.getLong(0)).toSet
+    val victimIds = victims.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(servedIds.intersect(victimIds).isEmpty, "a deleted doc must never be served")
+  }
 }
