@@ -126,6 +126,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_index_delete" -> ((s, d) => Dedup.indexDeleted(s, d)),
+    "dedup_incremental_capped" -> ((s, d) => Dedup.incrementalCapped(s, d)),
     "dedup_bloom_admit" -> ((s, d) => Dedup.bloomAdmit(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_containment_capped" -> ((s, d) => Dedup.containment(s, d, Some(Dedup.NgramDfCap))),
@@ -334,6 +335,8 @@ object SparkEntry {
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     // admission replayed with victims absent from both duplicate sources
     "dedup_index_delete" -> PipelineOracles.dedupIndexDelete,
+    // hot index buckets leave before the batch×index candidate join
+    "dedup_incremental_capped" -> PipelineOracles.dedupIncrementalCapped,
     "dedup_bloom_admit" -> PipelineOracles.dedupBloomAdmit,
     "dedup_containment" -> PipelineOracles.dedupContainment,
     "dedup_containment_capped" -> PipelineOracles.dedupContainmentCapped(Dedup.NgramDfCap),

@@ -609,6 +609,32 @@ object Dedup {
     )
   }
 
+  /** Registered query `dedup_incremental_capped` — the 100 TB ingest
+    * admission path: [[incremental]] with hot INDEX band buckets
+    * (population > [[MinhashBucketCap]]) dropped before the batch×index
+    * candidate join. The whole-corpus LSH family already caps its
+    * self-join this way; the ingest tick needs the same knob because
+    * its candidate term is Σ_buckets batch_df×index_df — one
+    * boilerplate bucket at web scale pairs EVERY arriving boilerplate
+    * page against the whole stored cluster, which is exactly the
+    * superlinear term the sf10 probe measured on the uncapped path.
+    * Conservative by construction: capped candidates ⊆ uncapped, exact
+    * byte-dup admission unchanged (spec-pinned), so a capped verdict
+    * can only flip toward ADMIT — the same trade the capped LSH twins
+    * document, governed by the same cap-profile ledger.
+    */
+  def incrementalCapped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupBatchAgainstIndexDf(
+      spark,
+      spark.table(incrementalIndexTable(spark, dir)),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0),
+      materializeCandidates = true,
+      indexBucketCap = Some(MinhashBucketCap)
+    )
+  }
+
   /** The takedown fixture for the signature index: existing-corpus docs
     * with doc_id ≡ [[IndexDeleteRem]] (mod [[IndexDeleteMod]]).
     */
@@ -698,13 +724,19 @@ object Dedup {
   /** [[dedupBatchAgainstIndex]] over an index VIEW — the merge-on-read
     * seam: the delete path passes `stored index ∖ DV` here, so takedown
     * needs no index rewrite and no second admission implementation.
+    * `indexBucketCap`: drop INDEX band buckets holding more than cap
+    * docs BEFORE the batch×index candidate join — the ingest edition of
+    * the [[minhashLsh]] maxBandBucket knob (the exact-hash admission
+    * check is NOT capped: md5 equality is a semi-join of 16-byte keys,
+    * already batch-bounded, and byte-dup admission must stay exact).
     */
   private[graft] def dedupBatchAgainstIndexDf(
       spark: SparkSession,
       index: DataFrame,
       batchDocs: DataFrame,
       corpusDocs: DataFrame,
-      materializeCandidates: Boolean = true
+      materializeCandidates: Boolean = true,
+      indexBucketCap: Option[Int] = None
   ): DataFrame = {
     import spark.implicits._
     val exactDup = batchDocs
@@ -715,10 +747,26 @@ object Dedup {
     val batchSig = batchSh
       .groupBy($"doc_id")
       .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+    val idxBands0 = bandedSignatures(index.filter($"mh".isNotNull).select($"doc_id", $"mh"))
+    val idxBands = indexBucketCap match {
+      case None => idxBands0
+      case Some(cap) =>
+        // bucket population is counted over the INDEX side only (what
+        // the engine stores and can profile offline); a hot bucket —
+        // boilerplate/mirror content at web scale — leaves before any
+        // batch row can pair with it, bounding candidates at
+        // Σ_kept-buckets (batch_df × index_df) ≤ #buckets·cap·batch_df
+        val ok = idxBands0
+          .groupBy($"band", $"bv")
+          .agg(count(lit(1)).as("bc"))
+          .filter($"bc" <= cap)
+          .select($"band", $"bv")
+        idxBands0.join(ok, Seq("band", "bv"), "left_semi")
+    }
     val cand0 = bandedSignatures(batchSig)
       .as("a")
       .join(
-        bandedSignatures(index.filter($"mh".isNotNull).select($"doc_id", $"mh")).as("b"),
+        idxBands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
       )
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -298,11 +298,33 @@ object PipelineOracles {
     s"NOT ($c % ${Dedup.IndexDeleteMod} = ${Dedup.IndexDeleteRem})"
   )
 
-  private def dedupIncrementalReplay(corpusLive: String => String): String =
+  /** Capped-ingest replay: INDEX band buckets with population over
+    * MinhashBucketCap leave before the batch×index candidate join —
+    * the exact-hash arm stays uncapped, mirroring the engine.
+    */
+  val dedupIncrementalCapped: String =
+    dedupIncrementalReplay(_ => "TRUE", bucketCap = Some(Dedup.MinhashBucketCap))
+
+  private def dedupIncrementalReplay(
+      corpusLive: String => String,
+      bucketCap: Option[Int] = None
+  ): String = {
+    val capCte = bucketCap
+      .map(c =>
+        s"""idxbc AS (SELECT band, v1, v2 FROM bands
+           |  WHERE doc_id % ${Dedup.NewBatchMod} <> 0
+           |  GROUP BY 1, 2, 3 HAVING count(*) <= $c),
+           |""".stripMargin
+      )
+      .getOrElse("")
+    val capJoin =
+      if (bucketCap.isDefined)
+        "\n  JOIN idxbc ON idxbc.band = b.band AND idxbc.v1 = b.v1 AND idxbc.v2 = b.v2"
+      else ""
     s"""WITH $minhashBandCtes,
-       |candn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |${capCte}candn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2$capJoin
        |  WHERE a.doc_id % ${Dedup.NewBatchMod} = 0 AND b.doc_id % ${Dedup.NewBatchMod} <> 0
        |    AND ${corpusLive("b.doc_id")}),
        |cint AS (SELECT candn.id_a, candn.id_b, count(*) AS c
@@ -330,6 +352,7 @@ object PipelineOracles {
        |LEFT JOIN near ON near.doc_id = d.doc_id
        |WHERE d.doc_id % ${Dedup.NewBatchMod} = 0
        |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Replays the cap-selection ledger: exact per-shingle df, the 3-cap
     * grid, and the C(df,2)-mass arithmetic in BIGINT (df·(df−1) is even,

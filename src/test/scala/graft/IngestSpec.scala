@@ -110,4 +110,25 @@ class IngestSpec extends AnyFunSuite {
     // the stored index itself is untouched by the takedown
     assert(spark.table(t).count() === 2L, "a takedown must never rewrite index rows")
   }
+
+  test("capped ingest admission is conservative: exact arm unchanged, verdicts only flip toward ADMIT") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3))))
+      .toMap
+    val unc = verdicts(Dedup.incremental(spark, dir))
+    val cap = verdicts(Dedup.incrementalCapped(spark, dir))
+    assert(cap.keySet === unc.keySet, "same batch docs judged")
+    cap.foreach { case (id, (exact, nearOf, keep)) =>
+      val (uExact, uNearOf, uKeep) = unc(id)
+      assert(exact === uExact, s"doc $id: the exact md5 admission arm must not be capped")
+      // capped candidates ⊆ uncapped: a capped near-dup flag implies the
+      // uncapped one (same minimum source when both flag — the min is
+      // over a SUBSET, so it can only be ≥; equality when bucket kept)
+      if (nearOf >= 0L) assert(uNearOf >= 0L, s"doc $id: capped near-dup not found uncapped")
+      assert(keep >= uKeep, s"doc $id: a capped verdict can only flip toward ADMIT")
+    }
+  }
 }
