@@ -165,6 +165,7 @@ object SparkEntry {
     "sim_ann_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "sim_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     "sim_pq_append" -> ((s, d) => graft.similarity.Pq.adcTopKAppended(s, d)),
+    "sim_pq_delete" -> ((s, d) => graft.similarity.Pq.adcTopKDeleted(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -180,6 +181,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_bm25_append" -> ((s, d) => TextAnalysis.bm25Append(s, d)),
     "text_bm25_delete" -> ((s, d) => TextAnalysis.bm25Deleted(s, d)),
+    "stream_bm25_ingest" -> ((s, d) => TextAnalysis.bm25StreamServe(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
     "text_heavy_hitters" -> ((s, d) => TextAnalysis.heavyHitters(s, d)),
@@ -381,6 +383,8 @@ object SparkEntry {
     "sim_mmr_diversify" -> PipelineOracles.simMmrDiversify,
     // maintained code table must equal the from-scratch index
     "sim_pq_append" -> PipelineOracles.simPqAppend,
+    // same replay, tombstoned victims excluded from the scored codes
+    "sim_pq_delete" -> PipelineOracles.simPqDelete,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,
@@ -397,6 +401,8 @@ object SparkEntry {
     "text_bm25_append" -> PipelineOracles.textBm25,
     // post-delete serve == BM25 built fresh on the surviving corpus
     "text_bm25_delete" -> PipelineOracles.textBm25Deleted,
+    // the stream-maintained index answers the identical ranking contract
+    "stream_bm25_ingest" -> PipelineOracles.textBm25,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,
     "text_vocab" -> PipelineOracles.textVocab,
     "text_heavy_hitters" -> PipelineOracles.textHeavyHitters,

@@ -1030,15 +1030,23 @@ object PipelineOracles {
   }
 
   /** Full-corpus ADC scan + refine tail over the stored artifacts
-    * (`codes`, `lut`) of [[pqCodesCtesFor]].
+    * (`codes`, `lut`) of [[pqCodesCtesFor]]. `liveWhere` restricts
+    * which code rows are scored at all (the delete variant's tombstone
+    * predicate — victims leave before the ADC aggregate).
     */
-  private def pqAdcCtesFor(trainWhere: String, stride: Int, offset: Int): String =
+  private def pqAdcCtesFor(
+      trainWhere: String,
+      stride: Int,
+      offset: Int,
+      liveWhere: String = "TRUE"
+  ): String =
     s"""${pqCodesCtesFor(trainWhere, stride, offset)},
        |adc AS (SELECT l.query_id, k.vec_id,
        |${(0 until Pq.PqSubspaces)
         .map(m => s"    sum(CASE WHEN k.m = $m THEN l.v END) AS l$m")
         .mkString(",\n")}
        |  FROM codes k JOIN lut l ON l.m = k.m AND l.code = k.code
+       |  WHERE $liveWhere
        |  GROUP BY 1, 2),
        |pq_ranked AS (SELECT query_id, vec_id, $adcSumSql AS adc_dot,
        |    CAST(row_number() OVER (PARTITION BY query_id
@@ -1080,6 +1088,25 @@ object PipelineOracles {
         s"vec_id % ${Similarity.IvfNewMod} <> 0",
         Pq.PqAppendStride,
         Pq.PqAppendOffset
+      )}
+       |SELECT query_id, vec_id AS neighbor_id, rank,
+       |  ${round6Sql("xdot")} AS dot, ${round6Sql("adc_dot")} AS adc_dot
+       |FROM pq_rerank WHERE rank <= ${Pq.PqTopK} ORDER BY query_id, rank""".stripMargin
+
+  /** The maintained PQ index after the delete commit: the
+    * [[simPqAppend]] replay with the tombstoned victims excluded from
+    * the scored code set (and therefore from the refine tail) — one
+    * predicate of difference, the merge-on-read contract. Victims share
+    * the sim_ivf_delete fixture: one takedown list, every vector index
+    * honors it.
+    */
+  val simPqDelete: String =
+    s"""WITH ${pqAdcCtesFor(
+        s"vec_id % ${Similarity.IvfNewMod} <> 0",
+        Pq.PqAppendStride,
+        Pq.PqAppendOffset,
+        liveWhere = s"NOT (k.vec_id % ${Similarity.IvfDeleteMod} = ${Similarity.IvfDeleteRem}" +
+          s" AND k.vec_id >= ${Similarity.NumQueries})"
       )}
        |SELECT query_id, vec_id AS neighbor_id, rank,
        |  ${round6Sql("xdot")} AS dot, ${round6Sql("adc_dot")} AS adc_dot

@@ -167,7 +167,7 @@ object Layout {
     * streaming build's `_chk` checkpoint would make the retry resume
     * past its already-committed batches and silently drop their rows.
     */
-  private def tmpDirOnce(prefix: String, fp: String)(build: String => Unit): String = {
+  private[graft] def tmpDirOnce(prefix: String, fp: String)(build: String => Unit): String = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val path = s"$tmp/$prefix$fp"
     if (!new java.io.File(path, "_SUCCESS").exists()) tmpBuildLock.synchronized {

@@ -329,6 +329,29 @@ object Pq {
     adcServeFrom(codes, lut, queries, vecs)
   }
 
+  /** Registered query `sim_pq_delete`: the maintained PQ index after
+    * the delete commit — the SAME tombstone table `sim_ivf_delete`
+    * honors ([[Similarity.ivfDvTable]]): a takedown list is a property
+    * of the corpus, not of any one index, so every vector index applies
+    * the one DV. Merge-on-read end to end: the kilobyte DV anti-joins
+    * the code table BEFORE the ADC scan (victims' 6-byte codes are
+    * never scored) and the vector store before the exact-refine tail;
+    * codebooks, stored codes, and stored vectors are untouched. The
+    * oracle is the sim_pq_append replay with victims excluded from the
+    * scored set — one predicate of difference, which is the contract.
+    */
+  def adcTopKDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (codes, lut, queries, vecs) = adcAppendParts(spark, dir)
+    val dv = broadcast(spark.table(Similarity.ivfDvTable(spark, dir)))
+    adcServeFrom(
+      codes.join(dv, Seq("vec_id"), "left_anti"),
+      lut,
+      queries,
+      vecs.join(dv, Seq("vec_id"), "left_anti")
+    )
+  }
+
   /** The maintained index's serve inputs: stored codes ∪ the in-flight
     * batch's encoding (anti-joined on already-ticked ids), the
     * query-side LUT off the stored codebooks, and the maintained

@@ -764,6 +764,85 @@ object TextAnalysis {
     bm25Score(spark.table(bt), bm25CollectStats(spark.table(st)))
   }
 
+  /** Spec ledger: (non-empty micro-batches, stats-delta rows) of the
+    * last streaming lexical-index build in this JVM — the
+    * one-delta-per-tick contract.
+    */
+  private[graft] val lastStreamBm25 =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** The STREAM-maintained lexical index: a Structured Streaming file
+    * source drains the document corpus in micro-batches and
+    * `foreachBatch` IS the index tick — each batch runs
+    * [[bm25AppendTick]] verbatim (narrow postings + ONE additive
+    * stats-delta row), so the continuous admission path writes through
+    * exactly the API any batch ingest uses, and the accumulated tables
+    * ARE the durable index. This is the search tier's production write
+    * path at 100 TB: documents land, get term-stat'd once, and the
+    * serving tables advance by additive deltas — no rebuild, no corpus
+    * rescan, ever.
+    */
+  private[graft] def bm25StreamTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val bt = s"graft_bm25s_post_$fp"
+    val st = s"graft_bm25s_stats_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_bm25s_post_", "graft_bm25s_stats_"),
+      Seq(bt, st)
+    ) {
+      val frag = graft.queries.Layout.tmpDirOnce("graft_bm25src_", fp) { path =>
+        Tables.documents(spark, dir).repartition(6).write.mode("overwrite").parquet(path)
+      }
+      // the tables live in the per-JVM warehouse while /tmp survives
+      // JVMs, so the checkpoint must be per-BUILD, never
+      // fingerprint-cached: a resumed checkpoint from an earlier JVM
+      // would drain zero batches into this JVM's empty tables. Same
+      // reasoning for partial state within a JVM: a crashed build left
+      // tables the catalog still lists — drop them so the restarted
+      // stream indexes from batch 0.
+      Seq(bt, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val chk = java.nio.file.Files.createTempDirectory("graft_bm25chk_").toString
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
+          if (!df.isEmpty) {
+            bm25AppendTick(spark, bt, st, df)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$chk/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
+      lastStreamBm25.set((batches.get, spark.table(st).count()))
+      ()
+    }
+    (bt, st)
+  }
+
+  /** Registered query `stream_bm25_ingest`: BM25 served from the
+    * STREAM-maintained lexical index — identical ranking (and oracle)
+    * to text_bm25, proving the continuous write path indexed exactly
+    * the corpus it drained, one additive stats delta per micro-batch
+    * (ledger spec-pinned). The serve is the same catalog-only narrow
+    * scan as text_bm25_append.
+    */
+  def bm25StreamServe(spark: SparkSession, dir: String): DataFrame = {
+    val (bt, st) = bm25StreamTables(spark, dir)
+    bm25Score(spark.table(bt), bm25CollectStats(spark.table(st)))
+  }
+
   /** The deleted slice of the index-delete fixture: doc_id ≡
     * [[Bm25DeleteRem]] (mod [[Bm25DeleteMod]]) — a takedown/opt-out
     * batch, the production reason a serving index must un-index

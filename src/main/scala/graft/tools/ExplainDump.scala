@@ -45,6 +45,8 @@ object ExplainDump {
     "sim_ivf_delete" -> "vector-store takedown: the kilobyte DV anti-joins the probed posting lists (broadcast LeftAnti), centroids and stored postings untouched — the serve differs from sim_ivf_append by exactly one predicate, no retrain, no rewrite",
     "dedup_index_delete" -> "right-to-be-forgotten on the signature index: stored index ∖ DV feeds the UNCHANGED admission pipeline — victims stop sourcing exact-hash hits AND banded candidates, so a forgotten doc's content re-admits; index rows never rewritten",
     "dedup_incremental_capped" -> "ingest admission with hot index buckets dropped BEFORE the batch×index band join (population counted index-side, profile-able offline); exact md5 admission stays uncapped; candidate volume bounded at #buckets·cap·batch_df",
+    "sim_pq_delete" -> "the ONE corpus takedown list (shared with sim_ivf_delete) anti-joins the 6-byte code table before the ADC aggregate and the vector store before the refine; codebooks/codes/vectors untouched",
+    "stream_bm25_ingest" -> "foreachBatch IS the index tick: each micro-batch runs bm25AppendTick verbatim (narrow postings + ONE additive stats delta); the serve is the same catalog-only narrow scan as text_bm25_append",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",
     "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame",

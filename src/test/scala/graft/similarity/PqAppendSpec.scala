@@ -104,4 +104,30 @@ class PqAppendSpec extends AnyFunSuite {
     val again = Pq.adcTopKAppended(spark, dir).collect()
     assert(again.map(_.toString).sameElements(served.collect().map(_.toString)))
   }
+
+  test("delete: the shared tombstone list excludes victims from ADC and refine; tables untouched") {
+    import spark.implicits._
+    val dir = writeCorpus(60)
+    val victims = (0L until 60L)
+      .filter(i => i % Similarity.IvfDeleteMod == Similarity.IvfDeleteRem && i >= Similarity.NumQueries)
+      .toSet
+    assert(victims.nonEmpty)
+    val (ct, kt, vt) = Pq.pqAppendTables(spark, dir)
+    val (codes0, vecs0) = (spark.table(kt).count(), spark.table(vt).count())
+    val cents0 = spark.table(ct).collect().map(_.toString).sorted
+
+    val served = Pq.adcTopKDeleted(spark, dir).collect()
+    // no victim can be served; merge-on-read leaves every table intact
+    assert(served.nonEmpty && served.forall(r => !victims.contains(r.getLong(1))))
+    assert(spark.table(kt).count() === codes0, "codes never rewritten by a delete")
+    assert(spark.table(vt).count() === vecs0, "vector store never rewritten by a delete")
+    assert(spark.table(ct).collect().map(_.toString).sorted.sameElements(cents0),
+      "codebooks never retrained by a delete")
+
+    // the DV is the SAME table sim_ivf_delete honors — one takedown
+    // list for every vector index over this corpus
+    assert(
+      spark.table(Similarity.ivfDvTable(spark, dir)).collect().map(_.getLong(0)).toSet === victims
+    )
+  }
 }

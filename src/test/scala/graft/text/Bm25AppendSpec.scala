@@ -70,6 +70,21 @@ class Bm25AppendSpec extends AnyFunSuite {
     Seq(bt, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("stream ingest: foreachBatch ticks the index; one additive delta per batch; serve == from-scratch") {
+    val want = TextAnalysis.bm25(spark, dir).collect().map(_.toSeq).toSeq
+    assert(TextAnalysis.bm25StreamServe(spark, dir).collect().map(_.toSeq).toSeq === want,
+      "the stream-maintained index must answer the identical ranking contract")
+    val (batches, statsRows) = TextAnalysis.lastStreamBm25.get()
+    assert(batches >= 2, s"the 6-file / 2-per-trigger source must drain in ≥2 micro-batches ($batches)")
+    assert(statsRows === batches.toLong, "exactly ONE additive stats delta per non-empty batch")
+    val (bt, _) = TextAnalysis.bm25StreamTables(spark, dir)
+    assert(spark.table(bt).count() === graft.Tables.documents(spark, dir).count(),
+      "the stream must index exactly the corpus it drained")
+    // a repeat serve is catalog-only: no re-ingest, ledger unchanged
+    TextAnalysis.bm25StreamServe(spark, dir).collect()
+    assert(TextAnalysis.lastStreamBm25.get() === ((batches, statsRows)))
+  }
+
   test("delete tick: DV + negative stats delta, postings never rewritten, survivors-only serve") {
     import spark.implicits._
     val (bt, st, dvt) = TextAnalysis.bm25DeleteTables(spark, dir)
