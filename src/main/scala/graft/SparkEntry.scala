@@ -90,6 +90,8 @@ object SparkEntry {
     "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
     "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
     "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
+    "sim_ivf_compact" -> ((s, d) => graft.similarity.Similarity.annIvfCompacted(s, d)),
+    "stream_ivf_ingest" -> ((s, d) => graft.similarity.Similarity.ivfStreamServe(s, d)),
     "mv_from_changes" -> ((s, d) => graft.queries.Layout.mvFromChangesServe(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
@@ -127,6 +129,8 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_index_delete" -> ((s, d) => Dedup.indexDeleted(s, d)),
     "dedup_incremental_capped" -> ((s, d) => Dedup.incrementalCapped(s, d)),
+    "dedup_batch_admit" -> ((s, d) => Dedup.batchAdmit(s, d)),
+    "dedup_index_compact" -> ((s, d) => Dedup.indexCompacted(s, d)),
     "dedup_bloom_admit" -> ((s, d) => Dedup.bloomAdmit(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_containment_capped" -> ((s, d) => Dedup.containment(s, d, Some(Dedup.NgramDfCap))),
@@ -181,6 +185,7 @@ object SparkEntry {
     "text_bm25" -> ((s, d) => TextAnalysis.bm25(s, d)),
     "text_bm25_append" -> ((s, d) => TextAnalysis.bm25Append(s, d)),
     "text_bm25_delete" -> ((s, d) => TextAnalysis.bm25Deleted(s, d)),
+    "text_bm25_compact" -> ((s, d) => TextAnalysis.bm25Compacted(s, d)),
     "stream_bm25_ingest" -> ((s, d) => TextAnalysis.bm25StreamServe(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
@@ -337,8 +342,13 @@ object SparkEntry {
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     // admission replayed with victims absent from both duplicate sources
     "dedup_index_delete" -> PipelineOracles.dedupIndexDelete,
+    // compaction materializes index ∖ DV: identical verdicts, identical oracle
+    "dedup_index_compact" -> PipelineOracles.dedupIndexDelete,
     // hot index buckets leave before the batch×index candidate join
     "dedup_incremental_capped" -> PipelineOracles.dedupIncrementalCapped,
+    // intra-batch exact + verified-near arms replayed over the same
+    // planted arrivals, then the capped index checks
+    "dedup_batch_admit" -> PipelineOracles.dedupBatchAdmit,
     "dedup_bloom_admit" -> PipelineOracles.dedupBloomAdmit,
     "dedup_containment" -> PipelineOracles.dedupContainment,
     "dedup_containment_capped" -> PipelineOracles.dedupContainmentCapped(Dedup.NgramDfCap),
@@ -370,6 +380,11 @@ object SparkEntry {
     // post-delete serve: same index replay, victims excluded from the
     // candidate set only
     "sim_ivf_delete" -> PipelineOracles.simIvfDelete,
+    // the compacted table IS the MoR serve's live set materialized:
+    // identical answer, identical oracle
+    "sim_ivf_compact" -> PipelineOracles.simIvfDelete,
+    // the stream-maintained index answers the identical top-k contract
+    "stream_ivf_ingest" -> PipelineOracles.simIvfAppend,
     "sim_knn_graph" -> PipelineOracles.simKnnGraph,
     "sim_prototypes" -> PipelineOracles.simPrototypes,
     "sim_quantized" -> PipelineOracles.simQuantized,
@@ -401,6 +416,9 @@ object SparkEntry {
     "text_bm25_append" -> PipelineOracles.textBm25,
     // post-delete serve == BM25 built fresh on the surviving corpus
     "text_bm25_delete" -> PipelineOracles.textBm25Deleted,
+    // compaction materializes postings ∖ DV + the summed stats row:
+    // identical answer to the MoR serve, identical oracle
+    "text_bm25_compact" -> PipelineOracles.textBm25Deleted,
     // the stream-maintained index answers the identical ranking contract
     "stream_bm25_ingest" -> PipelineOracles.textBm25,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,

@@ -635,6 +635,135 @@ object Dedup {
     )
   }
 
+  /** The intra-batch duplicate fixture. The synthetic corpus plants no
+    * duplicates WITHIN the arriving batch (verified offline at sf0.001
+    * and sf0.01), which would leave the intra-batch admission arm dead
+    * on the oracled path — so, exactly like the planted-PII fixture,
+    * BOTH engines derive the same deterministic arrivals: every batch
+    * doc with doc_id ≡ 0 (mod [[BatchTwinMod]]) arrives TWICE (the
+    * second copy at doc_id + [[BatchTwinBase]]), and every batch doc
+    * ≡ [[BatchNearTwinRem]] arrives again with one appended token — a
+    * near-duplicate by construction (appending one token to an n-token
+    * doc adds two 3-shingles: jaccard = n/(n+2) ≥ ½ for n ≥ 2). The
+    * planted text is a fixture; the admission logic is input-agnostic.
+    */
+  val BatchTwinBase = 1000000000L // ≡ 0 (mod NewBatchMod): twins are batch members
+  val BatchTwinMod = 25
+  val BatchNearTwinRem = 10
+  val BatchNearSuffix = " zzplantednearcopy"
+
+  private[graft] def admitArrivals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = Tables
+      .documentsFanned(spark, dir)
+      .filter($"doc_id" % NewBatchMod === 0)
+      .select($"doc_id", $"text")
+    val exactTwins = b
+      .filter($"doc_id" % BatchTwinMod === 0)
+      .select(($"doc_id" + BatchTwinBase).as("doc_id"), $"text")
+    val nearTwins = b
+      .filter($"doc_id" % BatchTwinMod === BatchNearTwinRem)
+      .select(($"doc_id" + BatchTwinBase).as("doc_id"), concat($"text", lit(BatchNearSuffix)).as("text"))
+    b.unionByName(exactTwins).unionByName(nearTwins)
+  }
+
+  /** Registered query `dedup_batch_admit`: the admission gap
+    * [[dedupBatchAgainstIndex]] alone leaves open — a batch must also
+    * be deduped AGAINST ITSELF, or two copies of the same new page
+    * arriving in one tick both pass (neither is in the index yet) and
+    * the index is polluted forever. Policy: every intra-batch duplicate
+    * group — exact (md5) or verified-near (banded candidates among
+    * batch docs, Jaccard ≥ threshold) — collapses to its MIN-id
+    * representative (`batch_dup_of` points at it; non-representatives
+    * drop unconditionally), and only then do representatives face the
+    * index checks. Deterministic, order-free, and replayed column for
+    * column by the oracle over the same planted arrivals. Scale shape:
+    * this is the FULL 100 TB admission composition — the index arm is
+    * [[incrementalCapped]]'s (hot index buckets leave before the
+    * batch×index join), and the intra-batch arm is batch×batch through
+    * the same banded candidate machinery with hot buckets capped (see
+    * the inline numbers below — uncapped either arm inherits a Σ df²
+    * term: the uncapped composition measured 235–307 s at sf10).
+    */
+  def batchAdmit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batch = admitArrivals(spark, dir)
+    val corpus = Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+    val idx = dedupBatchAgainstIndexDf(
+      spark,
+      spark.table(incrementalIndexTable(spark, dir)),
+      batch,
+      corpus,
+      indexBucketCap = Some(MinhashBucketCap)
+    )
+    // intra-batch exact: smallest batch doc with the same md5
+    val hashes = batch.select($"doc_id", md5($"text").as("h"))
+    val bex = hashes
+      .as("n")
+      .join(hashes.as("o"), col("n.h") === col("o.h") && col("o.doc_id") < col("n.doc_id"))
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(min(col("o.doc_id")).as("bx"))
+    // intra-batch near: banded candidates among batch docs, verified.
+    // The self-join is bucket-capped like every registered candidate
+    // join (population counted over the batch's own bands): an
+    // UNCAPPED batch×batch band join pays Σ df² on hot buckets —
+    // measured 9.1/21.9 s at sf1/sf3 and >600 s at sf10 before the
+    // cap, 100× under it. The md5 arm below stays uncapped, so exact
+    // copies inside a hot boilerplate bucket are still collapsed.
+    // The batch shingles feed FOUR consumers (signatures, sizes, both
+    // sides of the verify join); one eager batch-bounded checkpoint
+    // replaces four re-evaluations of the scan + twin-union + explode.
+    val sh = shinglesOf(batch).localCheckpoint()
+    val sig = sh
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val bands0 = bandedSignatures(sig)
+    val okBuckets = bands0
+      .groupBy($"band", $"bv")
+      .agg(count(lit(1)).as("bc"))
+      .filter($"bc" <= MinhashBucketCap)
+      .select($"band", $"bv")
+    val bands = bands0.join(okBuckets, Seq("band", "bv"), "left_semi")
+    val cand = bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("b.doc_id") < col("a.doc_id")
+      )
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .localCheckpoint()
+    val inter = cand
+      .join(sh.select($"doc_id".as("id_a"), $"sh"), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"sh"), Seq("id_b", "sh"))
+      .groupBy($"id_a", $"id_b")
+      .agg(count(lit(1)).as("inter"))
+    val bnear = inter
+      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+      .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+      .filter($"jaccard" >= JaccardThreshold)
+      .groupBy($"id_a")
+      .agg(min($"id_b").as("bn"))
+      .select($"id_a".as("doc_id"), $"bn")
+    idx
+      .join(bex, Seq("doc_id"), "left")
+      .join(bnear, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        least(coalesce($"bx", $"bn"), coalesce($"bn", $"bx")).as("batch_dup_of"),
+        $"is_exact_dup",
+        $"near_dup_of",
+        when(
+          $"bx".isNull && $"bn".isNull && $"is_exact_dup" === 0L && $"near_dup_of".isNull,
+          1L
+        ).otherwise(0L).as("keep")
+      )
+      .orderBy($"doc_id")
+  }
+
   /** The takedown fixture for the signature index: existing-corpus docs
     * with doc_id ≡ [[IndexDeleteRem]] (mod [[IndexDeleteMod]]).
     */
@@ -684,6 +813,50 @@ object Dedup {
     dedupBatchAgainstIndexDf(
       spark,
       live,
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+    )
+  }
+
+  /** COMPACTION — the fourth lifecycle verb, signature-index edition.
+    * MoR takedown keeps the delete kilobyte-cheap but charges EVERY
+    * ingest tick the DV anti-join before admission; compaction rewrites
+    * the surviving index rows ONCE — a single narrow pass over
+    * (md5, signatures, shingle-count) rows: no re-shingling, no
+    * re-hashing, survivors ride through bit-identical (spec-pinned) —
+    * and every tick after it runs against a DV-free index with the
+    * fresh-build admission plan. Same buildOnce discipline as every
+    * warehouse artifact.
+    */
+  private[graft] def compactedIndexTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val t = s"graft_dedup_cidx_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_dedup_cidx_"), Seq(t)) {
+      spark
+        .table(incrementalIndexTable(spark, dir))
+        .join(broadcast(spark.table(indexDvTable(spark, dir))), Seq("doc_id"), "left_anti")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Registered query `dedup_index_compact`: ingest admission against
+    * the COMPACTED signature index — identical verdicts (and oracle) to
+    * [[indexDeleted]], because stored ∖ DV is exactly the live view the
+    * MoR serve derives per tick; compaction just materializes it, so
+    * the admission plan loses the broadcast anti-join and the
+    * right-to-be-forgotten flips survive verbatim. IngestSpec pins
+    * row-level preservation and the DV-free plan.
+    */
+  def indexCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dedupBatchAgainstIndexDf(
+      spark,
+      spark.table(compactedIndexTable(spark, dir)),
       Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
       Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
     )

@@ -26,8 +26,8 @@ object PipelineOracles {
 
   private val toks = """regexp_split_to_array(lower(text), '[ \t]')"""
 
-  private val shingleSets =
-    s"""toks AS (SELECT doc_id, $toks AS w FROM documents),
+  private def shingleSetsOver(rel: String) =
+    s"""toks AS (SELECT doc_id, $toks AS w FROM $rel),
        |sets AS (SELECT doc_id,
        |  CASE WHEN len(w) >= 3
        |    THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
@@ -37,6 +37,8 @@ object PipelineOracles {
        |sizes AS (SELECT doc_id, len(shs) AS n FROM sets),
        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
        |  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val shingleSets = shingleSetsOver("documents")
 
   /** Replays the pooled reference-LM bigram score: distinct bigrams per
     * doc, bigram/unigram document frequencies over the en reference
@@ -249,8 +251,8 @@ object PipelineOracles {
     */
   // CTE chain through the banded signatures, shared by the self-dedup
   // (dedupMinhash/dedupClusters) and incremental-ingest replays
-  private val minhashBandCtes: String =
-    s"""$shingleSets,
+  private def minhashBandCtesOver(rel: String): String =
+    s"""${shingleSetsOver(rel)},
        |mh AS (
        |  SELECT doc_id, ss.s * 4 + cc.c AS i,
        |    min(CAST('0x' || substr(md5(sh || '#' || CAST(ss.s AS VARCHAR)), 1 + 8 * cc.c, 8) AS BIGINT)) AS v
@@ -260,6 +262,8 @@ object PipelineOracles {
        |bands AS (SELECT e.doc_id, e.i // 2 AS band, e.v AS v1, o.v AS v2
        |  FROM mh e JOIN mh o ON o.doc_id = e.doc_id AND o.i = e.i + 1
        |  WHERE e.i % 2 = 0)""".stripMargin
+
+  private val minhashBandCtes: String = minhashBandCtesOver("documents")
 
   private val minhashCtes: String =
     s"""$minhashBandCtes,
@@ -304,6 +308,86 @@ object PipelineOracles {
     */
   val dedupIncrementalCapped: String =
     dedupIncrementalReplay(_ => "TRUE", bucketCap = Some(Dedup.MinhashBucketCap))
+
+  /** Replays the FULL admission tick over the same planted arrivals
+    * the engine derives (exact twins and one-token near-twins of
+    * selected batch docs): intra-batch exact (md5, min smaller id),
+    * intra-batch verified-near (banded candidates among batch docs,
+    * same Jaccard arithmetic), then the CAPPED index-side checks (the
+    * dedup_incremental_capped arm: hot index buckets leave before the
+    * candidate join) — keep requires surviving ALL FOUR arms.
+    */
+  val dedupBatchAdmit: String = {
+    val m = Dedup.NewBatchMod
+    val thr = Dedup.JaccardThreshold
+    s"""WITH alldocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + ${Dedup.BatchTwinBase} AS doc_id, text FROM documents
+       |    WHERE doc_id % $m = 0 AND doc_id % ${Dedup.BatchTwinMod} = 0
+       |  UNION ALL SELECT doc_id + ${Dedup.BatchTwinBase} AS doc_id,
+       |      text || '${Dedup.BatchNearSuffix}' AS text FROM documents
+       |    WHERE doc_id % $m = 0 AND doc_id % ${Dedup.BatchTwinMod} = ${Dedup.BatchNearTwinRem}),
+       |${minhashBandCtesOver("alldocs")},
+       |bex AS (SELECT n.doc_id, min(o.doc_id) AS bx
+       |  FROM alldocs n JOIN alldocs o
+       |    ON md5(n.text) = md5(o.text) AND o.doc_id < n.doc_id AND o.doc_id % $m = 0
+       |  WHERE n.doc_id % $m = 0 GROUP BY 1),
+       |bbc AS (SELECT band, v1, v2 FROM bands WHERE doc_id % $m = 0
+       |  GROUP BY 1, 2, 3 HAVING count(*) <= ${Dedup.MinhashBucketCap}),
+       |bcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND b.doc_id < a.doc_id
+       |  JOIN bbc ON bbc.band = a.band AND bbc.v1 = a.v1 AND bbc.v2 = a.v2
+       |  WHERE a.doc_id % $m = 0 AND b.doc_id % $m = 0),
+       |bint AS (SELECT bcand.id_a, bcand.id_b, count(*) AS c
+       |  FROM bcand
+       |  JOIN shx sa ON sa.doc_id = bcand.id_a
+       |  JOIN shx sb ON sb.doc_id = bcand.id_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |bnear AS (SELECT bint.id_a AS doc_id, min(bint.id_b) AS bn
+       |  FROM bint
+       |  JOIN sizes za ON za.doc_id = bint.id_a
+       |  JOIN sizes zb ON zb.doc_id = bint.id_b
+       |  WHERE round(c / (za.n + zb.n - c), 6) >= $thr
+       |  GROUP BY 1),
+       |idxbc AS (SELECT band, v1, v2 FROM bands WHERE doc_id % $m <> 0
+       |  GROUP BY 1, 2, 3 HAVING count(*) <= ${Dedup.MinhashBucketCap}),
+       |candn AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+       |  JOIN idxbc ON idxbc.band = b.band AND idxbc.v1 = b.v1 AND idxbc.v2 = b.v2
+       |  WHERE a.doc_id % $m = 0 AND b.doc_id % $m <> 0),
+       |cint AS (SELECT candn.id_a, candn.id_b, count(*) AS c
+       |  FROM candn
+       |  JOIN shx sa ON sa.doc_id = candn.id_a
+       |  JOIN shx sb ON sb.doc_id = candn.id_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2),
+       |near AS (SELECT cint.id_a AS doc_id, min(cint.id_b) AS near_dup_of
+       |  FROM cint
+       |  JOIN sizes za ON za.doc_id = cint.id_a
+       |  JOIN sizes zb ON zb.doc_id = cint.id_b
+       |  WHERE round(c / (za.n + zb.n - c), 6) >= $thr
+       |  GROUP BY 1),
+       |ex AS (SELECT DISTINCT n.doc_id
+       |  FROM alldocs n JOIN alldocs o
+       |    ON md5(n.text) = md5(o.text) AND o.doc_id % $m <> 0
+       |  WHERE n.doc_id % $m = 0)
+       |SELECT d.doc_id,
+       |  CASE WHEN bex.bx IS NOT NULL OR bnear.bn IS NOT NULL
+       |    THEN least(COALESCE(bex.bx, bnear.bn), COALESCE(bnear.bn, bex.bx)) END AS batch_dup_of,
+       |  CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_exact_dup,
+       |  near.near_dup_of,
+       |  CAST(CASE WHEN bex.bx IS NULL AND bnear.bn IS NULL
+       |      AND ex.doc_id IS NULL AND near.near_dup_of IS NULL
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM alldocs d
+       |LEFT JOIN bex ON bex.doc_id = d.doc_id
+       |LEFT JOIN bnear ON bnear.doc_id = d.doc_id
+       |LEFT JOIN ex ON ex.doc_id = d.doc_id
+       |LEFT JOIN near ON near.doc_id = d.doc_id
+       |WHERE d.doc_id % $m = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   private def dedupIncrementalReplay(
       corpusLive: String => String,

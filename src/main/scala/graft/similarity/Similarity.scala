@@ -490,6 +490,138 @@ object Similarity {
     ivfServeFromPostings(emb, cents, live, IvfProbes)
   }
 
+  /** Spec ledger: (non-empty micro-batches, posting rows) of the last
+    * streaming vector-index build in this JVM.
+    */
+  private[graft] val lastStreamIvf =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** The STREAM-maintained vector index — the continuous write path of
+    * the embedding store, completing the streaming column of the
+    * maintenance matrix (BM25, layout, MV and the dedup admission gate
+    * already have theirs). The division of labor is the production one:
+    * the quantizer is trained OFFLINE (it is literally the append
+    * family's stored centroid table, copied narrow — streaming never
+    * runs a Lloyd job), and a Structured Streaming file source drains
+    * the corpus in micro-batches where `foreachBatch` IS the index
+    * tick — each batch runs [[ivfAppendTick]] verbatim: assign against
+    * the stored centroids, append postings that carry their vectors.
+    * At 100 TB this is how embeddings actually land: a model server
+    * emits vectors continuously, each micro-batch pays one broadcast
+    * assignment map pass, and the accumulated posting table IS the
+    * serving index — no rebuild, no retrain, ever. Checkpoint is
+    * per-BUILD (the bm25 stream's lesson): a resumed checkpoint from an
+    * earlier JVM would drain zero batches into this JVM's empty tables.
+    */
+  private[graft] def ivfStreamTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val ct = s"graft_ivfs_cents_$fp"
+    val at = s"graft_ivfs_asg_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_ivfs_cents_", "graft_ivfs_asg_"),
+      Seq(ct, at)
+    ) {
+      val (act, _) = ivfAppendTables(spark, dir)
+      val frag = graft.queries.Layout.tmpDirOnce("graft_ivfsrc_", fp) { path =>
+        corpusWithNorm(spark, dir).repartition(6).write.mode("overwrite").parquet(path)
+      }
+      Seq(ct, at).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.table(act).write.mode("overwrite").format("parquet").saveAsTable(ct)
+      val chk = java.nio.file.Files.createTempDirectory("graft_ivfchk_").toString
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
+          if (!df.isEmpty) {
+            ivfAppendTick(spark, ct, at, df)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$chk/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
+      lastStreamIvf.set((batches.get, spark.table(at).count()))
+      ()
+    }
+    (ct, at)
+  }
+
+  /** Registered query `stream_ivf_ingest`: the IVF serve from the
+    * STREAM-maintained index — identical ranking (and oracle) to
+    * sim_ivf_append, proving the continuous write path assigned exactly
+    * the corpus it drained against exactly the offline-trained
+    * quantizer. The serve is the same catalog-only posting scan as the
+    * batch-maintained family's.
+    */
+  def ivfStreamServe(spark: SparkSession, dir: String): DataFrame = {
+    val (ct, at) = ivfStreamTables(spark, dir)
+    ivfServeFromPostings(corpusWithNorm(spark, dir), spark.table(ct), spark.table(at), IvfProbes)
+  }
+
+  /** COMPACTION — the fourth lifecycle verb (build / append-tick /
+    * delete / compact), vector-index edition. The MoR serve pays two
+    * recurring costs per query: the DV anti-join over the probed
+    * posting lists and the re-derivation of the in-flight pending tick
+    * (ids not yet persisted get re-assigned on every serve). Compaction
+    * retires both at once: (stored ∪ pending-tick) ∖ DV is written ONCE
+    * as the new posting table — a single narrow pass over posting rows
+    * (the vectors ride along; no distance math, no Lloyd jobs, the only
+    * assignment work is the pending slice, never the stored rows) — and
+    * the compacted family needs no DV and no tick derivation at serve
+    * time. The quantizer is SHARED with the append family and untouched
+    * (spec-pinned): compaction consolidates the log into the base, it
+    * never retrains — exactly FAISS's `remove_ids` + rebuild-free
+    * consolidation, and why a 100 TB vector store alternates kilobyte
+    * MoR commits with periodic compaction.
+    */
+  private[graft] def ivfCompactTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val t = s"graft_ivfcmp_asg_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_ivfcmp_asg_"), Seq(t)) {
+      val (_, _, postings) = ivfAppendServeParts(spark, dir)
+      postings
+        .join(broadcast(spark.table(ivfDvTable(spark, dir))), Seq("vec_id"), "left_anti")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Registered query `sim_ivf_compact`: the IVF serve from the
+    * COMPACTED posting table — identical output (and oracle) to
+    * [[annIvfDeleted]], because stored ∪ tick ∖ DV is exactly the live
+    * candidate set the MoR serve derives per query; compaction just
+    * materializes it. The serve plan reads ONE posting table and the
+    * shared centroids: no anti-join, no pending-tick assignment, no
+    * corpus file in the candidate path. IvfCompactSpec pins row-level
+    * preservation (compacted rows ⊆ live rows exactly — compaction
+    * drops victims, it never re-assigns survivors), centroid-table
+    * identity with the append family, and serve equality.
+    */
+  def annIvfCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val (ct, _) = ivfAppendTables(spark, dir)
+    ivfServeFromPostings(
+      corpusWithNorm(spark, dir),
+      spark.table(ct),
+      spark.table(ivfCompactTable(spark, dir)),
+      IvfProbes
+    )
+  }
+
   /** IVF probe-path serving where the posting rows carry their vectors:
     * query probes scored fresh against `cents` (broadcast), candidates
     * = probed posting rows, exact cosine re-rank directly on the stored

@@ -935,6 +935,67 @@ object TextAnalysis {
     bm25Score(live, bm25CollectStats(spark.table(st)))
   }
 
+  /** COMPACTION — the fourth lifecycle verb (build / append-tick /
+    * delete / compact), lexical-index edition. Merge-on-read keeps
+    * writes kilobyte-cheap but charges every serve the DV anti-join and
+    * a stats fold over the accumulated delta rows; compaction pays that
+    * debt ONCE: the surviving postings are rewritten in a single narrow
+    * pass (stored postings ∖ DV — a handful of longs per doc, no text
+    * bytes, no tokenization, no term-stats recompute), and the whole
+    * delta history folds to ONE summed stats row (exact, because every
+    * delta — positive tick or negative takedown — is a pure sum). The
+    * compacted family has no DV at all: the serve is back to the
+    * scan-only shape of a fresh build, which is exactly what lakehouse
+    * engines mean by "rewrite data files to apply deletes" and why a
+    * 100 TB search tier alternates cheap MoR ticks with periodic
+    * compaction instead of paying either cost always.
+    */
+  private[graft] def bm25CompactTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val bt = s"graft_bm25c_post_$fp"
+    val st = s"graft_bm25c_stats_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_bm25c_post_", "graft_bm25c_stats_"),
+      Seq(bt, st)
+    ) {
+      val n = Bm25Query.length
+      val (dbt, dst, dvt) = bm25DeleteTables(spark, dir)
+      spark
+        .table(dbt)
+        .join(broadcast(spark.table(dvt)), Seq("doc_id"), "left_anti")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(bt)
+      spark
+        .table(dst)
+        .agg(
+          sum($"n_docs").as("n_docs"),
+          (sum($"sum_dl").as("sum_dl") +: (1 to n).map(i => sum(col(s"df$i")).as(s"df$i"))): _*
+        )
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(st)
+    }
+    (bt, st)
+  }
+
+  /** Registered query `text_bm25_compact`: BM25 served from the
+    * COMPACTED lexical index — identical ranking (and oracle) to
+    * [[bm25Deleted]], because postings ∖ DV and the summed deltas are
+    * exactly what the MoR serve computes per query; compaction just
+    * materializes them. Bm25CompactSpec pins the contract: one stats
+    * row, live-only postings, no DV probe in the serve, and build-once
+    * reuse.
+    */
+  def bm25Compacted(spark: SparkSession, dir: String): DataFrame = {
+    val (bt, st) = bm25CompactTables(spark, dir)
+    bm25Score(spark.table(bt), bm25CollectStats(spark.table(st)))
+  }
+
   /** Rolling-hash document fingerprint: left fold of
     * h ← (h·31 + codepoint) mod 1e9+7 over the text's characters, seeded
     * with 7 — a distributed-friendly content id that (unlike md5) can be

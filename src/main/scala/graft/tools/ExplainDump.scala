@@ -47,6 +47,11 @@ object ExplainDump {
     "dedup_incremental_capped" -> "ingest admission with hot index buckets dropped BEFORE the batch×index band join (population counted index-side, profile-able offline); exact md5 admission stays uncapped; candidate volume bounded at #buckets·cap·batch_df",
     "sim_pq_delete" -> "the ONE corpus takedown list (shared with sim_ivf_delete) anti-joins the 6-byte code table before the ADC aggregate and the vector store before the refine; codebooks/codes/vectors untouched",
     "stream_bm25_ingest" -> "foreachBatch IS the index tick: each micro-batch runs bm25AppendTick verbatim (narrow postings + ONE additive stats delta); the serve is the same catalog-only narrow scan as text_bm25_append",
+    "dedup_batch_admit" -> "the batch dedups against ITSELF before the index (two copies arriving together must not both pass): intra-batch md5 groups + banded self-candidates collapse to min-id representatives — batch-bounded, the smallest join in the pipeline — then the CAPPED index checks (the dedup_incremental_capped arm), the full 100 TB admission composition",
+    "dedup_index_compact" -> "the signature index's compaction: stored ∖ DV rewritten once in a narrow pass (no re-shingling, survivors bit-identical); every ingest tick after it runs the fresh-build admission plan with no DV probe",
+    "text_bm25_compact" -> "compaction pays the MoR debt once: postings ∖ DV rewritten in one narrow pass (no text rescan), the delta history folded to ONE summed stats row; the serve is back to the scan-only shape — no DV probe, no stats fold",
+    "sim_ivf_compact" -> "(stored ∪ pending tick) ∖ DV materialized once as the new posting table — survivors ride through bit-identical, no re-assignment, quantizer shared with the append family untouched; the serve reads ONE table with no anti-join",
+    "stream_ivf_ingest" -> "the continuous write path of the embedding store: quantizer trained OFFLINE (the append family's stored centroids, copied narrow), foreachBatch IS the tick — each micro-batch runs ivfAppendTick verbatim; the serve is the same catalog-only posting scan",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",
     "events_anomaly" -> "one user-partitioned bounded-frame Window computes all three integer sums; no global window, no unbounded frame",

@@ -111,6 +111,76 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 2L, "a takedown must never rewrite index rows")
   }
 
+  test("index compaction: survivors ride through verbatim; admission == the MoR delete serve, DV-free plan") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val want = Dedup.indexDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    val served = Dedup.indexCompacted(spark, dir)
+    assert(served.collect().map(_.toSeq).toSeq === want,
+      "compaction must not change admission verdicts — it materializes the MoR live view")
+
+    val ct = Dedup.compactedIndexTable(spark, dir)
+    val idx = spark.table(Dedup.incrementalIndexTable(spark, dir))
+    val dv = spark.table(Dedup.indexDvTable(spark, dir))
+    val victimIds = dv.collect().map(_.getLong(0)).toSet
+    assert(victimIds.nonEmpty, "the fixture must exercise the takedown")
+    assert(spark.table(ct).filter($"doc_id".isin(victimIds.toSeq: _*)).count() === 0L)
+    // one narrow pass, no re-signing: survivors bit-identical
+    val live = idx.join(dv, Seq("doc_id"), "left_anti")
+    assert(spark.table(ct).collect().map(_.toSeq).toSet === live.collect().map(_.toSeq).toSet,
+      "compacted index rows must be the stored survivors verbatim")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dedup_cidx_"), plan.take(1500))
+    assert(!plan.contains("graft_dedup_dv_"), "the compacted admission must not probe a DV")
+  }
+
+  test("batch self-dedup: planted twins drop to their min-id source; real docs match dedup_incremental") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // columns: doc_id, batch_dup_of, is_exact_dup, near_dup_of, keep
+    val out = Dedup.batchAdmit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getLong(4)))
+      .toMap
+    val realIds = out.keys.filter(_ < Dedup.BatchTwinBase).toSeq
+    // an exact twin shares its source's text byte-for-byte, so its
+    // duplicate candidates are {source} ∪ {the source's own verified
+    // dups} — the min-id collapse therefore lands on the source's own
+    // representative when the source has one (the fixture's docs 0 and
+    // 50 are genuine 0.95-jaccard near-dups, so twin(50) → 0, not 50)
+    val exactSources = realIds.filter(_ % Dedup.BatchTwinMod == 0)
+    assert(exactSources.nonEmpty, "the fixture must plant exact twins")
+    exactSources.foreach { x =>
+      val (dupOf, keep) = out(x + Dedup.BatchTwinBase)
+      val expected = if (out(x)._1 >= 0L) out(x)._1 else x
+      assert(dupOf === expected, s"exact twin of $x must collapse to $expected")
+      assert(keep === 0L, "a twin never passes admission")
+    }
+    // near twins: guaranteed above threshold only when the source has
+    // enough shingles (jaccard = n/(n+2) ≥ ½ needs n ≥ 2); the min-id
+    // collapse may land below the source (transitive near-dups), never
+    // at-or-above the twin
+    val longDocs = graft.Tables.documents(spark, dir)
+      .filter(size(split(lower($"text"), "[ \t]", -1)) >= 8)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val nearSources = realIds.filter(x => x % Dedup.BatchTwinMod == Dedup.BatchNearTwinRem && longDocs(x))
+    assert(nearSources.nonEmpty, "the fixture must plant near twins on long docs")
+    nearSources.foreach { x =>
+      val (dupOf, keep) = out(x + Dedup.BatchTwinBase)
+      assert(dupOf >= 0L && dupOf <= x, s"near twin of $x must collapse to an id ≤ $x (got $dupOf)")
+      assert(keep === 0L)
+    }
+    // a real doc with NO intra-batch duplicate keeps the capped ingest
+    // path's verdict exactly (the index arm IS dedup_incremental_capped's);
+    // one WITH an intra-batch duplicate always drops
+    val inc = Dedup.incrementalCapped(spark, dir).collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    var unaffected = 0
+    inc.foreach { case (id, keep) =>
+      if (out(id)._1 === -1L) { assert(out(id)._2 === keep, s"real doc $id"); unaffected += 1 }
+      else assert(out(id)._2 === 0L, s"real doc $id with an intra-batch dup must drop")
+    }
+    assert(unaffected > 0, "some real docs must be untouched by the intra-batch arm")
+  }
+
   test("capped ingest admission is conservative: exact arm unchanged, verdicts only flip toward ADMIT") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"

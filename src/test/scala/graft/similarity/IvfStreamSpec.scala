@@ -1,0 +1,43 @@
+package graft.similarity
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the stream-maintained vector index's contract: the quantizer is
+  * the OFFLINE-trained append-family centroid table copied verbatim
+  * (streaming never runs a Lloyd job), every micro-batch ticks the
+  * posting table through the same ivfAppendTick API any batch ingest
+  * uses, the drained postings cover exactly the corpus, and the serve
+  * answers sim_ivf_append's identical ranking from catalog artifacts.
+  */
+class IvfStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local(4, "ivf-stream")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("stream ingest: foreachBatch ticks the index; serve == the batch-maintained serve") {
+    val want = Similarity.annIvfAppended(spark, dir).collect().map(_.toSeq).toSeq
+    val served = Similarity.ivfStreamServe(spark, dir)
+    assert(served.collect().map(_.toSeq).toSeq === want,
+      "the stream-maintained index must answer the identical top-k contract")
+    val (batches, postRows) = Similarity.lastStreamIvf.get()
+    assert(batches >= 2, s"the 6-file / 2-per-trigger source must drain in ≥2 micro-batches ($batches)")
+
+    val (ct, at) = Similarity.ivfStreamTables(spark, dir)
+    assert(postRows === spark.table(at).count())
+    assert(spark.table(at).count() === graft.Tables.embeddings(spark, dir).count(),
+      "the stream must index exactly the corpus it drained")
+
+    // the quantizer is the offline trainer's table verbatim — streaming
+    // assigned, it never trained
+    val (act, _) = Similarity.ivfAppendTables(spark, dir)
+    assert(spark.table(ct).collect().map(_.toSeq).toSet ===
+      spark.table(act).collect().map(_.toSeq).toSet,
+      "stream-family centroids must be the offline-trained quantizer verbatim")
+
+    // a repeat serve is catalog-only: no re-ingest, ledger unchanged
+    Similarity.ivfStreamServe(spark, dir).collect()
+    assert(Similarity.lastStreamIvf.get() === ((batches, postRows)))
+  }
+}
