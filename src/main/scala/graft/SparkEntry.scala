@@ -92,6 +92,8 @@ object SparkEntry {
     "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
     "sim_ivf_compact" -> ((s, d) => graft.similarity.Similarity.annIvfCompacted(s, d)),
     "stream_ivf_ingest" -> ((s, d) => graft.similarity.Similarity.ivfStreamServe(s, d)),
+    "sim_hard_negatives" -> ((s, d) => graft.similarity.Similarity.hardNegatives(s, d)),
+    "sim_decontaminate" -> ((s, d) => graft.similarity.Similarity.decontaminate(s, d)),
     "mv_from_changes" -> ((s, d) => graft.queries.Layout.mvFromChangesServe(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
@@ -394,6 +396,10 @@ object SparkEntry {
     "sim_hybrid_rerank" -> PipelineOracles.simHybridRerank,
     "sim_hybrid_rerank_pq" -> PipelineOracles.simHybridRerankPq,
     "sim_ann_filtered" -> PipelineOracles.simAnnFiltered,
+    // the same probed chain with the label predicate inverted
+    "sim_hard_negatives" -> PipelineOracles.simHardNegatives,
+    // per-vector max eval cosine; τ compared on the unrounded value
+    "sim_decontaminate" -> PipelineOracles.simDecontaminate,
     // greedy MMR unrolled CTE-per-pick; identical IEEE trajectory
     "sim_mmr_diversify" -> PipelineOracles.simMmrDiversify,
     // maintained code table must equal the from-scratch index

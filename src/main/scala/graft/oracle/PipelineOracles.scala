@@ -1261,11 +1261,12 @@ object PipelineOracles {
        |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
        |  FROM ipq_refined)""".stripMargin
 
-  /** Filtered-ANN replay: same IVF chain, the label-equality predicate
-    * applied to candidates (pre-filter, exactly where the engine drops
-    * them), exact cosine re-rank, top-3.
+  /** Filtered-ANN replay: same IVF chain, the label predicate applied
+    * to candidates (pre-filter, exactly where the engine drops them —
+    * `=` for filtered retrieval, `<>` for hard-negative mining), exact
+    * cosine re-rank, top-3.
     */
-  val simAnnFiltered: String =
+  private def simAnnLabelled(labelOp: String): String =
     s"""WITH $ivfCellCtes,
        |qprobe AS (SELECT vec_id AS query_id, cid FROM cell_rank
        |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
@@ -1275,7 +1276,7 @@ object PipelineOracles {
        |  FROM cell JOIN qprobe ON cell.cid = qprobe.cid
        |  JOIN embeddings ne ON ne.vec_id = cell.vec_id
        |  JOIN qmeta ON qmeta.query_id = qprobe.query_id
-       |  WHERE cell.vec_id <> qprobe.query_id AND ne.label = qmeta.label),
+       |  WHERE cell.vec_id <> qprobe.query_id AND ne.label $labelOp qmeta.label),
        |fscored AS (SELECT f.query_id, m.label, f.vec_id AS neighbor_id,
        |    ${dotSql("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
        |  FROM fcand f
@@ -1288,6 +1289,28 @@ object PipelineOracles {
        |  FROM fscored)
        |SELECT query_id, label, neighbor_id, rank, round(cosine, 6) AS cosine
        |FROM franked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  val simAnnFiltered: String = simAnnLabelled("=")
+
+  /** Hard-negative mining: the same probed candidate chain with the
+    * label predicate inverted.
+    */
+  val simHardNegatives: String = simAnnLabelled("<>")
+
+  /** Embedding-level decontamination replay: per corpus vector, max
+    * cosine over the eval-query slice; the τ comparison runs on the
+    * UNROUNDED max (the RangeTau discipline).
+    */
+  val simDecontaminate: String =
+    s"""WITH $embNorms,
+       |q AS (SELECT embedding AS qe, nrm AS qn FROM norms
+       |  WHERE vec_id < ${Similarity.NumQueries}),
+       |scored AS (SELECT n.vec_id,
+       |    max(${dotSql("q.qe", "n.embedding")} / (q.qn * n.nrm)) AS mx
+       |  FROM norms n, q WHERE n.vec_id >= ${Similarity.NumQueries} GROUP BY 1)
+       |SELECT vec_id, round(mx, 6) AS max_eval_cos,
+       |  CAST(CASE WHEN mx >= ${Similarity.SemDecontamTau} THEN 0 ELSE 1 END AS BIGINT) AS keep
+       |FROM scored ORDER BY vec_id""".stripMargin
 
   val simIvfPq: String =
     s"""WITH $ivfCellCtes,

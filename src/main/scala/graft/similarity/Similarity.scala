@@ -221,7 +221,27 @@ object Similarity {
     * widens probes when the filter is selective, the documented
     * trade-off this operator makes measurable.
     */
-  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfFiltered(spark: SparkSession, dir: String): DataFrame =
+    annIvfLabelled(spark, dir, sameLabel = true)
+
+  /** Registered query `sim_hard_negatives`: hard-negative mining — the
+    * data-generation step behind every contrastively-trained retriever
+    * and reranker: for each query (anchor), the top-3 MOST similar
+    * vectors with a DIFFERENT label. Random negatives are too easy and
+    * teach the model nothing; the hardest negatives are exactly the
+    * near-misses an index surfaces anyway, so mining them is the
+    * [[annIvfFiltered]] machinery with the label predicate INVERTED —
+    * same probed inverted lists, same pre-applied metadata filter
+    * (non-candidates drop before any distance math), same bounded scan
+    * (probes/cells × selectivity). At 100 TB this is how training
+    * triplets are minted: one index pass per anchor batch, never a
+    * corpus×corpus similarity; the oracle replays probes + inverted
+    * filter + re-rank verbatim.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    annIvfLabelled(spark, dir, sameLabel = false)
+
+  private def annIvfLabelled(spark: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
     import spark.implicits._
     val embL = Tables
       .embeddingsFanned(spark, dir)
@@ -252,11 +272,13 @@ object Similarity {
       .distinct()
       .join(embL, "vec_id") // candidate fetches vector + metadata once
       .join(broadcast(queryMeta), "query_id")
-      .filter($"label" === $"qlabel") // pushed ahead of all distance math
+      .filter(if (sameLabel) $"label" === $"qlabel" else $"label" =!= $"qlabel") // pushed ahead of all distance math
       .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
-      .select($"query_id", $"label", $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
+      // the label column is the QUERY's (== the neighbor's for the
+      // filtered form; the mined-against anchor label for negatives)
+      .select($"query_id", $"qlabel".as("label"), $"vec_id".as("neighbor_id"), $"rank", round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -1117,6 +1139,50 @@ object Similarity {
       .filter($"cosine" >= RangeTau)
       .select($"query_id", $"vec_id".as("neighbor_id"), round($"cosine", 6).as("cosine"))
       .orderBy($"query_id", $"neighbor_id")
+  }
+
+  /** Flagging bar for [[decontaminate]]: a corpus vector whose best
+    * eval cosine reaches this is semantically entangled with the eval
+    * set. 0.35 sits in the upper tail of the synthetic corpus's
+    * eval-similarity distribution (90th pct ≈ 0.33, max ≈ 0.45–0.49
+    * across sf0.001–0.1, measured), so BOTH arms — flagged and kept —
+    * are exercised on the oracled path at every scale factor.
+    */
+  val SemDecontamTau = 0.35
+
+  /** Registered query `sim_decontaminate`: EMBEDDING-level benchmark
+    * decontamination — the semantic complement of the n-gram-overlap
+    * `text_decontaminate`: paraphrased or translated eval leakage
+    * shares no shingles but lands next to the eval set in embedding
+    * space, so modern pipelines ALSO filter on best-eval-similarity.
+    * Per corpus vector: max cosine against the (k-bounded, broadcast)
+    * eval-query set, keep = best < [[SemDecontamTau]]. Scale shape:
+    * the eval side is fixed and tiny, so the k dots per vector run
+    * map-side on the corpus scan (the [[rangeSearch]] shape) and the
+    * per-vector max is a partial aggregate — map-side combine collapses
+    * the k scored rows before the only shuffle, which carries one row
+    * per corpus vector. Thresholding happens on the UNROUNDED max (the
+    * RangeTau discipline): both engines compute bit-identical doubles,
+    * so the τ comparison can never straddle the rounding.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = corpusWithNorm(spark, dir)
+    val evalQ = emb
+      .filter($"vec_id" < NumQueries)
+      .select($"embedding".as("qe"), $"nrm".as("qn"))
+    emb
+      .filter($"vec_id" >= NumQueries)
+      .crossJoin(broadcast(evalQ))
+      .withColumn("cosine", dot($"qe", $"embedding") / ($"qn" * $"nrm"))
+      .groupBy($"vec_id")
+      .agg(max($"cosine").as("mx"))
+      .select(
+        $"vec_id",
+        round($"mx", 6).as("max_eval_cos"),
+        when($"mx" >= SemDecontamTau, 0L).otherwise(1L).as("keep")
+      )
+      .orderBy($"vec_id")
   }
 
   /** RRF constant (Cormack et al. 2009's k=60) and per-source list depth

@@ -540,6 +540,65 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: every neighbor differs in label; per query disjoint from the filtered positives") {
+    import spark.implicits._
+    val rows = Similarity.hardNegatives(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(2)
+      assert(labels(q) === r.getInt(1), s"query $q label column")
+      assert(labels(n) !== labels(q), s"neighbor $n of query $q must NOT share the label")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to sorted.length))
+      val cos = sorted.map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"query $q cosine order")
+    }
+    // the inverted predicate partitions the probed candidates: a vector
+    // can be a positive or a hard negative for a query, never both
+    val pos = Similarity.annIvfFiltered(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach(r => assert(!pos.contains((r.getLong(0), r.getLong(2))),
+      "filtered positives and hard negatives must be disjoint"))
+  }
+
+  test("semantic decontamination: max eval cosine exact, both arms live, eval slice excluded") {
+    import spark.implicits._
+    val rows = Similarity.decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) >= Similarity.NumQueries), "eval vectors are not corpus members")
+    val (kept, flagged) = rows.partition(_.getLong(2) === 1L)
+    assert(kept.nonEmpty && flagged.nonEmpty,
+      s"the fixture must exercise BOTH arms (kept=${kept.length}, flagged=${flagged.length})")
+    // driver recompute of the max over the eval slice for a sample
+    val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val evalQ = emb.filter(_._1 < Similarity.NumQueries)
+    val byId = emb.toMap
+    (rows.take(3) ++ flagged.take(2)).foreach { r =>
+      val e = byId(r.getLong(0))
+      val mx = evalQ.map { case (_, q) =>
+        dotD(q, e) / (math.sqrt(dotD(q, q)) * math.sqrt(dotD(e, e)))
+      }.max
+      assert(math.abs(mx - r.getDouble(1)) < 1e-6, s"vec ${r.getLong(0)} max eval cosine")
+      assert(r.getLong(2) === (if (mx >= Similarity.SemDecontamTau) 0L else 1L))
+    }
+    // scale shape: the per-vector max is a partial aggregate — map-side
+    // combine collapses the k scored rows before the only shuffle
+    val plan = Similarity.decontaminate(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan.take(1500))
+  }
+
   test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
