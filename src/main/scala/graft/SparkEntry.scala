@@ -94,6 +94,7 @@ object SparkEntry {
     "stream_ivf_ingest" -> ((s, d) => graft.similarity.Similarity.ivfStreamServe(s, d)),
     "sim_hard_negatives" -> ((s, d) => graft.similarity.Similarity.hardNegatives(s, d)),
     "sim_decontaminate" -> ((s, d) => graft.similarity.Similarity.decontaminate(s, d)),
+    "pipeline_triplets" -> ((s, d) => graft.similarity.Similarity.trainingTriplets(s, d)),
     "mv_from_changes" -> ((s, d) => graft.queries.Layout.mvFromChangesServe(s, d)),
     // Iterative graph computation
     "graph_pagerank" -> ((s, d) => graft.graph.PageRank.pagerank(s, d)),
@@ -400,6 +401,8 @@ object SparkEntry {
     "sim_hard_negatives" -> PipelineOracles.simHardNegatives,
     // per-vector max eval cosine; τ compared on the unrounded value
     "sim_decontaminate" -> PipelineOracles.simDecontaminate,
+    // rank-1 positive × top-3 inverted-label negatives, rounded-margin audit
+    "pipeline_triplets" -> PipelineOracles.pipelineTriplets,
     // greedy MMR unrolled CTE-per-pick; identical IEEE trajectory
     "sim_mmr_diversify" -> PipelineOracles.simMmrDiversify,
     // maintained code table must equal the from-scratch index

@@ -710,13 +710,19 @@ object Dedup {
     // measured 9.1/21.9 s at sf1/sf3 and >600 s at sf10 before the
     // cap, 100× under it. The md5 arm below stays uncapped, so exact
     // copies inside a hot boilerplate bucket are still collapsed.
-    // The batch shingles feed FOUR consumers (signatures, sizes, both
-    // sides of the verify join); one eager batch-bounded checkpoint
-    // replaces four re-evaluations of the scan + twin-union + explode.
-    val sh = shinglesOf(batch).localCheckpoint()
+    // The shingle explode itself is NEVER materialized — it is
+    // corpus-slice-proportional and checkpointing it OOMs the executors
+    // at sf30 (measured); consumers re-evaluate the map-side explode
+    // instead, the same recompute-over-hold trade every operator makes.
+    // What IS checkpointed is the minhash signature frame: narrow
+    // (64 longs/doc), batch-bounded, and the input to BOTH sides of the
+    // band self-join plus the bucket census — without it the expensive
+    // MinhashAgg would run three times.
+    val sh = shinglesOf(batch)
     val sig = sh
       .groupBy($"doc_id")
       .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+      .localCheckpoint()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val bands0 = bandedSignatures(sig)
     val okBuckets = bands0

@@ -1297,6 +1297,19 @@ object PipelineOracles {
     */
   val simHardNegatives: String = simAnnLabelled("<>")
 
+  /** Triplet-miner replay: the rank-1 same-label positive joined with
+    * the top-3 inverted-label negatives, margin computed on the rounded
+    * cosines (identical doubles on both engines).
+    */
+  val pipelineTriplets: String =
+    s"""SELECT p.query_id, p.label, p.neighbor_id AS pos_id, p.cosine AS pos_cos,
+       |  n.neighbor_id AS neg_id, n.rank AS neg_rank, n.cosine AS neg_cos,
+       |  round(p.cosine - n.cosine, 6) AS margin
+       |FROM (${simAnnLabelled("=")}) p
+       |JOIN (${simAnnLabelled("<>")}) n ON n.query_id = p.query_id
+       |WHERE p.rank = 1
+       |ORDER BY p.query_id, n.rank""".stripMargin
+
   /** Embedding-level decontamination replay: per corpus vector, max
     * cosine over the eval-query slice; the τ comparison runs on the
     * UNROUNDED max (the RangeTau discipline).

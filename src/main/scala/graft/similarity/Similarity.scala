@@ -241,6 +241,40 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     annIvfLabelled(spark, dir, sameLabel = false)
 
+  /** Registered query `pipeline_triplets`: the training-pair miner
+    * end-to-end — (anchor, positive, hard negative) rows ready for a
+    * contrastive loss, the composed form of [[annIvfFiltered]] (rank-1
+    * same-label positive) × [[hardNegatives]] (top-3 different-label
+    * near-misses). The `margin` column (pos_cos − neg_cos) is the
+    * built-in curriculum audit: a small or negative margin marks
+    * exactly the triplets a retriever learns most from. Scale shape:
+    * both sides come off the SAME probed candidate partition (one
+    * quantizer, one probe set, the label predicate splitting it), so a
+    * triplet batch costs one index pass per anchor batch plus a
+    * K-row × K-row join per anchor — never a second corpus touch.
+    */
+  def trainingTriplets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pos = annIvfFiltered(spark, dir)
+      .filter($"rank" === 1)
+      .select($"query_id", $"label", $"neighbor_id".as("pos_id"), $"cosine".as("pos_cos"))
+    val neg = hardNegatives(spark, dir)
+      .select($"query_id", $"neighbor_id".as("neg_id"), $"rank".as("neg_rank"), $"cosine".as("neg_cos"))
+    pos
+      .join(neg, "query_id")
+      .select(
+        $"query_id",
+        $"label",
+        $"pos_id",
+        $"pos_cos",
+        $"neg_id",
+        $"neg_rank",
+        $"neg_cos",
+        round($"pos_cos" - $"neg_cos", 6).as("margin")
+      )
+      .orderBy($"query_id", $"neg_rank")
+  }
+
   private def annIvfLabelled(spark: SparkSession, dir: String, sameLabel: Boolean): DataFrame = {
     import spark.implicits._
     val embL = Tables

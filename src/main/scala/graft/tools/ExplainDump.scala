@@ -49,6 +49,7 @@ object ExplainDump {
     "stream_bm25_ingest" -> "foreachBatch IS the index tick: each micro-batch runs bm25AppendTick verbatim (narrow postings + ONE additive stats delta); the serve is the same catalog-only narrow scan as text_bm25_append",
     "dedup_batch_admit" -> "the batch dedups against ITSELF before the index (two copies arriving together must not both pass): intra-batch md5 groups + banded self-candidates collapse to min-id representatives — batch-bounded, the smallest join in the pipeline — then the CAPPED index checks (the dedup_incremental_capped arm), the full 100 TB admission composition",
     "sim_hard_negatives" -> "hard-negative mining for retriever training: the filtered-ANN machinery with the label predicate INVERTED — per anchor, the top near-misses with a different label off the probed inverted lists; one index pass per anchor batch, never corpus×corpus",
+    "pipeline_triplets" -> "the training-pair miner end-to-end: rank-1 same-label positive × top-3 inverted-label negatives off ONE probed candidate partition, margin column as the curriculum audit; one index pass per anchor batch",
     "sim_decontaminate" -> "embedding-level eval decontamination: k broadcast eval dots per corpus vector map-side, per-vector max as a partial aggregate (the only shuffle carries one row per vector), keep thresholded on the unrounded max",
     "dedup_index_compact" -> "the signature index's compaction: stored ∖ DV rewritten once in a narrow pass (no re-shingling, survivors bit-identical); every ingest tick after it runs the fresh-build admission plan with no DV probe",
     "text_bm25_compact" -> "compaction pays the MoR debt once: postings ∖ DV rewritten in one narrow pass (no text rescan), the delta history folded to ONE summed stats row; the serve is back to the scan-only shape — no DV probe, no stats fold",

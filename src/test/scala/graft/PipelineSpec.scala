@@ -566,6 +566,28 @@ class PipelineSpec extends AnyFunSuite {
       "filtered positives and hard negatives must be disjoint"))
   }
 
+  test("training triplets: pos shares the anchor label, negs don't, margin decomposes, members distinct") {
+    import spark.implicits._
+    val rows = Similarity.trainingTriplets(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val labels = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val q = r.getLong(0); val pos = r.getLong(2); val neg = r.getLong(4)
+      assert(labels(pos) === labels(q), s"positive of $q must share the label")
+      assert(labels(neg) !== labels(q), s"negative of $q must not share the label")
+      assert(pos != neg && pos != q && neg != q, s"triplet members of $q must be distinct")
+      assert(math.abs(r.getDouble(7) - (r.getDouble(3) - r.getDouble(6))) < 5e-7,
+        s"margin of $q must decompose into pos_cos - neg_cos")
+    }
+    // one positive per anchor, at most 3 negatives
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length === 1, s"anchor $q has one rank-1 positive")
+      assert(rs.length <= 3, s"anchor $q ships at most 3 negatives")
+    }
+  }
+
   test("semantic decontamination: max eval cosine exact, both arms live, eval slice excluded") {
     import spark.implicits._
     val rows = Similarity.decontaminate(spark, dir).collect()
