@@ -172,6 +172,7 @@ object SparkEntry {
     "sim_ann_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
     "sim_mmr_diversify" -> ((s, d) => Similarity.mmrDiversify(s, d)),
     "sim_pq_append" -> ((s, d) => graft.similarity.Pq.adcTopKAppended(s, d)),
+    "stream_pq_ingest" -> ((s, d) => graft.similarity.Pq.adcTopKStreamed(s, d)),
     "sim_pq_delete" -> ((s, d) => graft.similarity.Pq.adcTopKDeleted(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -407,6 +408,8 @@ object SparkEntry {
     "sim_mmr_diversify" -> PipelineOracles.simMmrDiversify,
     // maintained code table must equal the from-scratch index
     "sim_pq_append" -> PipelineOracles.simPqAppend,
+    // the stream-maintained code table answers the identical ranking contract
+    "stream_pq_ingest" -> PipelineOracles.simPqAppend,
     // same replay, tombstoned victims excluded from the scored codes
     "sim_pq_delete" -> PipelineOracles.simPqDelete,
     "text_langid" -> PipelineOracles.textLangId,

@@ -352,6 +352,92 @@ object Pq {
     )
   }
 
+  /** Spec ledger: (non-empty micro-batches, code rows) of the last
+    * streaming PQ-index build in this JVM.
+    */
+  private[graft] val lastStreamPq =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** The STREAM-maintained PQ index — the last cell of the streaming
+    * column: with this, every maintained index family (minhash, IVF,
+    * PQ, lexical, layout, MV) has a continuous write path. Division of
+    * labor mirrors `stream_ivf_ingest`: the per-subspace codebooks are
+    * the OFFLINE trainer's (the append family's table, copied narrow —
+    * streaming never runs a Lloyd job), and foreachBatch runs
+    * [[pqAppendTick]] verbatim per micro-batch — encode the batch
+    * against stored codebooks (8 code rows per vector), append codes +
+    * vectors. Per-trigger cost ∝ batch at any corpus size; checkpoint
+    * per-build for the established resume-safety reason.
+    */
+  private[graft] def pqStreamTables(spark: SparkSession, dir: String): (String, String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val ct = s"graft_pqs_cents_$fp"
+    val kt = s"graft_pqs_codes_$fp"
+    val vt = s"graft_pqs_vecs_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_pqs_cents_", "graft_pqs_codes_", "graft_pqs_vecs_"),
+      Seq(ct, kt, vt)
+    ) {
+      val (act, _, _) = pqAppendTables(spark, dir)
+      val frag = graft.queries.Layout.tmpDirOnce("graft_pqsrc_", fp) { path =>
+        Tables
+          .embeddingsFanned(spark, dir)
+          .select($"vec_id", $"embedding")
+          .repartition(6)
+          .write
+          .mode("overwrite")
+          .parquet(path)
+      }
+      Seq(ct, kt, vt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.table(act).write.mode("overwrite").format("parquet").saveAsTable(ct)
+      val chk = java.nio.file.Files.createTempDirectory("graft_pqchk_").toString
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
+          if (!df.isEmpty) {
+            pqAppendTick(spark, ct, kt, vt, df)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$chk/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
+      lastStreamPq.set((batches.get, spark.table(kt).count()))
+      ()
+    }
+    (ct, kt, vt)
+  }
+
+  /** Registered query `stream_pq_ingest`: ADC + exact refine served
+    * from the STREAM-maintained PQ index — identical ranking (and
+    * oracle) to sim_pq_append, proving the continuous write path
+    * encoded exactly the corpus it drained against exactly the
+    * offline-trained codebooks; the serve is the same catalog-only
+    * codes + vector-store read.
+    */
+  def adcTopKStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (ct, kt, vt) = pqStreamTables(spark, dir)
+    val cents = spark.table(ct)
+    val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
+    val queries = emb
+      .filter($"vec_id" < Similarity.NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qe"))
+    adcServeFrom(spark.table(kt), queryLut(emb, cents), queries, spark.table(vt))
+  }
+
   /** The maintained index's serve inputs: stored codes ∪ the in-flight
     * batch's encoding (anti-joined on already-ticked ids), the
     * query-side LUT off the stored codebooks, and the maintained

@@ -54,6 +54,7 @@ object ExplainDump {
     "dedup_index_compact" -> "the signature index's compaction: stored ∖ DV rewritten once in a narrow pass (no re-shingling, survivors bit-identical); every ingest tick after it runs the fresh-build admission plan with no DV probe",
     "text_bm25_compact" -> "compaction pays the MoR debt once: postings ∖ DV rewritten in one narrow pass (no text rescan), the delta history folded to ONE summed stats row; the serve is back to the scan-only shape — no DV probe, no stats fold",
     "sim_ivf_compact" -> "(stored ∪ pending tick) ∖ DV materialized once as the new posting table — survivors ride through bit-identical, no re-assignment, quantizer shared with the append family untouched; the serve reads ONE table with no anti-join",
+    "stream_pq_ingest" -> "the last cell of the streaming column: codebooks offline-trained (copied narrow), foreachBatch runs pqAppendTick verbatim — 8 code rows + 1 vector-store row per drained vector; the serve is the same catalog-only codes + vector read as sim_pq_append",
     "stream_ivf_ingest" -> "the continuous write path of the embedding store: quantizer trained OFFLINE (the append family's stored centroids, copied narrow), foreachBatch IS the tick — each micro-batch runs ivfAppendTick verbatim; the serve is the same catalog-only posting scan",
     "sim_quantized" -> "int8 quantization map-side under a 1-row broadcast scale; exact integer dots; top-k via the bounded aggregator (no Window)",
     "graph_triangles" -> "degree-ordered wedge join over the persisted oriented edge list (kNN edges read from the session-cached artifact) — O(m^1.5) wedges on any skew, equi-joins only",

@@ -105,6 +105,33 @@ class PqAppendSpec extends AnyFunSuite {
     assert(again.map(_.toString).sameElements(served.collect().map(_.toString)))
   }
 
+  test("stream ingest: foreachBatch ticks the code table; serve == the batch-maintained serve") {
+    val dir = "/root/testdata/sf0.001"
+    val want = Pq.adcTopKAppended(spark, dir).collect().map(_.toSeq).toSeq
+    assert(Pq.adcTopKStreamed(spark, dir).collect().map(_.toSeq).toSeq === want,
+      "the stream-maintained PQ index must answer the identical ranking contract")
+    val (batches, codeRows) = Pq.lastStreamPq.get()
+    assert(batches >= 2, s"the 6-file / 2-per-trigger source must drain in ≥2 micro-batches ($batches)")
+
+    val (ct, kt, vt) = Pq.pqStreamTables(spark, dir)
+    val n = graft.Tables.embeddings(spark, dir).count()
+    assert(codeRows === spark.table(kt).count())
+    assert(spark.table(kt).count() === n * Pq.PqSubspaces,
+      "8 code rows per drained vector — the stream indexed exactly the corpus")
+    assert(spark.table(vt).count() === n, "the vector store covers the drained corpus")
+
+    // the codebooks are the offline trainer's table verbatim — the
+    // stream encoded, it never trained
+    val (act, _, _) = Pq.pqAppendTables(spark, dir)
+    assert(spark.table(ct).collect().map(_.toSeq).toSet ===
+      spark.table(act).collect().map(_.toSeq).toSet,
+      "stream-family codebooks must be the offline-trained ones verbatim")
+
+    // a repeat serve is catalog-only: no re-ingest, ledger unchanged
+    Pq.adcTopKStreamed(spark, dir).collect()
+    assert(Pq.lastStreamPq.get() === ((batches, codeRows)))
+  }
+
   test("delete: the shared tombstone list excludes victims from ADC and refine; tables untouched") {
     import spark.implicits._
     val dir = writeCorpus(60)
