@@ -86,6 +86,7 @@ object SparkEntry {
     "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
+    "mv_snapshot" -> ((s, d) => graft.queries.Layout.mvSnapshotServe(s, d)),
     "layout_schema_evolution" -> ((s, d) => graft.queries.Layout.schemaEvolutionScan(s, d)),
     "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
     "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
@@ -206,6 +207,7 @@ object SparkEntry {
     "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
     "pipeline_multimodal" -> ((s, d) => graft.text.Curation.curateMultimodal(s, d)),
     "pipeline_pretrain" -> ((s, d) => graft.text.Curation.pretrain(s, d)),
+    "pipeline_pretrain_semantic" -> ((s, d) => graft.text.Curation.pretrainSemantic(s, d)),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "text_stratified_topk" -> ((s, d) => Sampling.stratifiedTopK(s, d)),
@@ -291,6 +293,8 @@ object SparkEntry {
     "layout_deletes" -> Oracles.layoutDeletes,
     // tick-maintained MV must answer the full-table aggregate exactly
     "mv_incremental" -> Oracles.mvIncremental,
+    // every stored MV version == a full refresh at that commit
+    "mv_snapshot" -> Oracles.mvSnapshot,
     // evolved-column presence replayed through the tick predicates
     "layout_schema_evolution" -> Oracles.layoutSchemaEvolution,
     // the stream-maintained MV answers the same full-table contract
@@ -448,6 +452,9 @@ object SparkEntry {
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
     "pipeline_multimodal" -> PipelineOracles.pipelineMultimodal,
     "pipeline_pretrain" -> PipelineOracles.pipelinePretrain,
+    // both decontamination modalities: n-gram gate inside pretrain,
+    // the semantic keep-list joined on the shared id space
+    "pipeline_pretrain_semantic" -> PipelineOracles.pipelinePretrainSemantic(PipelineOracles.pipelinePretrain),
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,
     "text_stratified_topk" -> PipelineOracles.textStratifiedTopK,
     // text_stratified_sample: engine-specific RNG, rows-only check;

@@ -736,6 +736,24 @@ object Oracles {
       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** MV time-travel replay: each stored version must equal a full
+    * refresh at that commit — version k aggregates the raw table
+    * through the CUMULATIVE tick predicates (slices 0..k).
+    */
+  val mvSnapshot: String = {
+    def v(k: Int, pred: String) =
+      s"""SELECT CAST($k AS BIGINT) AS version, l_returnflag, l_linestatus, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+         |FROM lineitem WHERE $pred GROUP BY 1, 2, 3""".stripMargin
+    Seq(
+      v(0, "l_orderkey % 4 <> 0"),
+      v(1, "l_orderkey % 8 <> 0"),
+      v(2, "TRUE")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY version, l_returnflag, l_linestatus")
+  }
+
   /** Merge-on-read delete replay: the DV holds the write-time lineage
     * ids of exactly the predicate rows, and lineage ids are unique —
     * so the live set both serve paths (DV anti-join and post-purge

@@ -1297,6 +1297,16 @@ object PipelineOracles {
     */
   val simHardNegatives: String = simAnnLabelled("<>")
 
+  /** Both-modality pretraining replay: the pretrain flow gated by the
+    * semantic keep-list (vec_id ≡ doc_id); eval members drop via the
+    * inner join exactly as the engine's.
+    */
+  def pipelinePretrainSemantic(pretrain: String): String =
+    s"""SELECT p.* FROM ($pretrain) p
+       |JOIN ($simDecontaminate) s ON s.vec_id = p.doc_id
+       |WHERE s.keep = 1
+       |ORDER BY p.doc_id""".stripMargin
+
   /** Triplet-miner replay: the rank-1 same-label positive joined with
     * the top-3 inverted-label negatives, margin computed on the rounded
     * cosines (identical doubles on both engines).

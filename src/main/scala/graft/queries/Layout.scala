@@ -846,6 +846,39 @@ object Layout {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Registered query `mv_snapshot`: TIME TRAVEL over the materialized
+    * view — the missing symmetry: the layout already serves as-of reads
+    * ([[snapshotScan]]) because its commits are immutable artifacts,
+    * and the MV's versions are exactly as immutable (mv_k is written
+    * once per tick and never touched again), so "the dashboard as of
+    * commit k" is the same metadata-selection read. The audit serves
+    * EVERY version in one output — version k's rows come straight off
+    * the stored mv_k artifact (groups-sized; no corpus scan, no
+    * re-aggregation, plan-pinned) — and the oracle recomputes each
+    * version from the raw table through the cumulative tick predicates,
+    * proving every historical serve is exactly what a full refresh at
+    * that commit would have answered. At 100 TB this is why MV history
+    * is free to keep: versions cost groups-sized parquet each, and
+    * as-of reads never touch the fact table.
+    */
+  def mvSnapshotServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    (0 until IncSlices)
+      .map(k => spark.read.parquet(mvTick(spark, dir, fp, k)).withColumn("version", lit(k.toLong)))
+      .reduce(_ unionByName _)
+      .select(
+        $"version",
+        $"l_returnflag",
+        $"l_linestatus",
+        $"n_rows",
+        $"sum_qty".cast("long").as("sum_qty"),
+        $"sum_price".cast("double").as("sum_price"),
+        round($"sum_price".cast("double") / $"n_rows", 4).as("avg_price")
+      )
+      .orderBy($"version", $"l_returnflag", $"l_linestatus")
+  }
+
   // ---- row-level deletes: merge-on-read deletion vectors ---------------
 
   val MorFiles = 8

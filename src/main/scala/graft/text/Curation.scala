@@ -49,6 +49,29 @@ object Curation {
     * unchanged — and the whole thing stays hash-checkable against one
     * composed DuckDB oracle.
     */
+  /** Registered query `pipeline_pretrain_semantic`: the pretraining
+    * flow with BOTH decontamination modalities — the shape a modern
+    * pipeline actually runs, because the two gates catch disjoint
+    * leakage: the n-gram gate ([[TextAnalysis.decontaminate]], inside
+    * [[pretrain]]) catches verbatim eval text, and the embedding gate
+    * ([[graft.similarity.Similarity.decontaminate]]) catches
+    * paraphrased/translated leakage that shares no shingles. The
+    * semantic gate joins on the shared id space (vec_id ≡ doc_id by
+    * corpus construction); eval members themselves carry no corpus
+    * decontam row, so the join drops them — the same policy as the
+    * n-gram gate dropping held-out eval docs. Scale shape: one extra
+    * broadcast-able keep-list join over [[pretrain]]'s plan; the gate
+    * itself is the sim_decontaminate map pass.
+    */
+  def pretrainSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val semClean = graft.similarity.Similarity
+      .decontaminate(spark, dir)
+      .filter($"keep" === 1L)
+      .select($"vec_id".as("doc_id"))
+    pretrain(spark, dir).join(semClean, "doc_id").orderBy($"doc_id")
+  }
+
   def pretrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val clean = TextAnalysis

@@ -621,6 +621,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("partial_max") || plan.contains("HashAggregate"), plan.take(1500))
   }
 
+  test("semantic pretrain: drops exactly the flagged + eval-member docs from the pretrain flow") {
+    import spark.implicits._
+    val base = graft.text.Curation.pretrain(spark, dir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    val sem = graft.text.Curation.pretrainSemantic(spark, dir).collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(sem.nonEmpty)
+    // survivors ride through with identical rows
+    sem.foreach { case (id, row) => assert(base(id) === row, s"doc $id must pass through unchanged") }
+    // the dropped set is exactly {semantically flagged} ∪ {eval members}
+    val flagged = Similarity.decontaminate(spark, dir).filter($"keep" === 0L)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = base.keySet -- sem.keySet
+    dropped.foreach { id =>
+      assert(flagged(id) || id < Similarity.NumQueries,
+        s"doc $id dropped without a semantic flag or eval membership")
+    }
+    (base.keySet -- dropped).foreach { id =>
+      assert(!flagged(id), s"flagged doc $id must not survive the semantic gate")
+    }
+  }
+
   test("range search: exactly the >= tau slice of the scored universe; zero-shuffle map pass") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)

@@ -325,6 +325,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(Layout.mvRowsAggregated.get() === total, "serving must not re-run maintenance")
   }
 
+  test("MV time travel: every stored version serves as-of exactly; history reads touch no fact table") {
+    import spark.implicits._
+    val snap = Layout.mvSnapshotServe(spark, dir)
+    val rows = snap.collect()
+    assert(rows.map(_.getLong(0)).distinct.sorted.toSeq === (0L until Layout.IncSlices.toLong).toSeq,
+      "one row-group per stored MV version")
+
+    // the latest version IS the current serve, row for row
+    val latest = rows.filter(_.getLong(0) === (Layout.IncSlices - 1).toLong)
+      .map(_.toSeq.drop(1)).toSeq
+    val current = Layout.mvServe(spark, dir).collect().map(_.toSeq).toSeq
+    assert(latest === current, "version N-1 must equal the current MV serve")
+
+    // commit monotonicity: a group's n_rows never shrinks across
+    // insert-only versions (each tick only adds slice rows)
+    rows.groupBy(r => (r.getString(1), r.getString(2))).foreach { case (g, rs) =>
+      val byV = rs.sortBy(_.getLong(0)).map(_.getLong(3))
+      assert(byV.zip(byV.tail).forall { case (a, b) => a <= b }, s"group $g n_rows must be monotone")
+    }
+
+    // as-of reads are metadata + artifact reads: the plan never scans
+    // the fact table
+    val plan = snap.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"), "MV history must serve without touching the fact table")
+  }
+
   test("merge-on-read deletes: DV commit touches no data file, purge rewrites only affected files") {
     import spark.implicits._
     // fresh lineage (copied corpus → fresh fingerprint) so every commit
