@@ -191,6 +191,7 @@ object SparkEntry {
     "text_bm25_append" -> ((s, d) => TextAnalysis.bm25Append(s, d)),
     "text_bm25_delete" -> ((s, d) => TextAnalysis.bm25Deleted(s, d)),
     "text_bm25_compact" -> ((s, d) => TextAnalysis.bm25Compacted(s, d)),
+    "stream_bm25_takedown" -> ((s, d) => TextAnalysis.bm25StreamDeleted(s, d)),
     "stream_bm25_ingest" -> ((s, d) => TextAnalysis.bm25StreamServe(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "text_vocab" -> ((s, d) => TextAnalysis.vocab(s, d)),
@@ -435,6 +436,8 @@ object SparkEntry {
     // compaction materializes postings ∖ DV + the summed stats row:
     // identical answer to the MoR serve, identical oracle
     "text_bm25_compact" -> PipelineOracles.textBm25Deleted,
+    // N partial retractions sum to the one-shot retraction exactly
+    "stream_bm25_takedown" -> PipelineOracles.textBm25Deleted,
     // the stream-maintained index answers the identical ranking contract
     "stream_bm25_ingest" -> PipelineOracles.textBm25,
     "text_cdc_chunks" -> PipelineOracles.textCdcChunks,

@@ -935,6 +935,95 @@ object TextAnalysis {
     bm25Score(live, bm25CollectStats(spark.table(st)))
   }
 
+  /** Spec ledger: (non-empty micro-batches, negative-delta rows) of the
+    * last streaming takedown in this JVM.
+    */
+  private[graft] val lastStreamBm25Del =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** The STREAMING takedown — the delete verb's continuous write path,
+    * which exists because takedowns arrive continuously in production
+    * (GDPR/DMCA queues, opt-out feeds), not as one batch. It streams
+    * EXACTLY because the delete tick's artifacts are additive: each
+    * micro-batch of victim keys runs [[bm25DeleteTick]] verbatim — DV
+    * rows for its victims plus ONE negative stats-delta row derived
+    * from their stored postings — and pure sums mean N partial
+    * retractions equal the one-shot retraction EXACTLY. Postings are
+    * never read beyond the victims and never rewritten; per-trigger
+    * cost ∝ that batch's victims.
+    */
+  private[graft] def bm25StreamDeleteTables(spark: SparkSession, dir: String): (String, String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val bt = s"graft_bm25sd_post_$fp"
+    val st = s"graft_bm25sd_stats_$fp"
+    val dvt = s"graft_bm25sd_dv_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_bm25sd_post_", "graft_bm25sd_stats_", "graft_bm25sd_dv_"),
+      Seq(bt, st, dvt)
+    ) {
+      val (abt, ast) = bm25IndexTables(spark, dir)
+      Seq(bt, st, dvt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.table(abt).write.mode("overwrite").format("parquet").saveAsTable(bt)
+      spark.table(ast).write.mode("overwrite").format("parquet").saveAsTable(st)
+      val frag = graft.queries.Layout.tmpDirOnce("graft_bm25delsrc_", fp) { path =>
+        spark
+          .table(bt)
+          .filter($"doc_id" % Bm25DeleteMod === Bm25DeleteRem)
+          .select($"doc_id")
+          .distinct()
+          .repartition(6)
+          .write
+          .mode("overwrite")
+          .parquet(path)
+      }
+      val chk = java.nio.file.Files.createTempDirectory("graft_bm25dchk_").toString
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
+          if (!df.isEmpty) {
+            bm25DeleteTick(spark, bt, st, dvt, df)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$chk/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
+      lastStreamBm25Del.set(
+        (batches.get, spark.table(st).filter($"n_docs" < 0).count())
+      )
+      ()
+    }
+    (bt, st, dvt)
+  }
+
+  /** Registered query `stream_bm25_takedown`: BM25 served after the
+    * takedown queue DRAINED THROUGH THE STREAM — identical ranking
+    * (and oracle) to [[bm25Deleted]], because the summed partial
+    * retractions equal the one-shot retraction exactly (pure sums) and
+    * the accumulated DV is the same victim set. One negative delta per
+    * micro-batch, ledger spec-pinned.
+    */
+  def bm25StreamDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (bt, st, dvt) = bm25StreamDeleteTables(spark, dir)
+    val live = spark
+      .table(bt)
+      .join(broadcast(spark.table(dvt)), Seq("doc_id"), "left_anti")
+    bm25Score(live, bm25CollectStats(spark.table(st)))
+  }
+
   /** COMPACTION — the fourth lifecycle verb (build / append-tick /
     * delete / compact), lexical-index edition. Merge-on-read keeps
     * writes kilobyte-cheap but charges every serve the DV anti-join and

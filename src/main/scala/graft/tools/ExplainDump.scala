@@ -54,6 +54,7 @@ object ExplainDump {
     "dedup_index_compact" -> "the signature index's compaction: stored ∖ DV rewritten once in a narrow pass (no re-shingling, survivors bit-identical); every ingest tick after it runs the fresh-build admission plan with no DV probe",
     "text_bm25_compact" -> "compaction pays the MoR debt once: postings ∖ DV rewritten in one narrow pass (no text rescan), the delta history folded to ONE summed stats row; the serve is back to the scan-only shape — no DV probe, no stats fold",
     "sim_ivf_compact" -> "(stored ∪ pending tick) ∖ DV materialized once as the new posting table — survivors ride through bit-identical, no re-assignment, quantizer shared with the append family untouched; the serve reads ONE table with no anti-join",
+    "stream_bm25_takedown" -> "the delete verb streams because its artifacts are additive: each micro-batch of victim keys lands DV rows + ONE negative stats delta, and N partial retractions sum to the one-shot retraction exactly; per-trigger cost ∝ that batch's victims",
     "pipeline_pretrain_semantic" -> "both decontamination modalities in one flow: the n-gram gate catches verbatim eval text, the embedding keep-list (joined on the shared id space) catches paraphrase/translation leakage; one broadcast-able join over the pretrain plan",
     "mv_snapshot" -> "MV time travel: every stored version is an immutable groups-sized artifact, so the as-of read (and the all-versions audit) is metadata + artifact reads — the fact table never appears in the plan",
     "stream_pq_ingest" -> "the last cell of the streaming column: codebooks offline-trained (copied narrow), foreachBatch runs pqAppendTick verbatim — 8 code rows + 1 vector-store row per drained vector; the serve is the same catalog-only codes + vector read as sim_pq_append",

@@ -85,6 +85,35 @@ class Bm25AppendSpec extends AnyFunSuite {
     assert(TextAnalysis.lastStreamBm25.get() === ((batches, statsRows)))
   }
 
+  test("streaming takedown: partial retractions sum to the one-shot delete; one negative delta per batch") {
+    import spark.implicits._
+    val want = TextAnalysis.bm25Deleted(spark, dir).collect().map(_.toSeq).toSeq
+    assert(TextAnalysis.bm25StreamDeleted(spark, dir).collect().map(_.toSeq).toSeq === want,
+      "the streamed takedown must answer the one-shot delete's exact ranking")
+    val (batches, negRows) = TextAnalysis.lastStreamBm25Del.get()
+    assert(batches >= 2, s"the 6-file / 2-per-trigger victim queue must drain in ≥2 micro-batches ($batches)")
+    assert(negRows === batches.toLong, "exactly ONE negative stats delta per drained batch")
+
+    val (bt, st, dvt) = TextAnalysis.bm25StreamDeleteTables(spark, dir)
+    // postings never rewritten: every doc's row still stored
+    assert(spark.table(bt).count() === graft.Tables.documents(spark, dir).count())
+    // the accumulated DV is the one-shot victim set
+    val victims = graft.Tables.documents(spark, dir)
+      .filter($"doc_id" % TextAnalysis.Bm25DeleteMod === TextAnalysis.Bm25DeleteRem)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(spark.table(dvt).collect().map(_.getLong(0)).toSet === victims)
+    // pure sums: the N partial retractions equal the one-shot retraction
+    val n = TextAnalysis.Bm25Query.length
+    def summed(t: String) = spark.table(t)
+      .agg(sum($"n_docs"), (sum($"sum_dl") +: (1 to n).map(i => sum(col(s"df$i")))): _*)
+      .collect().head.toSeq
+    val (_, oneShotSt, _) = TextAnalysis.bm25DeleteTables(spark, dir)
+    assert(summed(st) === summed(oneShotSt), "streamed deltas must sum to the one-shot delete's stats")
+    // a repeat serve is catalog-only
+    TextAnalysis.bm25StreamDeleted(spark, dir).collect()
+    assert(TextAnalysis.lastStreamBm25Del.get() === ((batches, negRows)))
+  }
+
   test("delete tick: DV + negative stats delta, postings never rewritten, survivors-only serve") {
     import spark.implicits._
     val (bt, st, dvt) = TextAnalysis.bm25DeleteTables(spark, dir)
