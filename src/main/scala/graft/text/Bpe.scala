@@ -228,7 +228,19 @@ object Bpe {
     * proves count-weighted training ≡ occurrence training and
     * dictionary encode ≡ per-occurrence encode.
     */
-  def encodeDocs(spark: SparkSession, dir: String): DataFrame = {
+  def encodeDocs(spark: SparkSession, dir: String): DataFrame =
+    encodeDocs(spark, dir, EncodeVocabGuard)
+
+  /** Fail-fast bound on the uncapped path's driver-side dictionary.
+    * The collect is structurally capped at `vocabGuard + 1` rows (a
+    * LIMIT above the aggregate), so the driver can never silently
+    * absorb an open vocabulary: a corpus whose distinct-word count
+    * exceeds the guard aborts with a pointer at the production twin
+    * instead of OOMing the driver mid-collect.
+    */
+  val EncodeVocabGuard = 1 << 20
+
+  private[graft] def encodeDocs(spark: SparkSession, dir: String, vocabGuard: Int): DataFrame = {
     import spark.implicits._
     val wc = Tables
       .documentsFanned(spark, dir)
@@ -236,9 +248,17 @@ object Bpe {
       .filter($"w".rlike(WordRe))
       .groupBy($"w")
       .agg(count(lit(1)).as("freq"))
+      .limit(vocabGuard + 1)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .toSeq
+    if (wc.length > vocabGuard)
+      throw new IllegalStateException(
+        s"text_bpe_encode: distinct vocabulary exceeds $vocabGuard words — this audit twin " +
+          "collects the full dictionary at the driver and is only sound on a bounded " +
+          "vocabulary; use text_bpe_encode_capped (top-V dictionary, character fallback) " +
+          "for open-vocabulary corpora"
+      )
     val merges = trainOnCounts(wc, EncodeMerges).map(_._1)
     val dict: Map[String, Seq[String]] = wc.map { case (w, _) =>
       w -> merges.foldLeft(w.split("").toSeq) { case (s, (a, b)) => mergePassScala(s, a, b) }

@@ -121,6 +121,17 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeDocs: vocabulary guard fails fast, pointing at the capped twin") {
+    val dir = "/root/testdata/sf0.001"
+    // the sf0.001 fixture vocabulary is far above 3 words, so a tiny
+    // guard must trip; the collect itself is LIMIT-bounded, so the
+    // failure is a thrown pointer, never a driver OOM
+    val e = intercept[IllegalStateException](Bpe.encodeDocs(spark, dir, vocabGuard = 3))
+    assert(e.getMessage.contains("text_bpe_encode_capped"))
+    // the production default does not trip on the bounded fixture
+    assert(Bpe.encodeDocs(spark, dir, Bpe.EncodeVocabGuard).limit(1).count() === 1L)
+  }
+
   test("encodeDocsCapped: top-V dictionary, char fallback for OOV, merges on in-dict words") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
