@@ -87,7 +87,9 @@ object SparkEntry {
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
     "mv_snapshot" -> ((s, d) => graft.queries.Layout.mvSnapshotServe(s, d)),
+    "mv_vacuum" -> ((s, d) => graft.queries.Layout.mvVacuumServe(s, d)),
     "layout_schema_evolution" -> ((s, d) => graft.queries.Layout.schemaEvolutionScan(s, d)),
+    "layout_spec_evolution" -> ((s, d) => graft.queries.Layout.specEvolutionScan(s, d)),
     "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
     "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
     "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
@@ -296,8 +298,12 @@ object SparkEntry {
     "mv_incremental" -> Oracles.mvIncremental,
     // every stored MV version == a full refresh at that commit
     "mv_snapshot" -> Oracles.mvSnapshot,
+    // retained versions after expiry == full refreshes at those commits
+    "mv_vacuum" -> Oracles.mvVacuum,
     // evolved-column presence replayed through the tick predicates
     "layout_schema_evolution" -> Oracles.layoutSchemaEvolution,
+    // per-segment-spec pruning + residual == the raw-table date window
+    "layout_spec_evolution" -> Oracles.layoutSpecEvolution,
     // the stream-maintained MV answers the same full-table contract
     "stream_mv_ingest" -> Oracles.mvIncremental,
     // per-commit change rows replayed via the slice/delete predicates

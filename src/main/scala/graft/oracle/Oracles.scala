@@ -754,6 +754,41 @@ object Oracles {
     ).mkString("", "\nUNION ALL\n", "\nORDER BY version, l_returnflag, l_linestatus")
   }
 
+  /** Partition-spec-evolution replay: the date window from the raw
+    * table. The engine side answers through per-segment partition
+    * pruning under each segment's own recorded spec + a residual
+    * predicate; the union of tick slices is the full table, so equality
+    * proves the heterogeneous-spec merge (and its pruning) lost nothing.
+    */
+  val layoutSpecEvolution: String = {
+    import graft.queries.Layout.{SpecEvoLo, SpecEvoHi}
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$SpecEvoLo' AND l_shipdate < TIMESTAMP '$SpecEvoHi'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** MV-vacuum replay: the retained versions (the last [[graft.queries.
+    * Layout.MvRetain]] commits) recomputed from the raw table through
+    * the cumulative tick predicates — identical per-version shape to
+    * [[mvSnapshot]], restricted to the post-expiry survivors. Equality
+    * proves expiry deleted nothing a retained as-of read needs.
+    */
+  val mvVacuum: String = {
+    def v(k: Int, pred: String) =
+      s"""SELECT CAST($k AS BIGINT) AS version, l_returnflag, l_linestatus, count(*) AS n_rows,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price
+         |FROM lineitem WHERE $pred GROUP BY 1, 2, 3""".stripMargin
+    Seq(
+      v(1, "l_orderkey % 8 <> 0"),
+      v(2, "TRUE")
+    ).mkString("", "\nUNION ALL\n", "\nORDER BY version, l_returnflag, l_linestatus")
+  }
+
   /** Merge-on-read delete replay: the DV holds the write-time lineage
     * ids of exactly the predicate rows, and lineage ids are unique —
     * so the live set both serve paths (DV anti-join and post-purge

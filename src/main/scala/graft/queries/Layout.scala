@@ -760,6 +760,108 @@ object Layout {
       .orderBy($"l_returnflag")
   }
 
+  // ---- partition-spec evolution (metadata-only repartitioning) ---------
+
+  /** The pruning window of the spec-evolution scan (inside the fixture
+    * shipdate range at every scale factor).
+    */
+  val SpecEvoYear = 1997
+  val SpecEvoMonths: Seq[Int] = Seq(3, 4)
+  val SpecEvoLo = "1997-03-01"
+  val SpecEvoHi = "1997-05-01" // exclusive
+
+  /** The partition spec each tick writes under: tick 0 landed when the
+    * table was partitioned by year (spec A); later ticks landed after
+    * the spec evolved to year+month (spec B). Iceberg semantics: the
+    * spec is METADATA — evolving it rewrites nothing, it only changes
+    * how NEW files are laid out, and every segment remembers the spec
+    * it was written under.
+    */
+  private[queries] def specEvoCols(k: Int): Seq[String] =
+    if (k == 0) Seq("p_year") else Seq("p_year", "p_month")
+
+  /** Builds (once per fingerprint) tick k's segment of the spec-evolved
+    * table: data files Hive-partitioned under the tick's OWN spec
+    * (`files/p_year=…[/p_month=…]`) plus a `_spec` ledger naming that
+    * spec — the per-segment spec-id every Iceberg manifest carries.
+    * The parquet lands in a `files/` subdir so the committer's own
+    * _SUCCESS cannot satisfy the build-once sentinel before the ledger
+    * exists; the root marker is touched last (morPurgedDir discipline).
+    * Old segments are NEVER rewritten by later ticks — each tick is its
+    * own immutable artifact, and the spec pins tick 0's physical bytes
+    * across the later builds.
+    */
+  private[queries] def specEvoTick(spark: SparkSession, dir: String, fp: String, k: Int): String = {
+    import spark.implicits._
+    tmpDirOnce(s"graft_pspec_d${k}_", fp) { path =>
+      val cols = specEvoCols(k)
+      incSlice(spark, dir, k)
+        .select($"l_orderkey", $"l_quantity", $"l_extendedprice", $"l_returnflag", $"l_shipdate")
+        .withColumn("p_year", year($"l_shipdate"))
+        .withColumn("p_month", month($"l_shipdate"))
+        .select(
+          (Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate") ++ cols)
+            .map(col): _*
+        )
+        .write
+        .partitionBy(cols: _*)
+        .mode("overwrite")
+        .parquet(s"$path/files")
+      java.nio.file.Files.write(
+        new java.io.File(path, "_spec").toPath,
+        cols.mkString("", ",", "\n").getBytes("UTF-8")
+      )
+      new java.io.File(path, "_SUCCESS").createNewFile()
+      ()
+    }
+  }
+
+  private[graft] def specEvoSpecOf(segDir: String): Seq[String] =
+    new String(
+      java.nio.file.Files.readAllBytes(new java.io.File(segDir, "_spec").toPath),
+      "UTF-8"
+    ).trim.split(",").toSeq
+
+  /** Registered query `layout_spec_evolution`: the lifecycle verb that
+    * re-partitions a 100 TB table for FREE. The table's partition spec
+    * evolved between ticks (year → year+month); scan planning consults
+    * each segment's recorded `_spec` and prunes it under ITS OWN spec —
+    * the year-only segment prunes to the year's directories, the
+    * evolved segments prune to exactly the months in the window — then
+    * the exact date predicate applies as the residual filter, so the
+    * answer never depends on pruning, only the bytes read do. The
+    * per-segment pruning is generic (driven by the ledger, not the tick
+    * number), old files are provably never rewritten (spec-pinned
+    * bytes), and the oracle replays the window from the raw table —
+    * proving the merged read over heterogeneous specs lost nothing.
+    */
+  def specEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val ticks = (0 until IncSlices).map(k => specEvoTick(spark, dir, fp, k))
+    val segs = ticks.map { seg =>
+      val pruned = specEvoSpecOf(seg).foldLeft(spark.read.parquet(s"$seg/files")) {
+        case (df, "p_year") => df.filter($"p_year" === SpecEvoYear)
+        case (df, "p_month") => df.filter($"p_month".isin(SpecEvoMonths: _*))
+        case (df, other) => sys.error(s"unknown partition column in $seg/_spec: $other")
+      }
+      pruned.select($"l_quantity", $"l_extendedprice", $"l_returnflag", $"l_shipdate")
+    }
+    segs
+      .reduce(_ unionByName _)
+      .filter(
+        $"l_shipdate" >= lit(SpecEvoLo).cast("timestamp") &&
+          $"l_shipdate" < lit(SpecEvoHi).cast("timestamp")
+      )
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+  }
+
   // ---- incremental materialized-view maintenance -----------------------
 
   /** Spec ledger: DELTA input rows aggregated by MV maintenance in
@@ -866,6 +968,117 @@ object Layout {
     val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
     (0 until IncSlices)
       .map(k => spark.read.parquet(mvTick(spark, dir, fp, k)).withColumn("version", lit(k.toLong)))
+      .reduce(_ unionByName _)
+      .select(
+        $"version",
+        $"l_returnflag",
+        $"l_linestatus",
+        $"n_rows",
+        $"sum_qty".cast("long").as("sum_qty"),
+        $"sum_price".cast("double").as("sum_price"),
+        round($"sum_price".cast("double") / $"n_rows", 4).as("avg_price")
+      )
+      .orderBy($"version", $"l_returnflag", $"l_linestatus")
+  }
+
+  // ---- MV retention / vacuum (expiry for the MV version history) -------
+
+  /** How many MV versions `mv_vacuum` retains (the last K commits). */
+  val MvRetain = 2
+
+  /** Spec ledger: (data files physically deleted, live files retained)
+    * by the last [[mvVacuumServe]] expiry pass in this JVM.
+    */
+  private[graft] val lastMvVacuum =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
+  /** Builds the MV VACUUM lineage — its own fingerprinted artifact,
+    * separate from the shared `graft_mv*` versions, because expiry
+    * DELETES files and the shared history must keep serving
+    * `mv_snapshot`. All [[IncSlices]] versions live under ONE root
+    * (`v0/…/v{n-1}`) whose root-level `_SUCCESS` is touched LAST, after
+    * every version dir is complete — the streamMvRoot discipline — so a
+    * crash mid-lineage can never leave a partial history that passes
+    * the build-once check; and once vacuum empties an expired version
+    * dir the surviving marker keeps the guard from resurrecting it.
+    * Each version is the same merge recipe as the shared MV ticks:
+    * v_k = fold(v_{k-1} ∪ slice-k delta).
+    */
+  private[queries] def mvVacRoot(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    tmpDirOnce("graft_mvvac_", fp) { path =>
+      (0 until IncSlices).foldLeft(Option.empty[String]) { (prev, k) =>
+        val delta = incSlice(spark, dir, k)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum($"l_quantity").as("sum_qty"),
+            sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price")
+          )
+        val merged = prev match {
+          case None => delta
+          case Some(p) =>
+            spark.read
+              .parquet(p)
+              .unionByName(delta)
+              .groupBy($"l_returnflag", $"l_linestatus")
+              .agg(
+                sum($"n_rows").as("n_rows"),
+                sum($"sum_qty").as("sum_qty"),
+                sum($"sum_price").cast("decimal(38,2)").as("sum_price")
+              )
+        }
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$path/v$k")
+        Some(s"$path/v$k")
+      }
+      new java.io.File(path, "_SUCCESS").createNewFile()
+      ()
+    }
+  }
+
+  /** Snapshot expiry for the MV history: retain the last [[MvRetain]]
+    * versions and physically delete the data files of every older
+    * version — the `layout_vacuum` live-set discipline applied to MV
+    * artifacts: the live set is the file list of the retained version
+    * dirs (each MV version is a self-contained artifact, so expired
+    * dirs share nothing with it by construction, and the by-path check
+    * makes that structural rather than assumed). Version dirs and the
+    * root `_SUCCESS` survive, so the build-once guard never rebuilds —
+    * and never resurrects — an expired version. Idempotent: a second
+    * pass finds nothing to delete.
+    */
+  private[graft] def mvVacuumExpire(root: String): (Int, Int) = {
+    val dirs = (0 until IncSlices).map(k => s"$root/v$k")
+    val (expired, retained) = dirs.splitAt(IncSlices - MvRetain)
+    val live = retained.flatMap(dataFiles).map(_.getAbsolutePath).toSet
+    var deleted = 0
+    expired.foreach { d =>
+      dataFiles(d).foreach { f =>
+        if (!live.contains(f.getAbsolutePath) && f.delete()) deleted += 1
+      }
+    }
+    (deleted, live.size)
+  }
+
+  /** Registered query `mv_vacuum`: the retention verb the MV family was
+    * missing — `mv_snapshot` keeps one immutable groups-sized artifact
+    * per commit FOREVER; this expires all but the last [[MvRetain]]
+    * versions (physical deletes, idempotent) and proves time travel
+    * over the RETAINED versions still answers exactly: each surviving
+    * version's rows come straight off its stored artifact and the
+    * oracle recomputes them from the raw table through the cumulative
+    * tick predicates. At 100 TB this is what caps MV history cost:
+    * expiry is O(expired artifacts) metadata + deletes (never a fact-
+    * table touch), and retained as-of reads cost exactly what they cost
+    * before the vacuum.
+    */
+  def mvVacuumServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = mvVacRoot(spark, dir)
+    lastMvVacuum.set(mvVacuumExpire(root))
+    (IncSlices - MvRetain until IncSlices)
+      .map(k => spark.read.parquet(s"$root/v$k").withColumn("version", lit(k.toLong)))
       .reduce(_ unionByName _)
       .select(
         $"version",

@@ -538,6 +538,139 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
   }
 
+  test("layout_spec_evolution: old files never rewritten; each segment prunes under its own spec") {
+    import spark.implicits._
+    // fresh lineage: copy the corpus so the fingerprinted tick dirs are
+    // new to this JVM AND this machine
+    val vdir = java.nio.file.Files.createTempDirectory("graft-pspec-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$vdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+    val fp = Relational.sourceFingerprint(spark, s"$vdir/lineitem.parquet")
+
+    // tick 0 lands FIRST, under spec A (year); snapshot its bytes
+    val seg0 = Layout.specEvoTick(spark, vdir, fp, 0)
+    assert(Layout.specEvoSpecOf(seg0) === Seq("p_year"))
+    def fileState(root: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$root/files"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> ((f.length(), f.lastModified())))
+        .toMap
+    }
+    val before = fileState(seg0)
+    assert(before.nonEmpty)
+    // spec A's physical layout: year dirs only, no month level
+    assert(new java.io.File(s"$seg0/files").listFiles().exists(_.getName.startsWith("p_year=")))
+    assert(!fileState(seg0).keys.exists(_.contains("p_month=")))
+
+    // the full scan builds the evolved ticks; tick 0 is byte-identical
+    val out = Layout.specEvolutionScan(spark, vdir)
+    val got = out.collect().map(_.toSeq).toSeq
+    assert(fileState(seg0) === before, "spec evolution must never rewrite old files")
+    val seg1 = Layout.specEvoTick(spark, vdir, fp, 1)
+    assert(Layout.specEvoSpecOf(seg1) === Seq("p_year", "p_month"))
+    assert(fileState(seg1).keys.exists(_.contains("p_month=")), "evolved ticks write the new spec")
+
+    // each segment's scan prunes under ITS OWN spec: the year-only
+    // segment's PartitionFilters carry p_year (p_month is not even in
+    // its schema); the evolved segments' carry both
+    val root = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    val scans = root.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size === Layout.IncSlices)
+    val (specA, specB) = scans.partition(_.relation.partitionSchema.fieldNames.toSeq == Seq("p_year"))
+    assert(specA.size === 1 && specB.size === Layout.IncSlices - 1)
+    val pfA = specA.head.partitionFilters.map(_.toString).mkString(",")
+    assert(pfA.contains("p_year") && !pfA.contains("p_month"), s"spec-A PartitionFilters: $pfA")
+    specB.foreach { s =>
+      val pf = s.partitionFilters.map(_.toString).mkString(",")
+      assert(pf.contains("p_year") && pf.contains("p_month"), s"spec-B PartitionFilters: $pf")
+    }
+
+    // result invariance: the merged heterogeneous-spec read answers the
+    // raw-table window exactly
+    val want = Tables
+      .lineitem(spark, vdir)
+      .filter(
+        $"l_shipdate" >= lit(Layout.SpecEvoLo).cast("timestamp") &&
+          $"l_shipdate" < lit(Layout.SpecEvoHi).cast("timestamp")
+      )
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+  }
+
+  test("mv_vacuum: expired MV versions physically removed, retained time travel intact, idempotent") {
+    import spark.implicits._
+    // fresh lineage: copy the corpus so the path-based fingerprint (and
+    // therefore the tmpdir lineage) is new to this JVM AND this machine
+    val vdir = java.nio.file.Files.createTempDirectory("graft-mvvac-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$vdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+
+    // build the lineage WITHOUT expiring: every version on disk
+    val root = Layout.mvVacRoot(spark, vdir)
+    def parquetCount(d: String): Int =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val expiredDirs = (0 until Layout.IncSlices - Layout.MvRetain).map(k => s"$root/v$k")
+    val retainedDirs = (Layout.IncSlices - Layout.MvRetain until Layout.IncSlices).map(k => s"$root/v$k")
+    val expiredBefore = expiredDirs.map(parquetCount).sum
+    val retainedBefore = retainedDirs.map(parquetCount).sum
+    assert(expiredBefore > 0, "expired-version artifacts must exist before the vacuum")
+    assert(retainedBefore > 0)
+
+    // expire: expired version data files deleted, retained untouched,
+    // root _SUCCESS survives (build-once must never resurrect), and the
+    // pass is idempotent
+    val out1 = Layout.mvVacuumServe(spark, vdir).collect()
+    assert(Layout.lastMvVacuum.get() === ((expiredBefore, retainedBefore)))
+    assert(expiredDirs.map(parquetCount).sum === 0, "expired MV data files must be gone from disk")
+    assert(retainedDirs.map(parquetCount).sum === retainedBefore, "retained versions must survive")
+    assert(new java.io.File(root, "_SUCCESS").exists(), "the lineage marker must survive expiry")
+    val out2 = Layout.mvVacuumServe(spark, vdir).collect()
+    assert(Layout.lastMvVacuum.get() === ((0, retainedBefore)), "second pass deletes nothing")
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+
+    // retained time travel == a full refresh at each surviving commit,
+    // recomputed from the raw table through the cumulative predicates
+    val want = (Layout.IncSlices - Layout.MvRetain until Layout.IncSlices).map { k =>
+      val base = Tables.lineitem(spark, vdir)
+      val sliced = if (k >= Layout.IncSlices - 1) base else base.filter(pmod($"l_orderkey", lit(8)) =!= 0)
+      sliced
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum($"l_quantity").cast("long").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price")
+        )
+        .select(lit(k.toLong).as("version"), $"l_returnflag", $"l_linestatus", $"n_rows", $"sum_qty", $"sum_price")
+    }.reduce(_ unionByName _).orderBy($"version", $"l_returnflag", $"l_linestatus")
+      .collect().map(_.toSeq).toSeq
+    val got = out1.map(r => r.toSeq.take(6)).toSeq
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vdir))
+  }
+
   test("mv_from_changes: MV advanced strictly from the feed; delete commit = negative deltas") {
     import spark.implicits._
     // fresh CDF-MV lineage so maintenance happens inside this JVM's window
