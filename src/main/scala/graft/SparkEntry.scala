@@ -85,6 +85,7 @@ object SparkEntry {
     "layout_snapshot" -> ((s, d) => graft.queries.Layout.snapshotScan(s, d)),
     "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
+    "stream_layout_takedown" -> ((s, d) => graft.queries.Layout.streamTakedownScan(s, d)),
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
     "mv_snapshot" -> ((s, d) => graft.queries.Layout.mvSnapshotServe(s, d)),
     "mv_vacuum" -> ((s, d) => graft.queries.Layout.mvVacuumServe(s, d)),
@@ -294,6 +295,8 @@ object SparkEntry {
     // both serve paths (DV anti-join, post-purge layout) answer the
     // equality-delete live set the oracle computes from the raw table
     "layout_deletes" -> Oracles.layoutDeletes,
+    // N streamed partial DV commits == the one-shot delete's live set
+    "stream_layout_takedown" -> Oracles.streamLayoutTakedown,
     // tick-maintained MV must answer the full-table aggregate exactly
     "mv_incremental" -> Oracles.mvIncremental,
     // every stored MV version == a full refresh at that commit

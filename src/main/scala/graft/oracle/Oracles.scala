@@ -808,6 +808,21 @@ object Oracles {
        |ORDER BY metric, l_returnflag""".stripMargin
   }
 
+  /** Streaming-takedown replay: the per-batch key-delete commits
+    * partition exactly the purge predicate's lineage ids, and set union
+    * is order-free — so the post-drain live set is the predicate's
+    * complement on the raw table, the same replay as [[layoutDeletes]]'
+    * serve metrics under the stream's own metric label.
+    */
+  val streamLayoutTakedown: String = {
+    import graft.queries.Layout.MorPartHi
+    s"""SELECT 'stream_takedown' AS metric, l_returnflag, count(*) AS n_rows,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem WHERE l_partkey > $MorPartHi GROUP BY 1, 2
+       |ORDER BY metric, l_returnflag""".stripMargin
+  }
+
   val layoutSnapshot: String = {
     def snap(v: Int, pred: String): String =
       s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,

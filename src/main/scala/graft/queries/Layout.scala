@@ -1275,6 +1275,122 @@ object Layout {
       .orderBy($"metric", $"l_returnflag")
   }
 
+  // ---- streaming layout takedown (the delete verb's continuous form) ---
+
+  /** Spec ledger: (non-empty micro-batches, DV commits written, final
+    * cumulative DV rows) of the last streaming-takedown build in this
+    * JVM.
+    */
+  private[graft] val lastStreamTakedown =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int, Long)]((0, 0, 0L))
+
+  private val StreamTakedownQueueFiles = 6
+
+  /** Builds (once per fingerprint) the STREAM-maintained takedown state
+    * for the data-file family — the continuous form of [[morDvDir]]'s
+    * one-shot DELETE commit, symmetric with the lexical index's
+    * `stream_bm25_takedown`: victim row-lineage ids arrive as a
+    * Structured Streaming file source (the purge predicate's ids,
+    * fragmented so the queue drains across several micro-batches), and
+    * `foreachBatch` IS the delete commit — each batch appends its OWN
+    * kilobyte key-delete file (`dv_<batch>/`), exactly the
+    * one-delete-file-per-commit shape an Iceberg/Delta CDC-apply lands.
+    * Data files are NEVER touched (spec pins a byte snapshot across the
+    * whole drain); per-trigger cost ∝ that batch's victims. Because the
+    * DV is a set union of disjoint key files, N partial takedowns equal
+    * the one-shot DV EXACTLY — spec-pinned against [[morDvDir]]. The
+    * checkpoint lives inside the artifact and the root _SUCCESS marker
+    * is written LAST (the streamIngestRoot discipline), so a crashed
+    * build can never pass the build-once check with missing commits.
+    */
+  private[graft] def streamTakedownRoot(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val data = morDataDir(spark, dir)
+    val frag = tmpDirOnce("graft_morsdq_", fp) { path =>
+      spark.read
+        .parquet(data)
+        .filter(morPred(spark))
+        .select(MorKeys.map(col): _*)
+        .repartition(StreamTakedownQueueFiles)
+        .write
+        .mode("overwrite")
+        .parquet(path)
+    }
+    tmpDirOnce("graft_morsd_", fp) { root =>
+      new java.io.File(root).mkdirs()
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, id: java.lang.Long) =>
+          if (!df.isEmpty) {
+            df.coalesce(1).write.mode("overwrite").parquet(s"$root/dv_$id")
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val dvs = streamTakedownDvDirs(root)
+      val dvRows =
+        if (dvs.isEmpty) 0L else spark.read.parquet(dvs: _*).count()
+      lastStreamTakedown.set((batches.get, dvs.length, dvRows))
+      new java.io.File(root, "_SUCCESS").createNewFile()
+      ()
+    }
+  }
+
+  private[graft] def streamTakedownDvDirs(root: String): Seq[String] =
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("dv_"))
+      .map(_.getAbsolutePath)
+      .sorted
+      .toSeq
+
+  /** The takedown-stream serve: scan ∖ (accumulated DV commits) via one
+    * broadcast LeftAnti probe — the union of the per-batch key files is
+    * kilobytes at any table size, so the serve shape is bit-identical
+    * to [[morRead]] no matter how many commits the stream has landed.
+    */
+  private[graft] def streamTakedownRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = streamTakedownRoot(spark, dir)
+    val dvs = streamTakedownDvDirs(root)
+    val base = spark.read.parquet(morDataDir(spark, dir))
+    if (dvs.isEmpty) base
+    else base.join(broadcast(spark.read.parquet(dvs: _*)), MorKeys, "left_anti")
+  }
+
+  /** Registered query `stream_layout_takedown`: the merge-on-read serve
+    * AFTER the victim queue drained THROUGH THE STREAM — the same live
+    * set as `layout_deletes`' DV serve (the oracle replays the purge
+    * predicate's complement from the raw table), because the per-batch
+    * key files partition the one-shot victim set and set union is
+    * order-free. At 100 TB this is the GDPR pipeline's continuous
+    * shape: deletion requests arrive forever, each micro-batch commits
+    * kilobytes of intent, and no serve or commit ever rewrites a data
+    * file — compaction (the `layout_deletes` purge path) stays a
+    * separately-scheduled read-tax decision.
+    */
+  def streamTakedownScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    streamTakedownRead(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .select(lit("stream_takedown").as("metric"), $"l_returnflag", $"n_rows", $"sum_qty", $"revenue")
+      .orderBy($"metric", $"l_returnflag")
+  }
+
   // ---- change data feed (table_changes between commits) ----------------
 
   /** The CDF lineage: commit v1 = the base table (slice 0), commit

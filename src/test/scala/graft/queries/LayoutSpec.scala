@@ -722,4 +722,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(n(3L) === li.filter($"l_partkey" > Layout.MorPartHi).count(), "v3 applies the DV")
     assert(n(2L) > n(3L), "the pre-delete snapshot serves the deleted rows")
   }
+
+  test("stream_layout_takedown: per-batch DV commits, data files untouched, N partials == one-shot") {
+    import spark.implicits._
+    // fresh lineage so the whole streamed drain happens inside this
+    // test's observation window (same discipline as the MoR test)
+    val mdir = java.nio.file.Files.createTempDirectory("graft-morsd-").toString
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dst = new java.io.File(s"$mdir/lineitem.parquet")
+    if (src.isDirectory) org.apache.commons.io.FileUtils.copyDirectory(src, dst)
+    else org.apache.commons.io.FileUtils.copyFile(src, dst)
+
+    val data = Layout.morDataDir(spark, mdir)
+    def fileState(d: String) =
+      Option(new java.io.File(d).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified()))
+        .sortBy(_._1)
+        .toSeq
+    val before = fileState(data)
+
+    val root = Layout.streamTakedownRoot(spark, mdir)
+    // 1) the drain committed across several micro-batches, one DV
+    // commit per non-empty batch (6 queue files / 2 per trigger >= 3)
+    val (batches, dvCommits, dvRows) = Layout.lastStreamTakedown.get()
+    assert(batches >= 3, s"expected >=3 micro-batches, got $batches")
+    assert(dvCommits === batches, "one key-delete commit per non-empty batch")
+
+    // 2) no commit rewrote a data file
+    assert(fileState(data) === before, "takedown commits must not touch data files")
+
+    // 3) the union of the partial DVs IS the one-shot DV (set equality)
+    val oneShot = spark.read.parquet(Layout.morDvDir(spark, mdir))
+    val streamed = spark.read.parquet(Layout.streamTakedownDvDirs(root): _*)
+    assert(dvRows === oneShot.count())
+    assert(streamed.select($"mor_rid").except(oneShot.select($"mor_rid")).isEmpty)
+    assert(oneShot.select($"mor_rid").except(streamed.select($"mor_rid")).isEmpty)
+
+    // 4) the streamed serve answers exactly the one-shot MoR serve
+    val want = Layout.morScan(spark, mdir).collect()
+      .filter(_.getString(0) == "mor_read").map(_.toSeq.tail).sortBy(_.toString).toSeq
+    val got = Layout.streamTakedownScan(spark, mdir).collect()
+      .map(_.toSeq.tail).sortBy(_.toString).toSeq
+    assert(got === want)
+
+    // 5) serve plan: one broadcast anti probe, regardless of commit count
+    val plan = Layout.streamTakedownRead(spark, mdir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
+  }
 }
