@@ -94,6 +94,7 @@ object SparkEntry {
     "layout_changes" -> ((s, d) => graft.queries.Layout.changesScan(s, d)),
     "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
     "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
+    "sim_ivf_balance" -> ((s, d) => graft.similarity.Similarity.ivfBalance(s, d)),
     "sim_ivf_compact" -> ((s, d) => graft.similarity.Similarity.annIvfCompacted(s, d)),
     "stream_ivf_ingest" -> ((s, d) => graft.similarity.Similarity.ivfStreamServe(s, d)),
     "sim_hard_negatives" -> ((s, d) => graft.similarity.Similarity.hardNegatives(s, d)),
@@ -398,6 +399,8 @@ object SparkEntry {
     // post-delete serve: same index replay, victims excluded from the
     // candidate set only
     "sim_ivf_delete" -> PipelineOracles.simIvfDelete,
+    // cell census + drift + priced retrain trigger off the stored postings
+    "sim_ivf_balance" -> PipelineOracles.simIvfBalance,
     // the compacted table IS the MoR serve's live set materialized:
     // identical answer, identical oracle
     "sim_ivf_compact" -> PipelineOracles.simIvfDelete,

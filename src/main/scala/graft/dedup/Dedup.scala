@@ -687,11 +687,31 @@ object Dedup {
     */
   def batchAdmit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val batch = admitArrivals(spark, dir)
-    val corpus = Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
-    val idx = dedupBatchAgainstIndexDf(
+    batchAdmitOn(
       spark,
       spark.table(incrementalIndexTable(spark, dir)),
+      admitArrivals(spark, dir),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+    )
+  }
+
+  /** [[batchAdmit]] over explicit (index, batch, corpus) frames — the
+    * fixed-batch seam the scale probe drives (ProbeFixedBatch): hold
+    * the arriving batch CONSTANT while the index/corpus side grows, so
+    * the per-tick cost claim ("flat at fixed batch") is a measured row
+    * rather than an argument. The registered query passes the same-dir
+    * frames and is unchanged.
+    */
+  private[graft] def batchAdmitOn(
+      spark: SparkSession,
+      index: DataFrame,
+      batch: DataFrame,
+      corpus: DataFrame
+  ): DataFrame = {
+    import spark.implicits._
+    val idx = dedupBatchAgainstIndexDf(
+      spark,
+      index,
       batch,
       corpus,
       indexBucketCap = Some(MinhashBucketCap)

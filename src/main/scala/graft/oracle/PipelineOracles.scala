@@ -984,6 +984,71 @@ object PipelineOracles {
           s" AND cell.vec_id >= ${Similarity.NumQueries})"
       )}""".stripMargin
 
+  /** Replays the IVF cell-rebalance audit: the append family's quantizer
+    * training + whole-corpus assignment (cell_rank), then per-cell
+    * base/ticked populations, integer-quantized mean own-centroid
+    * cosines (2²⁰-units — associative sums, engine-order-free), excess
+    * mass over a balanced ceil(N/C) layout, and the two retrain
+    * verdicts: per-cell (ticked > base) and the priced summary trigger
+    * (serve-budget × probes × (Σpop²/N² − 1/C) ≥ one reassignment
+    * pass). Mirrors Similarity.ivfBalance operation for operation.
+    */
+  val simIvfBalance: String = {
+    val s = Similarity.IvfMeanScale
+    val budget = (Similarity.RebalanceServeBudget * Similarity.IvfProbes).toDouble
+    s"""WITH ${ivfCellCtesFor(
+        s"vec_id % ${Similarity.IvfNewMod} <> 0",
+        Similarity.IvfAppendInitOffset
+      )},
+       |m AS (SELECT r.cid, r.vec_id,
+       |    CAST(floor(r.ccos * $s + 0.5) AS BIGINT) AS q,
+       |    CASE WHEN r.vec_id % ${Similarity.IvfNewMod} <> 0 THEN 1 ELSE 0 END AS isb
+       |  FROM cell_rank r WHERE r.rn = 1),
+       |pc AS (SELECT cid,
+       |    CAST(sum(isb) AS BIGINT) AS n_base,
+       |    CAST(sum(1 - isb) AS BIGINT) AS n_ticked,
+       |    CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST(sum(CASE WHEN isb = 1 THEN q END) AS BIGINT) AS sb,
+       |    CAST(sum(CASE WHEN isb = 0 THEN q END) AS BIGINT) AS st
+       |  FROM m GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n_total) AS BIGINT) AS n,
+       |    CAST(sum(n_total * n_total) AS BIGINT) AS sp,
+       |    CAST(sum(n_base) AS BIGINT) AS tb,
+       |    CAST(sum(n_ticked) AS BIGINT) AS tt,
+       |    CAST(sum(sb) AS BIGINT) AS tsb,
+       |    CAST(sum(st) AS BIGINT) AS tst,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cents) AS c
+       |  FROM pc),
+       |tot2 AS (SELECT *, (n + c - 1) // c AS bal FROM tot),
+       |ex AS (SELECT CAST(sum(greatest(pc.n_total - t.bal, 0)) AS BIGINT) AS excess
+       |  FROM pc, tot2 t),
+       |per AS (SELECT pc.cid, pc.n_base, pc.n_ticked, pc.n_total,
+       |    ${round6Sql("CAST(pc.n_ticked AS DOUBLE) / CAST(greatest(pc.n_base, 1) AS DOUBLE)")} AS growth,
+       |    ${round6Sql(s"(CAST(pc.sb AS DOUBLE) / CAST(pc.n_base AS DOUBLE)) / $s")} AS base_cos,
+       |    ${round6Sql(s"(CAST(pc.st AS DOUBLE) / CAST(pc.n_ticked AS DOUBLE)) / $s")} AS tick_cos,
+       |    ${round6Sql(
+        s"(CAST(pc.sb AS DOUBLE) / CAST(pc.n_base AS DOUBLE)" +
+          s" - CAST(pc.st AS DOUBLE) / CAST(pc.n_ticked AS DOUBLE)) / $s"
+      )} AS drift,
+       |    ${round6Sql("CAST(greatest(pc.n_total - t.bal, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)")} AS excess_frac,
+       |    CAST(CASE WHEN pc.n_ticked > pc.n_base THEN 1 ELSE 0 END AS BIGINT) AS retrain
+       |  FROM pc, tot2 t),
+       |smry AS (SELECT CAST(-1 AS BIGINT) AS cid, t.tb AS n_base, t.tt AS n_ticked, t.n AS n_total,
+       |    ${round6Sql("CAST(t.tt AS DOUBLE) / CAST(greatest(t.tb, 1) AS DOUBLE)")} AS growth,
+       |    ${round6Sql(s"(CAST(t.tsb AS DOUBLE) / CAST(t.tb AS DOUBLE)) / $s")} AS base_cos,
+       |    ${round6Sql(s"(CAST(t.tst AS DOUBLE) / CAST(t.tt AS DOUBLE)) / $s")} AS tick_cos,
+       |    ${round6Sql(
+        s"(CAST(t.tsb AS DOUBLE) / CAST(t.tb AS DOUBLE)" +
+          s" - CAST(t.tst AS DOUBLE) / CAST(t.tt AS DOUBLE)) / $s"
+      )} AS drift,
+       |    ${round6Sql("CAST(ex.excess AS DOUBLE) / CAST(t.n AS DOUBLE)")} AS excess_frac,
+       |    CAST(CASE WHEN $budget *
+       |        (CAST(t.sp AS DOUBLE) / CAST(t.n * t.n AS DOUBLE) - 1.0 / CAST(t.c AS DOUBLE)) >= 1.0
+       |      THEN 1 ELSE 0 END AS BIGINT) AS retrain
+       |  FROM tot2 t, ex)
+       |SELECT * FROM per UNION ALL SELECT * FROM smry ORDER BY cid""".stripMargin
+  }
+
   /** Replays SemDeDup: the shared quantizer training + cell assignment,
     * exact cosine pairs WITHIN each cell, min-id duplicate groups, keep
     * flags. `cell` is re-read three times — it comes from the

@@ -1138,6 +1138,26 @@ object Layout {
     }
   }
 
+  /** Fingerprint for artifacts DERIVED from the stored MoR layout (DV,
+    * purge, takedown queue/DVs): the corpus fingerprint × the parent
+    * build's commit time. Derived commits reference the parent by
+    * row-lineage id and by data-file NAME (the purge's `_affected`
+    * list), so a parent that is retired and rebuilt — e.g. a
+    * different-corpus run's cross-fingerprint retirement sweeping the
+    * shared `graft_mord_` prefix while the single-consumer children
+    * survive — MUST invalidate every child: new part-file UUIDs make
+    * the recorded names dangle, and the lineage assignment is not
+    * contractually stable across rebuilds. Coupling the child
+    * fingerprint to the parent epoch makes the chain self-healing: a
+    * rebuilt parent yields fresh child names, and each child's own
+    * build-once retirement sweeps its stale predecessors.
+    */
+  private[queries] def morChildFp(spark: SparkSession, dir: String): String = {
+    val data = morDataDir(spark, dir)
+    val epoch = new java.io.File(data, "_SUCCESS").lastModified()
+    s"${Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")}e$epoch"
+  }
+
   /** The DELETE commit: a key-delete file — the row-lineage ids of the
     * rows the predicate kills, written as one tiny parquet (the shape a
     * MERGE … DELETE / CDC-apply lands as in Iceberg/Delta). The data
@@ -1149,7 +1169,7 @@ object Layout {
     */
   private[queries] def morDvDir(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val fp = morChildFp(spark, dir)
     tmpDirOnce("graft_mordv_", fp) { path =>
       spark.read
         .parquet(morDataDir(spark, dir))
@@ -1188,7 +1208,7 @@ object Layout {
     */
   private[queries] def morPurgedDir(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
+    val fp = morChildFp(spark, dir)
     tmpDirOnce("graft_morp_", fp) { path =>
       val data = morDataDir(spark, dir)
       val dv = spark.read.parquet(morDvDir(spark, dir))
@@ -1305,8 +1325,8 @@ object Layout {
     */
   private[graft] def streamTakedownRoot(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val fp = Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")
     val data = morDataDir(spark, dir)
+    val fp = morChildFp(spark, dir)
     val frag = tmpDirOnce("graft_morsdq_", fp) { path =>
       spark.read
         .parquet(data)

@@ -546,6 +546,123 @@ object Similarity {
     ivfServeFromPostings(emb, cents, live, IvfProbes)
   }
 
+  // ---- IVF cell-rebalance audit ----------------------------------------
+
+  /** Serve budget between maintenance passes — the rebalance analog of
+    * SCALING.md's read-tax compaction rule: retrain when this many
+    * serves' accumulated bloat tax crosses ONE corpus-reassignment pass.
+    */
+  val RebalanceServeBudget = 10000
+
+  /** Registered query `sim_ivf_balance`: the health audit every
+    * append-maintained IVF index needs — ticked vectors assign against
+    * the BASE-corpus quantizer, so after many ticks cells bloat and
+    * drift (new mass far from the frozen centroids), probes scan ever
+    * longer posting lists, and recall decays silently. The audit reads
+    * it all off the STORED postings in one narrow pass (postings ⋈
+    * broadcast centroids — no Lloyd job, no corpus join, no pairwise
+    * work): per live cell, base vs ticked population, growth ratio,
+    * mean own-centroid cosine of each cohort (quantized to integer
+    * 2²⁰-units before summing, so the mean is summation-order-exact on
+    * both engines), the drift between them (positive = ticked mass
+    * sits farther from the centroid than the mass the quantizer was
+    * trained on), the cell's excess posting mass over a balanced
+    * layout (the extra rows every probe of it scans), and a per-cell
+    * retrain flag (ticked members outnumber base — that cell's
+    * geometry is no longer the trained one). The summary row
+    * (cid = -1) prices the whole-index retrain like SCALING.md:715
+    * prices compaction: expected scan fraction under population-
+    * weighted probes is Σ popᵢ²/N², a balanced layout pays 1/C, and
+    * the trigger fires when [[RebalanceServeBudget]] × IvfProbes ×
+    * (that excess) exceeds the one-time cost of a full reassignment
+    * pass (≡ 1.0 corpus scans). At 100 TB this decides WHEN to pay
+    * the retrain the tick path correctly never pays.
+    */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, cents, postings) = ivfAppendServeParts(spark, dir)
+    val r6 = graft.text.TextAnalysis.round6 _
+    val scored = postings
+      .join(broadcast(cents.select($"cid", $"ce", $"cn")), "cid")
+      .select(
+        $"cid",
+        floor(dot($"embedding", $"ce") / ($"nrm" * $"cn") * lit(IvfMeanScale) + lit(0.5))
+          .cast("long")
+          .as("q"),
+        when($"vec_id" % IvfNewMod =!= 0, 1L).otherwise(0L).as("isb")
+      )
+    val perCell = scored
+      .groupBy($"cid")
+      .agg(
+        sum($"isb").as("n_base"),
+        sum(lit(1L) - $"isb").as("n_ticked"),
+        count(lit(1)).as("n_total"),
+        sum(when($"isb" === 1L, $"q")).as("sb"),
+        sum(when($"isb" === 0L, $"q")).as("st")
+      )
+    val tot = perCell
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("c"))))
+      .groupBy()
+      .agg(
+        sum($"n_total").as("n"),
+        sum($"n_total" * $"n_total").as("sp"),
+        sum($"n_base").as("tb"),
+        sum($"n_ticked").as("tt"),
+        sum($"sb").as("tsb"),
+        sum($"st").as("tst"),
+        max($"c").as("c")
+      )
+      .withColumn("bal", expr("(n + c - 1) div c"))
+    val withTot = perCell.crossJoin(broadcast(tot))
+    val perRows = withTot.select(
+      $"cid",
+      $"n_base",
+      $"n_ticked",
+      $"n_total",
+      r6($"n_ticked".cast("double") / greatest($"n_base", lit(1L)).cast("double")).as("growth"),
+      r6(($"sb".cast("double") / $"n_base".cast("double")) / lit(IvfMeanScale)).as("base_cos"),
+      r6(($"st".cast("double") / $"n_ticked".cast("double")) / lit(IvfMeanScale)).as("tick_cos"),
+      r6(
+        ($"sb".cast("double") / $"n_base".cast("double") -
+          $"st".cast("double") / $"n_ticked".cast("double")) / lit(IvfMeanScale)
+      ).as("drift"),
+      r6(greatest($"n_total" - $"bal", lit(0L)).cast("double") / $"n".cast("double")).as("excess_frac"),
+      when($"n_ticked" > $"n_base", 1L).otherwise(0L).as("retrain")
+    )
+    val sumRow = withTot
+      .groupBy()
+      .agg(
+        max($"tb").as("tb"),
+        max($"tt").as("tt"),
+        max($"n").as("n"),
+        max($"tsb").as("tsb"),
+        max($"tst").as("tst"),
+        max($"sp").as("sp"),
+        max($"c").as("c"),
+        sum(greatest($"n_total" - $"bal", lit(0L))).as("excess")
+      )
+      .select(
+        lit(-1L).as("cid"),
+        $"tb".as("n_base"),
+        $"tt".as("n_ticked"),
+        $"n".as("n_total"),
+        r6($"tt".cast("double") / greatest($"tb", lit(1L)).cast("double")).as("growth"),
+        r6(($"tsb".cast("double") / $"tb".cast("double")) / lit(IvfMeanScale)).as("base_cos"),
+        r6(($"tst".cast("double") / $"tt".cast("double")) / lit(IvfMeanScale)).as("tick_cos"),
+        r6(
+          ($"tsb".cast("double") / $"tb".cast("double") -
+            $"tst".cast("double") / $"tt".cast("double")) / lit(IvfMeanScale)
+        ).as("drift"),
+        r6($"excess".cast("double") / $"n".cast("double")).as("excess_frac"),
+        when(
+          lit((RebalanceServeBudget * IvfProbes).toDouble) *
+            ($"sp".cast("double") / ($"n" * $"n").cast("double") - lit(1.0) / $"c".cast("double")) >= lit(1.0),
+          1L
+        ).otherwise(0L).as("retrain")
+      )
+    perRows.unionByName(sumRow).orderBy($"cid")
+  }
+
   /** Spec ledger: (non-empty micro-batches, posting rows) of the last
     * streaming vector-index build in this JVM.
     */
