@@ -95,6 +95,7 @@ object SparkEntry {
     "layout_snapshot_deletes" -> ((s, d) => graft.queries.Layout.snapshotDeletesScan(s, d)),
     "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
     "sim_ivf_balance" -> ((s, d) => graft.similarity.Similarity.ivfBalance(s, d)),
+    "sim_ivf_retrain" -> ((s, d) => graft.similarity.Similarity.annIvfRetrained(s, d)),
     "sim_ivf_compact" -> ((s, d) => graft.similarity.Similarity.annIvfCompacted(s, d)),
     "stream_ivf_ingest" -> ((s, d) => graft.similarity.Similarity.ivfStreamServe(s, d)),
     "sim_hard_negatives" -> ((s, d) => graft.similarity.Similarity.hardNegatives(s, d)),
@@ -401,6 +402,8 @@ object SparkEntry {
     "sim_ivf_delete" -> PipelineOracles.simIvfDelete,
     // cell census + drift + priced retrain trigger off the stored postings
     "sim_ivf_balance" -> PipelineOracles.simIvfBalance,
+    // fresh quantizer over the live set; old generation untouched
+    "sim_ivf_retrain" -> PipelineOracles.simIvfRetrain,
     // the compacted table IS the MoR serve's live set materialized:
     // identical answer, identical oracle
     "sim_ivf_compact" -> PipelineOracles.simIvfDelete,

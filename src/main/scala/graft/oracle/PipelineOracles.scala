@@ -984,6 +984,23 @@ object PipelineOracles {
           s" AND cell.vec_id >= ${Similarity.NumQueries})"
       )}""".stripMargin
 
+  /** Replays the RETRAINED index generation: quantizer trained on the
+    * LIVE set (append-family init offset, delete victims excluded from
+    * training), every vector assigned against the new centroids, probe
+    * candidates restricted to the live set — the blue/green rollover
+    * [[simIvfBalance]]'s trigger prices.
+    */
+  val simIvfRetrain: String = {
+    val live =
+      s"NOT (vec_id % ${Similarity.IvfDeleteMod} = ${Similarity.IvfDeleteRem}" +
+        s" AND vec_id >= ${Similarity.NumQueries})"
+    s"""WITH ${ivfCellCtesFor(live, Similarity.IvfAppendInitOffset)},
+       |${ivfProbeTailFor(
+        s"NOT (cell.vec_id % ${Similarity.IvfDeleteMod} = ${Similarity.IvfDeleteRem}" +
+          s" AND cell.vec_id >= ${Similarity.NumQueries})"
+      )}""".stripMargin
+  }
+
   /** Replays the IVF cell-rebalance audit: the append family's quantizer
     * training + whole-corpus assignment (cell_rank), then per-cell
     * base/ticked populations, integer-quantized mean own-centroid

@@ -795,6 +795,63 @@ object Similarity {
     )
   }
 
+  /** The RETRAIN — the maintenance verb [[ivfBalance]]'s priced trigger
+    * decides to run. Ticks assign against a frozen quantizer and
+    * deletes only tombstone, so after enough of both the audit's drift
+    * and bloat metrics degrade; retrain folds ALL accumulated
+    * maintenance into a fresh index generation: train a new quantizer
+    * over the LIVE vectors as stored in the index (postings ∖ DV — the
+    * index outlives its corpus files, so training reads the postings'
+    * own vectors, never a corpus re-scan), then reassign every live
+    * vector in one broadcast pass. The old generation's centroid and
+    * posting tables are NEVER touched (spec-pinned): the new generation
+    * is separate catalog state, the swap a reader makes by name — the
+    * blue/green index rollover every production vector store does,
+    * priced by the audit at one corpus pass + a Lloyd job over the
+    * live set.
+    */
+  private[graft] def ivfRetrainTables(spark: SparkSession, dir: String): (String, String) = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val ct = s"graft_ivfrt_cents_$fp"
+    val at = s"graft_ivfrt_asg_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_ivfrt_cents_", "graft_ivfrt_asg_"),
+      Seq(ct, at)
+    ) {
+      val (_, _, postings) = ivfAppendServeParts(spark, dir)
+      val live = postings
+        .join(broadcast(spark.table(ivfDvTable(spark, dir))), Seq("vec_id"), "left_anti")
+        .select($"vec_id", $"embedding", $"nrm")
+      lloydCentroids(live, IvfAppendInitOffset)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ct)
+      withVectors(assignCells(live, spark.table(ct)), live)
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(at)
+    }
+    (ct, at)
+  }
+
+  /** Registered query `sim_ivf_retrain`: the IVF serve from the
+    * RETRAINED index generation — fresh quantizer over the live set
+    * (deletes folded, tick drift absorbed), fresh postings, same probe
+    * contract. The serving plan reads the new generation's two catalog
+    * tables; the old append-family tables are untouched bystanders.
+    * IvfRetrainSpec pins generation isolation, full one-pass
+    * reassignment, victim exclusion, and serve equality with an
+    * independent from-scratch recompute.
+    */
+  def annIvfRetrained(spark: SparkSession, dir: String): DataFrame = {
+    val (ct, at) = ivfRetrainTables(spark, dir)
+    ivfServeFromPostings(corpusWithNorm(spark, dir), spark.table(ct), spark.table(at), IvfProbes)
+  }
+
   /** IVF probe-path serving where the posting rows carry their vectors:
     * query probes scored fresh against `cents` (broadcast), candidates
     * = probed posting rows, exact cosine re-rank directly on the stored
