@@ -96,6 +96,7 @@ object SparkEntry {
     "sim_ivf_delete" -> ((s, d) => graft.similarity.Similarity.annIvfDeleted(s, d)),
     "sim_ivf_balance" -> ((s, d) => graft.similarity.Similarity.ivfBalance(s, d)),
     "sim_ivf_retrain" -> ((s, d) => graft.similarity.Similarity.annIvfRetrained(s, d)),
+    "stream_ivf_takedown" -> ((s, d) => graft.similarity.Similarity.annIvfStreamDeleted(s, d)),
     "sim_ivf_compact" -> ((s, d) => graft.similarity.Similarity.annIvfCompacted(s, d)),
     "stream_ivf_ingest" -> ((s, d) => graft.similarity.Similarity.ivfStreamServe(s, d)),
     "sim_hard_negatives" -> ((s, d) => graft.similarity.Similarity.hardNegatives(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "dedup_index_delete" -> ((s, d) => Dedup.indexDeleted(s, d)),
+    "stream_dedup_takedown" -> ((s, d) => Dedup.indexStreamDeleted(s, d)),
     "dedup_incremental_capped" -> ((s, d) => Dedup.incrementalCapped(s, d)),
     "dedup_batch_admit" -> ((s, d) => Dedup.batchAdmit(s, d)),
     "dedup_index_compact" -> ((s, d) => Dedup.indexCompacted(s, d)),
@@ -180,6 +182,7 @@ object SparkEntry {
     "sim_pq_append" -> ((s, d) => graft.similarity.Pq.adcTopKAppended(s, d)),
     "stream_pq_ingest" -> ((s, d) => graft.similarity.Pq.adcTopKStreamed(s, d)),
     "sim_pq_delete" -> ((s, d) => graft.similarity.Pq.adcTopKDeleted(s, d)),
+    "stream_pq_takedown" -> ((s, d) => graft.similarity.Pq.adcTopKStreamDeleted(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -362,6 +365,8 @@ object SparkEntry {
     "dedup_incremental" -> PipelineOracles.dedupIncremental,
     // admission replayed with victims absent from both duplicate sources
     "dedup_index_delete" -> PipelineOracles.dedupIndexDelete,
+    // N streamed forget slices == the one-shot takedown's admission
+    "stream_dedup_takedown" -> PipelineOracles.dedupIndexDelete,
     // compaction materializes index ∖ DV: identical verdicts, identical oracle
     "dedup_index_compact" -> PipelineOracles.dedupIndexDelete,
     // hot index buckets leave before the batch×index candidate join
@@ -404,6 +409,8 @@ object SparkEntry {
     "sim_ivf_balance" -> PipelineOracles.simIvfBalance,
     // fresh quantizer over the live set; old generation untouched
     "sim_ivf_retrain" -> PipelineOracles.simIvfRetrain,
+    // N streamed tombstone slices == the one-shot delete's serve
+    "stream_ivf_takedown" -> PipelineOracles.simIvfDelete,
     // the compacted table IS the MoR serve's live set materialized:
     // identical answer, identical oracle
     "sim_ivf_compact" -> PipelineOracles.simIvfDelete,
@@ -432,6 +439,8 @@ object SparkEntry {
     "stream_pq_ingest" -> PipelineOracles.simPqAppend,
     // same replay, tombstoned victims excluded from the scored codes
     "sim_pq_delete" -> PipelineOracles.simPqDelete,
+    // the shared streamed tombstone feed, honored by the PQ serve
+    "stream_pq_takedown" -> PipelineOracles.simPqDelete,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

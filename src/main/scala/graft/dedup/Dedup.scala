@@ -844,6 +844,88 @@ object Dedup {
     )
   }
 
+  /** Spec ledger: (non-empty micro-batches, final DV rows) of the last
+    * streaming signature-index takedown drain in this JVM.
+    */
+  private[graft] val lastStreamDedupDel =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** The signature index's takedown queue drained THROUGH THE STREAM —
+    * the right-to-be-forgotten feed as it actually arrives in
+    * production: a continuous trickle of doc_ids, each micro-batch
+    * committing its own kilobyte tombstone slice. Index rows are never
+    * rewritten; the DV is a set union of disjoint slices, so N partial
+    * takedowns equal the one-shot [[indexDvTable]] EXACTLY
+    * (spec-pinned). This closes the streaming-delete column for the
+    * LAST maintained index family — with the unique dedup semantics
+    * that the drain changes future admission DECISIONS, not just
+    * serving (a forgotten doc's content re-admits).
+    */
+  private[graft] def indexStreamDvTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
+    val dvt = s"graft_dedupsd_dv_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_dedupsd_dv_"), Seq(dvt)) {
+      spark.sql(s"DROP TABLE IF EXISTS $dvt")
+      val frag = graft.queries.Layout.tmpDirOnce("graft_dedupsdq_", fp) { path =>
+        Tables
+          .documents(spark, dir)
+          .filter($"doc_id" % NewBatchMod =!= 0 && $"doc_id" % IndexDeleteMod === IndexDeleteRem)
+          .select($"doc_id")
+          .repartition(6)
+          .write
+          .mode("overwrite")
+          .parquet(path)
+      }
+      val chk = java.nio.file.Files.createTempDirectory("graft_dedupsdchk_").toString
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, _: java.lang.Long) =>
+          if (!df.isEmpty) {
+            df.coalesce(1).write.mode("append").format("parquet").saveAsTable(dvt)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$chk/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
+      lastStreamDedupDel.set((batches.get, spark.table(dvt).count()))
+      ()
+    }
+    dvt
+  }
+
+  /** Registered query `stream_dedup_takedown`: ingest admission after
+    * the forget queue drained through the stream — identical verdicts
+    * (and oracle) to [[indexDeleted]], because the accumulated
+    * tombstone slices union to the same victim set and admission runs
+    * the unchanged pipeline over `stored index ∖ DV` (one broadcast
+    * LeftAnti probe; victims can't source candidates, so the
+    * verification fetch stays batch-bounded).
+    */
+  def indexStreamDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val live = spark
+      .table(incrementalIndexTable(spark, dir))
+      .join(broadcast(spark.table(indexStreamDvTable(spark, dir))), Seq("doc_id"), "left_anti")
+    dedupBatchAgainstIndexDf(
+      spark,
+      live,
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+    )
+  }
+
   /** COMPACTION — the fourth lifecycle verb, signature-index edition.
     * MoR takedown keeps the delete kilobyte-cheap but charges EVERY
     * ingest tick the DV anti-join before admission; compaction rewrites

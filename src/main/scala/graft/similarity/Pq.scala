@@ -352,6 +352,30 @@ object Pq {
     )
   }
 
+  /** Registered query `stream_pq_takedown`: the PQ serve after the
+    * SHARED vector-takedown queue drained through the stream
+    * ([[Similarity.ivfStreamDvTable]] — ONE continuous tombstone feed
+    * whose accumulated slices every vector index honors, exactly as the
+    * one-shot delete family shares [[Similarity.ivfDvTable]]; a
+    * takedown list is a property of the corpus, not of any one index).
+    * Identical output (and oracle) to [[adcTopKDeleted]]: the unioned
+    * slices are the same victim set, anti-joined before the ADC scan
+    * (victims' codes never scored) and before the exact-refine tail.
+    * Codebooks, stored codes, and stored vectors are untouched by any
+    * number of streamed commits — PqAppendSpec pins it.
+    */
+  def adcTopKStreamDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (codes, lut, queries, vecs) = adcAppendParts(spark, dir)
+    val dv = broadcast(spark.table(Similarity.ivfStreamDvTable(spark, dir)))
+    adcServeFrom(
+      codes.join(dv, Seq("vec_id"), "left_anti"),
+      lut,
+      queries,
+      vecs.join(dv, Seq("vec_id"), "left_anti")
+    )
+  }
+
   /** Spec ledger: (non-empty micro-batches, code rows) of the last
     * streaming PQ-index build in this JVM.
     */

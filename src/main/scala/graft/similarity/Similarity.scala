@@ -546,6 +546,88 @@ object Similarity {
     ivfServeFromPostings(emb, cents, live, IvfProbes)
   }
 
+  /** Spec ledger: (non-empty micro-batches, final DV rows) of the last
+    * streaming vector-takedown drain in this JVM.
+    */
+  private[graft] val lastStreamIvfDel =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Long)]((0, 0L))
+
+  /** The vector index's takedown queue drained THROUGH THE STREAM — the
+    * delete verb's continuous form for the third serving-index family,
+    * symmetric with `stream_bm25_takedown` and `stream_layout_takedown`:
+    * victim vec_ids arrive as a Structured Streaming file source and
+    * `foreachBatch` IS the delete commit — each batch appends its own
+    * kilobyte id slice to the tombstone table. The quantizer and the
+    * stored postings are never touched (the FAISS IDSelector contract,
+    * streamed); because the DV is a set union of disjoint id slices,
+    * N partial takedowns equal the one-shot [[ivfDvTable]] EXACTLY
+    * (spec-pinned). Per-trigger cost ∝ that batch's victims at any
+    * corpus size.
+    */
+  private[graft] def ivfStreamDvTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val dvt = s"graft_ivfsd_dv_$fp"
+    graft.queries.Relational.buildOnce(spark, Seq("graft_ivfsd_dv_"), Seq(dvt)) {
+      spark.sql(s"DROP TABLE IF EXISTS $dvt")
+      val frag = graft.queries.Layout.tmpDirOnce("graft_ivfsdq_", fp) { path =>
+        corpusWithNorm(spark, dir)
+          .filter($"vec_id" % IvfDeleteMod === IvfDeleteRem && $"vec_id" >= NumQueries)
+          .select($"vec_id")
+          .repartition(6)
+          .write
+          .mode("overwrite")
+          .parquet(path)
+      }
+      val chk = java.nio.file.Files.createTempDirectory("graft_ivfsdchk_").toString
+      val schema = spark.read.parquet(frag).schema
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(frag)
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      val q = stream.writeStream
+        .foreachBatch { (df: DataFrame, _: java.lang.Long) =>
+          if (!df.isEmpty) {
+            df.coalesce(1).write.mode("append").format("parquet").saveAsTable(dvt)
+            batches.incrementAndGet()
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$chk/_chk")
+        .start()
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      }
+      lastStreamIvfDel.set((batches.get, spark.table(dvt).count()))
+      ()
+    }
+    dvt
+  }
+
+  /** Registered query `stream_ivf_takedown`: the append-maintained IVF
+    * serve AFTER the takedown queue drained through the stream —
+    * identical ranking (and oracle) to [[annIvfDeleted]], because the
+    * accumulated tombstone slices union to the same victim set and the
+    * serve is the same one-broadcast-probe anti-join over the probed
+    * posting lists. This closes the streaming-delete column across all
+    * three serving-index families (lexical, layout, vector): continuous
+    * ingest AND continuous takedown both commit kilobytes per trigger,
+    * and neither ever rebuilds an index.
+    */
+  def annIvfStreamDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (emb, cents, postings) = ivfAppendServeParts(spark, dir)
+    val live = postings.join(
+      broadcast(spark.table(ivfStreamDvTable(spark, dir))),
+      Seq("vec_id"),
+      "left_anti"
+    )
+    ivfServeFromPostings(emb, cents, live, IvfProbes)
+  }
+
   // ---- IVF cell-rebalance audit ----------------------------------------
 
   /** Serve budget between maintenance passes — the rebalance analog of

@@ -201,4 +201,30 @@ class IngestSpec extends AnyFunSuite {
       assert(keep >= uKeep, s"doc $id: a capped verdict can only flip toward ADMIT")
     }
   }
+
+  test("stream takedown: tombstone slices accumulate; admission == the one-shot takedown") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val idx = Dedup.incrementalIndexTable(spark, dir)
+    val rowsBefore = spark.table(idx).count()
+
+    val got = Dedup.indexStreamDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    val (batches, dvRows) = Dedup.lastStreamDedupDel.get()
+    assert(batches >= 3, s"the 6-file / 2-per-trigger queue must drain in >=3 micro-batches ($batches)")
+    assert(spark.table(idx).count() === rowsBefore, "takedown must never rewrite index rows")
+
+    // the accumulated tombstone slices union to the one-shot victim set
+    val oneShot = spark.table(Dedup.indexDvTable(spark, dir)).select($"doc_id")
+    val streamed = spark.table(Dedup.indexStreamDvTable(spark, dir)).select($"doc_id")
+    assert(dvRows === oneShot.count())
+    assert(streamed.except(oneShot).isEmpty && oneShot.except(streamed).isEmpty)
+
+    // admission over index \ streamed-DV == the one-shot takedown's verdicts
+    val want = Dedup.indexDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === want)
+
+    // a repeat serve is catalog-only: the drain never re-runs
+    Dedup.indexStreamDeleted(spark, dir).collect()
+    assert(Dedup.lastStreamDedupDel.get() === ((batches, dvRows)))
+  }
 }

@@ -40,4 +40,33 @@ class IvfStreamSpec extends AnyFunSuite {
     Similarity.ivfStreamServe(spark, dir).collect()
     assert(Similarity.lastStreamIvf.get() === ((batches, postRows)))
   }
+
+  test("stream takedown: per-batch tombstone slices, index untouched, N partials == one-shot") {
+    import spark.implicits._
+    val (ct, at) = Similarity.ivfAppendTables(spark, dir)
+    val centsBefore = spark.table(ct).collect().map(_.toString).sorted.toSeq
+    val postBefore = spark.table(at).count()
+
+    val served = Similarity.annIvfStreamDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    val (batches, dvRows) = Similarity.lastStreamIvfDel.get()
+    assert(batches >= 3, s"the 6-file / 2-per-trigger queue must drain in >=3 micro-batches ($batches)")
+
+    // no takedown commit touched the quantizer or the stored postings
+    assert(spark.table(ct).collect().map(_.toString).sorted.toSeq === centsBefore)
+    assert(spark.table(at).count() === postBefore, "takedown must never rewrite postings")
+
+    // the accumulated tombstone slices union to the one-shot victim set
+    val oneShot = spark.table(Similarity.ivfDvTable(spark, dir)).select($"vec_id")
+    val streamed = spark.table(Similarity.ivfStreamDvTable(spark, dir)).select($"vec_id")
+    assert(dvRows === oneShot.count())
+    assert(streamed.except(oneShot).isEmpty && oneShot.except(streamed).isEmpty)
+
+    // the streamed serve answers exactly the one-shot delete serve
+    val want = Similarity.annIvfDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    assert(served === want)
+
+    // a repeat serve is catalog-only: the drain never re-runs
+    Similarity.annIvfStreamDeleted(spark, dir).collect()
+    assert(Similarity.lastStreamIvfDel.get() === ((batches, dvRows)))
+  }
 }

@@ -157,4 +157,16 @@ class PqAppendSpec extends AnyFunSuite {
       spark.table(Similarity.ivfDvTable(spark, dir)).collect().map(_.getLong(0)).toSet === victims
     )
   }
+
+  test("stream takedown: the shared streamed tombstone feed drives the PQ serve == one-shot delete") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Pq.adcTopKStreamDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    val want = Pq.adcTopKDeleted(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got === want, "the streamed tombstone union must serve the one-shot delete's ranking")
+    // ONE takedown feed per corpus: the streamed DV the PQ serve honors
+    // is the vector family's shared queue, and it equals the one-shot DV
+    val ivfDv = spark.table(Similarity.ivfDvTable(spark, dir)).collect().map(_.getLong(0)).toSet
+    val sDv = spark.table(Similarity.ivfStreamDvTable(spark, dir)).collect().map(_.getLong(0)).toSet
+    assert(sDv === ivfDv)
+  }
 }
