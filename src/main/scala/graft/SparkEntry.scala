@@ -183,6 +183,7 @@ object SparkEntry {
     "stream_pq_ingest" -> ((s, d) => graft.similarity.Pq.adcTopKStreamed(s, d)),
     "sim_pq_delete" -> ((s, d) => graft.similarity.Pq.adcTopKDeleted(s, d)),
     "stream_pq_takedown" -> ((s, d) => graft.similarity.Pq.adcTopKStreamDeleted(s, d)),
+    "sim_pq_compact" -> ((s, d) => graft.similarity.Pq.adcTopKCompacted(s, d)),
     // Text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -441,6 +442,8 @@ object SparkEntry {
     "sim_pq_delete" -> PipelineOracles.simPqDelete,
     // the shared streamed tombstone feed, honored by the PQ serve
     "stream_pq_takedown" -> PipelineOracles.simPqDelete,
+    // live codes/vectors rewritten once; DV-free serve, same replay
+    "sim_pq_compact" -> PipelineOracles.simPqDelete,
     "text_langid" -> PipelineOracles.textLangId,
     "text_quality" -> PipelineOracles.textQuality,
     "text_tokens" -> PipelineOracles.textTokens,

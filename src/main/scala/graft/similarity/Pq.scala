@@ -462,6 +462,61 @@ object Pq {
     adcServeFrom(spark.table(kt), queryLut(emb, cents), queries, spark.table(vt))
   }
 
+  /** COMPACTION — the fourth lifecycle verb, PQ edition, completing the
+    * compact column across every serving-index family (bm25, IVF,
+    * signature, layout already have theirs). The MoR delete serve pays
+    * two DV anti-joins per query (codes before ADC, vectors before
+    * refine) plus the pending-tick encode; compaction pays that debt
+    * ONCE: the live 6-byte code rows and the live vector-store rows
+    * are each rewritten in a single narrow pass (no re-encode, no
+    * codebook work, no corpus scan — survivors ride through verbatim,
+    * spec-pinned), and the compacted serve is back to a fresh build's
+    * two-table scan with no DV probe anywhere. Codebooks are shared
+    * with the append family, untouched.
+    */
+  private[graft] def pqCompactTables(spark: SparkSession, dir: String): (String, String) = {
+    import org.apache.spark.sql.functions.broadcast
+    val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
+    val kt = s"graft_pqcmp_codes_$fp"
+    val vt = s"graft_pqcmp_vecs_$fp"
+    graft.queries.Relational.buildOnce(
+      spark,
+      Seq("graft_pqcmp_codes_", "graft_pqcmp_vecs_"),
+      Seq(kt, vt)
+    ) {
+      val (codes, _, _, vecs) = adcAppendParts(spark, dir)
+      val dv = broadcast(spark.table(Similarity.ivfDvTable(spark, dir)))
+      codes
+        .join(dv, Seq("vec_id"), "left_anti")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(kt)
+      vecs
+        .join(dv, Seq("vec_id"), "left_anti")
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(vt)
+    }
+    (kt, vt)
+  }
+
+  /** Registered query `sim_pq_compact`: ADC + exact refine from the
+    * COMPACTED code and vector tables — identical output (and oracle)
+    * to [[adcTopKDeleted]], because live codes ∖ DV and live vectors ∖
+    * DV are exactly what the MoR serve derives per query; compaction
+    * just materializes them. The serve plan reads two catalog tables
+    * and the shared codebooks: no anti-join, no pending-tick encode,
+    * no corpus file anywhere. PqAppendSpec pins row-level survivor
+    * preservation and serve equality.
+    */
+  def adcTopKCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val (kt, vt) = pqCompactTables(spark, dir)
+    val (_, lut, queries, _) = adcAppendParts(spark, dir)
+    adcServeFrom(spark.table(kt), lut, queries, spark.table(vt))
+  }
+
   /** The maintained index's serve inputs: stored codes ∪ the in-flight
     * batch's encoding (anti-joined on already-ticked ids), the
     * query-side LUT off the stored codebooks, and the maintained

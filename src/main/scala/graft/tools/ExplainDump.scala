@@ -101,7 +101,15 @@ object ExplainDump {
     "sim_hybrid_rerank_pq" -> "same K-row RRF fusion, semantic source swapped to the IVF-PQ index: probed posting lists bound WHICH vectors are ADC-scored, stored 6-byte codes bound the BYTES, fixed 50-row exact tail — the hybrid serve inherits sim_ivf_pq's bounded-scan shape",
     "text_classifier" -> "trained pooled-NB scoring: vocab-bounded model broadcasts, held-out token rows score map-side, per-doc argmax partial-combines (one row per doc shuffles) — the corpus text never shuffles",
     "text_shuffle_shards" -> "deterministic shard shuffle: map-side shard = md5 mod S, position from a WITHIN-shard window — the only exchange is shard-keyed; no corpus-wide total order",
-    "sim_ivf_append" -> "serving over the maintained index: centroids AND postings are catalog table scans (no Lloyd jobs); only the not-yet-persisted slice of the arriving batch is assigned in-flight (anti-join vs the ticked ids), and the exact re-rank reads vectors stored IN the postings — no corpus join, so out-of-corpus ingested vectors are servable"
+    "sim_ivf_append" -> "serving over the maintained index: centroids AND postings are catalog table scans (no Lloyd jobs); only the not-yet-persisted slice of the arriving batch is assigned in-flight (anti-join vs the ticked ids), and the exact re-rank reads vectors stored IN the postings — no corpus join, so out-of-corpus ingested vectors are servable",
+    "stream_layout_takedown" -> "the GDPR queue's continuous form: each micro-batch commits its own kilobyte key-delete file, data files byte-identical across the drain; the serve is scan ∖ union(DV commits) via ONE broadcast LeftAnti probe, identical to the one-shot MoR serve",
+    "mv_vacuum" -> "MV retention: expire all but the last K versions, physically delete only version dirs no retained snapshot references (live-set discipline); retained time travel reads are unchanged groups-sized artifact selections",
+    "layout_spec_evolution" -> "partition-spec evolution as metadata: each segment records its own spec in the _spec ledger, and scan planning prunes every segment under ITS spec before the residual predicate — old files never rewritten",
+    "sim_ivf_balance" -> "the index-health audit in one narrow pass: stored postings ⋈ broadcast centroids, per-cell census + integer-quantized drift partial-aggregated; the priced retrain trigger (Σpop²/N² vs 1/C read-tax) computes from the census — no Lloyd, no pairwise work",
+    "sim_ivf_retrain" -> "the blue/green rollover the balance audit prices: fresh quantizer over the LIVE set read from the stored postings (no corpus re-scan), one broadcast reassignment pass, new catalog generation; the serve is an ordinary two-table IVF probe plan",
+    "stream_ivf_takedown" -> "the vector takedown queue streamed: each trigger appends a kilobyte tombstone slice; the serve anti-joins the accumulated union over the probed posting lists exactly like the one-shot DV — quantizer and postings untouched by any number of commits",
+    "stream_dedup_takedown" -> "the forget queue streamed into the signature index: per-trigger tombstone slices accumulate, and the UNCHANGED admission pipeline runs over index ∖ union(slices) — takedown changes future admission decisions, never index rows",
+    "sim_pq_compact" -> "the PQ compaction: live 6-byte codes and live vector-store rows rewritten once each (no re-encode, survivors verbatim); the compacted serve reads two catalog tables with no DV anti-join and no pending-tick encode anywhere"
   )
 
   def main(args: Array[String]): Unit = {

@@ -169,4 +169,31 @@ class PqAppendSpec extends AnyFunSuite {
     val sDv = spark.table(Similarity.ivfStreamDvTable(spark, dir)).collect().map(_.getLong(0)).toSet
     assert(sDv === ivfDv)
   }
+
+  test("compact: survivors ride through verbatim; DV-free serve == the MoR delete serve") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val (kt, vt) = Pq.pqCompactTables(spark, dir)
+
+    // row-level preservation: compacted codes == live codes exactly
+    // (compaction drops victims, it never re-encodes survivors)
+    val (codes, _, _, vecs) = Pq.adcAppendParts(spark, dir)
+    val dv = spark.table(Similarity.ivfDvTable(spark, dir))
+    val liveCodes = codes.join(dv, Seq("vec_id"), "left_anti")
+    assert(spark.table(kt).except(liveCodes).isEmpty && liveCodes.except(spark.table(kt)).isEmpty)
+    val liveVecIds = vecs.join(dv, Seq("vec_id"), "left_anti").select($"vec_id")
+    val cmpVecIds = spark.table(vt).select($"vec_id")
+    assert(cmpVecIds.except(liveVecIds).isEmpty && liveVecIds.except(cmpVecIds).isEmpty)
+    assert(spark.table(vt).join(dv, Seq("vec_id"), "left_semi").isEmpty, "no victim survives compaction")
+
+    // serve equality with the MoR delete serve; the compacted plan has
+    // no DV anti-join anywhere
+    val served = Pq.adcTopKCompacted(spark, dir)
+    assert(served.collect().map(_.toSeq).toSeq ===
+      Pq.adcTopKDeleted(spark, dir).collect().map(_.toSeq).toSeq)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), "the compacted serve must be DV-free")
+    val analyzed = served.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_pqcmp_codes_") && analyzed.contains("graft_pqcmp_vecs_"))
+  }
 }
