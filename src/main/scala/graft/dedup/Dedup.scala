@@ -824,12 +824,19 @@ object Dedup {
     * doesn't just stop SERVING it, it changes future DECISIONS — a
     * batch doc whose only duplicate source was a victim flips to
     * ADMITTED (a forgotten document's content is ingestible again).
-    * The serve is [[dedupBatchAgainstIndex]] verbatim over
+    * The serve is [[incrementalCapped]]'s admission verbatim over
     * `stored index ∖ DV` (one broadcast LeftAnti probe); victims can't
     * produce candidates, so the verification fetch stays batch-bounded
-    * exactly as before. The oracle replays admission with the victims
-    * absent from both duplicate sources; IngestSpec pins the planted
-    * flip.
+    * exactly as before. The admission rides the CAPPED arm — hot LIVE
+    * index band buckets (population counted after the DV anti-join)
+    * leave before the batch×index candidate join, exactly like every
+    * other registered admission serve; the r15 probe measured the
+    * uncapped arm at 46.6 s vs the capped band's ~16 s at sf10, the
+    * Σ batch_df×index_df superlinearity the cap exists to kill. The
+    * oracle replays admission with the victims absent from both
+    * duplicate sources AND the same live-bucket cap; IngestSpec pins
+    * the planted flip (conservative direction unchanged: capped
+    * candidates ⊆ uncapped, verdicts only flip toward ADMIT).
     */
   def indexDeleted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -840,7 +847,8 @@ object Dedup {
       spark,
       live,
       Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
-      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0),
+      indexBucketCap = Some(MinhashBucketCap)
     )
   }
 
@@ -877,29 +885,11 @@ object Dedup {
           .mode("overwrite")
           .parquet(path)
       }
-      val chk = java.nio.file.Files.createTempDirectory("graft_dedupsdchk_").toString
-      val schema = spark.read.parquet(frag).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(frag)
-      val batches = new java.util.concurrent.atomic.AtomicInteger
-      val q = stream.writeStream
-        .foreachBatch { (df: DataFrame, _: java.lang.Long) =>
-          if (!df.isEmpty) {
-            df.coalesce(1).write.mode("append").format("parquet").saveAsTable(dvt)
-            batches.incrementAndGet()
-          }
-          ()
-        }
-        .option("checkpointLocation", s"$chk/_chk")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
-      }
-      lastStreamDedupDel.set((batches.get, spark.table(dvt).count()))
+      // crash-safe drain: per-batch staged slices, table committed only
+      // after a complete drain (see StreamDrain scaladoc — a partial
+      // first-batch-created table must never satisfy build-once)
+      val batches = graft.streaming.StreamDrain.drainToTable(spark, frag, dvt)
+      lastStreamDedupDel.set((batches, spark.table(dvt).count()))
       ()
     }
     dvt
@@ -911,7 +901,9 @@ object Dedup {
     * tombstone slices union to the same victim set and admission runs
     * the unchanged pipeline over `stored index ∖ DV` (one broadcast
     * LeftAnti probe; victims can't source candidates, so the
-    * verification fetch stays batch-bounded).
+    * verification fetch stays batch-bounded). Rides the same capped
+    * admission arm as [[indexDeleted]] — see that scaladoc for the
+    * live-bucket cap semantics and the sf10 numbers.
     */
   def indexStreamDeleted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -922,7 +914,8 @@ object Dedup {
       spark,
       live,
       Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
-      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0),
+      indexBucketCap = Some(MinhashBucketCap)
     )
   }
 
@@ -958,7 +951,9 @@ object Dedup {
     * MoR serve derives per tick; compaction just materializes it, so
     * the admission plan loses the broadcast anti-join and the
     * right-to-be-forgotten flips survive verbatim. IngestSpec pins
-    * row-level preservation and the DV-free plan.
+    * row-level preservation and the DV-free plan. Rides the capped
+    * admission arm like [[indexDeleted]] (bucket census over the
+    * compacted table = the live census by construction).
     */
   def indexCompacted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -966,7 +961,8 @@ object Dedup {
       spark,
       spark.table(compactedIndexTable(spark, dir)),
       Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod === 0),
-      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0)
+      Tables.documentsFanned(spark, dir).filter($"doc_id" % NewBatchMod =!= 0),
+      indexBucketCap = Some(MinhashBucketCap)
     )
   }
 

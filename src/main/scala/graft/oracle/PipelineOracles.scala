@@ -296,10 +296,13 @@ object PipelineOracles {
     * victims absent from BOTH duplicate sources (exact-hash and banded
     * candidates) — a batch doc whose only match was a victim flips to
     * admitted, the right-to-be-forgotten semantics the spec pins on a
-    * planted pair.
+    * planted pair. Replays the CAPPED admission arm the delete-family
+    * serves ride (live-bucket census: victims leave before population
+    * is counted), mirroring Dedup.indexDeleted.
     */
-  val dedupIndexDelete: String = dedupIncrementalReplay(c =>
-    s"NOT ($c % ${Dedup.IndexDeleteMod} = ${Dedup.IndexDeleteRem})"
+  val dedupIndexDelete: String = dedupIncrementalReplay(
+    c => s"NOT ($c % ${Dedup.IndexDeleteMod} = ${Dedup.IndexDeleteRem})",
+    bucketCap = Some(Dedup.MinhashBucketCap)
   )
 
   /** Capped-ingest replay: INDEX band buckets with population over
@@ -393,10 +396,14 @@ object PipelineOracles {
       corpusLive: String => String,
       bucketCap: Option[Int] = None
   ): String = {
+    // the bucket census runs over the LIVE index view (victims absent),
+    // mirroring the engine: dedupBatchAgainstIndexDf counts bucket
+    // population on the frame it is handed, which for the delete family
+    // is `stored ∖ DV` — so a victim leaving a bucket can re-enable it
     val capCte = bucketCap
       .map(c =>
         s"""idxbc AS (SELECT band, v1, v2 FROM bands
-           |  WHERE doc_id % ${Dedup.NewBatchMod} <> 0
+           |  WHERE doc_id % ${Dedup.NewBatchMod} <> 0 AND ${corpusLive("doc_id")}
            |  GROUP BY 1, 2, 3 HAVING count(*) <= $c),
            |""".stripMargin
       )
@@ -1312,12 +1319,12 @@ object PipelineOracles {
     * ([[simHybridRerankPq]]). Expects [[ivfCellCtes]] + [[pqCodesCtes]]
     * earlier in the WITH.
     */
-  private val ipqCtes: String =
+  private def ipqCtesLive(liveSql: String): String =
     s"""ipq_probe AS (SELECT vec_id AS query_id, cid FROM cell_rank
        |  WHERE vec_id < ${Similarity.NumQueries} AND rn <= ${Similarity.IvfProbes}),
        |ipq_cand AS (SELECT p.query_id, cell.vec_id
        |  FROM cell JOIN ipq_probe p ON cell.cid = p.cid
-       |  WHERE cell.vec_id <> p.query_id),
+       |  WHERE cell.vec_id <> p.query_id AND ($liveSql)),
        |ipq_n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed
        |  FROM ipq_cand GROUP BY 1),
        |ipq_adc AS (SELECT c.query_id, c.vec_id,
@@ -1342,6 +1349,8 @@ object PipelineOracles {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY xdot DESC, vec_id) AS INT) AS rank
        |  FROM ipq_refined)""".stripMargin
+
+  private val ipqCtes: String = ipqCtesLive("TRUE")
 
   /** Filtered-ANN replay: same IVF chain, the label predicate applied
     * to candidates (pre-filter, exactly where the engine drops them —
@@ -1421,6 +1430,25 @@ object PipelineOracles {
     s"""WITH $ivfCellCtes,
        |$pqCodesCtes,
        |$ipqCtes
+       |SELECT r.query_id, r.vec_id AS neighbor_id, r.rank,
+       |  ${round6Sql("r.xdot")} AS dot, ${round6Sql("r.adc_dot")} AS adc_dot,
+       |  n.n_probed
+       |FROM ipq_rerank r JOIN ipq_n n ON n.query_id = r.query_id
+       |WHERE r.rank <= ${Pq.PqTopK} ORDER BY r.query_id, r.rank""".stripMargin
+
+  /** Replays the composed IVF-PQ serve after the takedown: the same
+    * probe → ADC → refine chain with the DV's victim predicate applied
+    * to the probed candidate lists (exactly where the engine drops
+    * them — before any code row is scored), so n_probed counts live
+    * candidates and victims are absent at any rank.
+    */
+  val simIvfPqDeleted: String =
+    s"""WITH $ivfCellCtes,
+       |$pqCodesCtes,
+       |${ipqCtesLive(
+        s"NOT (cell.vec_id % ${Similarity.IvfDeleteMod} = ${Similarity.IvfDeleteRem}" +
+          s" AND cell.vec_id >= ${Similarity.NumQueries})"
+      )}
        |SELECT r.query_id, r.vec_id AS neighbor_id, r.rank,
        |  ${round6Sql("r.xdot")} AS dot, ${round6Sql("r.adc_dot")} AS adc_dot,
        |  n.n_probed
