@@ -16,11 +16,15 @@ object Bench {
 
     // Pre-bench load gate: the end-of-round driver windows historically
     // tripped adjudications purely from host contention (r10: 19, r11:
-    // 8) while quiet windows trip zero. Wait (bounded) for the 1-min
-    // loadavg to fall below the threshold before the first timed query,
-    // and record the gate evidence in the detail JSON so a contended
-    // window is visible in the artifact instead of inferred post-hoc.
-    val gateThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "16.0").toDouble
+    // 8, r15: 30 — the r15 window started at loadavg 4.95 under the old
+    // threshold of 16 and ran at 2–13.7) while quiet windows trip zero.
+    // Wait (bounded) for the 1-min loadavg to fall below the threshold
+    // before the first timed query, and record the gate evidence in the
+    // detail JSON so a contended window is visible in the artifact
+    // instead of inferred post-hoc. Default 5.0: the same threshold the
+    // probe tools use for quiet-window scale rows — a gate of 16 on a
+    // 32-CPU host documents contention without preventing it.
+    val gateThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "5.0").toDouble
     val gateMaxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_MAX_WAIT", "600").toInt
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadavg: Double = os.getSystemLoadAverage
@@ -157,6 +161,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(2)(_._2)},"failed":$failed,"sf":"$sfDir"}"""
     )
+    // session-end warehouse ledger + stale-fingerprint sweep (stderr:
+    // the stdout contract is the single JSON line above)
+    System.err.println(graft.queries.Relational.warehouseHygiene(spark))
     spark.stop()
   }
 }

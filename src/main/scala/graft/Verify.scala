@@ -42,6 +42,9 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // session-end warehouse ledger + stale-fingerprint sweep (Verify
+    // runs against ./spark-warehouse, which persists across JVMs)
+    System.err.println(graft.queries.Relational.warehouseHygiene(spark))
     spark.stop()
   }
 }

@@ -690,7 +690,39 @@ object Relational {
       }
       entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     }
-    md.digest().take(6).map("%02x".format(_)).mkString
+    val fp = md.digest().take(6).map("%02x".format(_)).mkString
+    sessionFps.add(fp)
+    fp
+  }
+
+  /** Every fingerprint this JVM derived — the live set for the
+    * session-end warehouse hygiene sweep ([[warehouseHygiene]]).
+    */
+  private val sessionFps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Session-end warehouse hygiene: one ledger line (live artifact dirs,
+    * bytes) plus a retirement sweep of `graft_*` dirs whose name carries
+    * NO fingerprint this session derived — the dead artifacts a
+    * multi-decade probe session (or a warehouse shared across rounds)
+    * would otherwise accumulate without bound, since buildOnce's
+    * per-prefix sweep only fires for prefixes the session rebuilds.
+    * Child fingerprints (`<fp>e<epoch>`) contain the parent fp, so a
+    * substring match keeps them with their parent. Call only at
+    * session end (Bench/Verify), after the last query.
+    */
+  private[graft] def warehouseHygiene(spark: SparkSession): String = {
+    val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(warehouse)) return "[warehouse] empty"
+    val live = scala.collection.immutable.Set.from(
+      scala.jdk.CollectionConverters.SetHasAsScala(sessionFps).asScala
+    )
+    val entries = fs.listStatus(warehouse).filter(_.getPath.getName.startsWith("graft_"))
+    val (kept, stale) = entries.partition(st => live.exists(fp => st.getPath.getName.contains(fp)))
+    stale.foreach(st => fs.delete(st.getPath, true))
+    val bytes = kept.map(st => fs.getContentSummary(st.getPath).getLength).sum
+    s"[warehouse] ${kept.length} live artifact dirs, $bytes bytes; retired ${stale.length} stale"
   }
 
   // serializes bucket-table builds: two first callers racing on the same
@@ -739,6 +771,18 @@ object Relational {
     * incremental-dedup signature index so the build/retire semantics
     * can't drift between call sites.
     */
+  /** Completion sentinel for multi-table builds whose tables come into
+    * existence DURING the build (stream-maintained indexes: the first
+    * micro-batch creates the postings table) — the catalog edition of
+    * the layout family's _SUCCESS-written-last discipline. Include the
+    * sentinel in the buildOnce guard list and write it at the END of
+    * the build: a crash mid-drain leaves the sentinel missing, so the
+    * next call retires the partial tables and rebuilds from batch 0
+    * instead of silently serving a half-drained index.
+    */
+  private[graft] def writeDoneSentinel(spark: SparkSession, doneTable: String): Unit =
+    spark.range(1).write.mode("overwrite").format("parquet").saveAsTable(doneTable)
+
   private[graft] def buildOnce(
       spark: SparkSession,
       prefixes: Seq[String],

@@ -399,10 +399,13 @@ object Pq {
     val ct = s"graft_pqs_cents_$fp"
     val kt = s"graft_pqs_codes_$fp"
     val vt = s"graft_pqs_vecs_$fp"
+    // codes/vector tables are created by the first micro-batch: guard
+    // on a drain-complete sentinel (Relational.writeDoneSentinel)
+    val done = s"graft_pqs_done_$fp"
     graft.queries.Relational.buildOnce(
       spark,
-      Seq("graft_pqs_cents_", "graft_pqs_codes_", "graft_pqs_vecs_"),
-      Seq(ct, kt, vt)
+      Seq("graft_pqs_cents_", "graft_pqs_codes_", "graft_pqs_vecs_", "graft_pqs_done_"),
+      Seq(ct, kt, vt, done)
     ) {
       val (act, _, _) = pqAppendTables(spark, dir)
       val frag = graft.queries.Layout.tmpDirOnce("graft_pqsrc_", fp) { path =>
@@ -439,6 +442,7 @@ object Pq {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
       }
       lastStreamPq.set((batches.get, spark.table(kt).count()))
+      graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }
     (ct, kt, vt)
@@ -657,10 +661,50 @@ object Pq {
       .select($"vec_id".as("doc_id"), $"xrank".cast("long").as("sem_rank"))
   }
 
+  /** Registered query `sim_ivf_pq_delete`: the composed IVF-PQ serve
+    * AFTER a takedown commit — the DV story on the index a 100 TB
+    * deployment actually serves from. The flat-ADC delete
+    * (`sim_pq_delete`) pays its anti-joins against ALL code rows
+    * (linear in code count by design); here the shared corpus DV
+    * ([[Similarity.ivfDvTable]] — the same kilobyte victim table the
+    * IVF and PQ delete serves consume) applies as ONE broadcast
+    * anti-join on the PROBED posting lists, before any code row is
+    * ADC-scored: per query the delete costs a probe-bounded probe-set
+    * filter, not a corpus pass. Probes bound WHICH vectors are scored,
+    * codes bound the BYTES scored, the DV bounds them to the LIVE set —
+    * all three scale mechanisms compose in one plan (spec-pinned:
+    * probes + DV anti-join + ADC + refine; victims absent at any
+    * rank).
+    */
+  def ivfPqTopKDeleted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dv = spark.table(Similarity.ivfDvTable(spark, dir))
+    val (refined, nCand) = ivfPqChain(spark, dir, dv = Some(dv))
+    refined
+      .filter($"xrank" <= PqTopK)
+      .join(nCand, "query_id")
+      .select(
+        $"query_id",
+        $"vec_id".as("neighbor_id"),
+        $"xrank".as("rank"),
+        round($"xdot", 6).as("dot"),
+        round($"adc_dot", 6).as("adc_dot"),
+        $"n_probed"
+      )
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Shared IVF-PQ chain: (exact-refined ranking over the top
     * `PqRefine` ADC candidates per query, probed-candidate counts).
+    * `dv`: victim ids applied as one broadcast anti-join on the probed
+    * candidate lists — BEFORE the ADC scan, so deleted vectors never
+    * cost a code lookup (n_probed counts live candidates).
     */
-  private def ivfPqChain(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def ivfPqChain(
+      spark: SparkSession,
+      dir: String,
+      dv: Option[DataFrame] = None
+  ): (DataFrame, DataFrame) = {
     import spark.implicits._
     val emb = Tables.embeddingsFanned(spark, dir).select($"vec_id", $"embedding")
     val embN = emb.withColumn("nrm", norm($"embedding"))
@@ -679,10 +723,11 @@ object Pq {
       .withColumn("rn", row_number().over(wProbe))
       .filter($"rn" <= Similarity.IvfProbes)
       .select($"vec_id".as("query_id"), $"cid")
-    val cand = cell
+    val cand0 = cell
       .join(broadcast(qprobe), "cid")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id")
+    val cand = dv.fold(cand0)(d => cand0.join(broadcast(d), Seq("vec_id"), "left_anti"))
     val (codes, lut) = codesAndLut(spark, dir)
     val cols = (0 until PqSubspaces).map(m => sum(when($"m" === m, $"v")).as(s"l$m"))
     val wA = Window.partitionBy($"query_id").orderBy($"adc_dot".desc, $"vec_id")

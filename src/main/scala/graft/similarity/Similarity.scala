@@ -579,29 +579,11 @@ object Similarity {
           .mode("overwrite")
           .parquet(path)
       }
-      val chk = java.nio.file.Files.createTempDirectory("graft_ivfsdchk_").toString
-      val schema = spark.read.parquet(frag).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(frag)
-      val batches = new java.util.concurrent.atomic.AtomicInteger
-      val q = stream.writeStream
-        .foreachBatch { (df: DataFrame, _: java.lang.Long) =>
-          if (!df.isEmpty) {
-            df.coalesce(1).write.mode("append").format("parquet").saveAsTable(dvt)
-            batches.incrementAndGet()
-          }
-          ()
-        }
-        .option("checkpointLocation", s"$chk/_chk")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
-      }
-      lastStreamIvfDel.set((batches.get, spark.table(dvt).count()))
+      // crash-safe drain: per-batch staged slices, table committed only
+      // after a complete drain (see StreamDrain scaladoc — a partial
+      // first-batch-created table must never satisfy build-once)
+      val batches = graft.streaming.StreamDrain.drainToTable(spark, frag, dvt)
+      lastStreamIvfDel.set((batches, spark.table(dvt).count()))
       ()
     }
     dvt
@@ -640,10 +622,15 @@ object Similarity {
     * append-maintained IVF index needs — ticked vectors assign against
     * the BASE-corpus quantizer, so after many ticks cells bloat and
     * drift (new mass far from the frozen centroids), probes scan ever
-    * longer posting lists, and recall decays silently. The audit reads
-    * it all off the STORED postings in one narrow pass (postings ⋈
-    * broadcast centroids — no Lloyd job, no corpus join, no pairwise
-    * work): per live cell, base vs ticked population, growth ratio,
+    * longer posting lists, and recall decays silently. The audit runs
+    * over the SERVING posting view — stored postings ∪ the pending
+    * tick's assignment (the same [[ivfAppendServeParts]] derivation
+    * every serve of the append family pays: one corpus read + one
+    * broadcast-centroid assign for the not-yet-persisted slice; once a
+    * tick IS persisted via [[ivfAppendTick]], the pending side is
+    * empty and the audit reads only stored rows) — in one narrow
+    * census pass (postings ⋈ broadcast centroids — no Lloyd job, no
+    * pairwise work): per live cell, base vs ticked population, growth ratio,
     * mean own-centroid cosine of each cohort (quantized to integer
     * 2²⁰-units before summing, so the mean is summation-order-exact on
     * both engines), the drift between them (positive = ticked mass
@@ -773,10 +760,15 @@ object Similarity {
     val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/embeddings.parquet")
     val ct = s"graft_ivfs_cents_$fp"
     val at = s"graft_ivfs_asg_$fp"
+    // the postings table is CREATED by the first micro-batch, so the
+    // guard includes a completion sentinel written after the drain — a
+    // crash mid-drain must not leave a half-index that satisfies
+    // build-once (see Relational.writeDoneSentinel)
+    val done = s"graft_ivfs_done_$fp"
     graft.queries.Relational.buildOnce(
       spark,
-      Seq("graft_ivfs_cents_", "graft_ivfs_asg_"),
-      Seq(ct, at)
+      Seq("graft_ivfs_cents_", "graft_ivfs_asg_", "graft_ivfs_done_"),
+      Seq(ct, at, done)
     ) {
       val (act, _) = ivfAppendTables(spark, dir)
       val frag = graft.queries.Layout.tmpDirOnce("graft_ivfsrc_", fp) { path =>
@@ -807,6 +799,7 @@ object Similarity {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
       }
       lastStreamIvf.set((batches.get, spark.table(at).count()))
+      graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }
     (ct, at)

@@ -787,10 +787,13 @@ object TextAnalysis {
     val fp = graft.queries.Relational.sourceFingerprint(spark, s"$dir/documents.parquet")
     val bt = s"graft_bm25s_post_$fp"
     val st = s"graft_bm25s_stats_$fp"
+    // both tables are created by the first micro-batch: guard on a
+    // drain-complete sentinel (Relational.writeDoneSentinel)
+    val done = s"graft_bm25s_done_$fp"
     graft.queries.Relational.buildOnce(
       spark,
-      Seq("graft_bm25s_post_", "graft_bm25s_stats_"),
-      Seq(bt, st)
+      Seq("graft_bm25s_post_", "graft_bm25s_stats_", "graft_bm25s_done_"),
+      Seq(bt, st, done)
     ) {
       val frag = graft.queries.Layout.tmpDirOnce("graft_bm25src_", fp) { path =>
         Tables.documents(spark, dir).repartition(6).write.mode("overwrite").parquet(path)
@@ -826,6 +829,7 @@ object TextAnalysis {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
       }
       lastStreamBm25.set((batches.get, spark.table(st).count()))
+      graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }
     (bt, st)
@@ -958,10 +962,14 @@ object TextAnalysis {
     val bt = s"graft_bm25sd_post_$fp"
     val st = s"graft_bm25sd_stats_$fp"
     val dvt = s"graft_bm25sd_dv_$fp"
+    // the DV table and the negative stats deltas accrue DURING the
+    // drain: guard on a drain-complete sentinel so a mid-drain crash
+    // can't leave a partial retraction that satisfies build-once
+    val done = s"graft_bm25sd_done_$fp"
     graft.queries.Relational.buildOnce(
       spark,
-      Seq("graft_bm25sd_post_", "graft_bm25sd_stats_", "graft_bm25sd_dv_"),
-      Seq(bt, st, dvt)
+      Seq("graft_bm25sd_post_", "graft_bm25sd_stats_", "graft_bm25sd_dv_", "graft_bm25sd_done_"),
+      Seq(bt, st, dvt, done)
     ) {
       val (abt, ast) = bm25IndexTables(spark, dir)
       Seq(bt, st, dvt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -1003,6 +1011,7 @@ object TextAnalysis {
       lastStreamBm25Del.set(
         (batches.get, spark.table(st).filter($"n_docs" < 0).count())
       )
+      graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }
     (bt, st, dvt)
