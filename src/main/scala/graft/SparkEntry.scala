@@ -86,6 +86,7 @@ object SparkEntry {
     "layout_vacuum" -> ((s, d) => graft.queries.Layout.vacuumScan(s, d)),
     "layout_deletes" -> ((s, d) => graft.queries.Layout.morScan(s, d)),
     "stream_layout_takedown" -> ((s, d) => graft.queries.Layout.streamTakedownScan(s, d)),
+    "stream_layout_takedown_pruned" -> ((s, d) => graft.queries.Layout.streamTakedownPrunedScan(s, d)),
     "mv_incremental" -> ((s, d) => graft.queries.Layout.mvServe(s, d)),
     "mv_snapshot" -> ((s, d) => graft.queries.Layout.mvSnapshotServe(s, d)),
     "mv_vacuum" -> ((s, d) => graft.queries.Layout.mvVacuumServe(s, d)),
@@ -175,6 +176,7 @@ object SparkEntry {
     "sim_pq_adc" -> ((s, d) => Pq.adcTopK(s, d)),
     "sim_pq_recall" -> ((s, d) => Pq.adcRecall(s, d)),
     "sim_ivf_pq" -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    "sim_ivf_pq_delete" -> ((s, d) => Pq.ivfPqTopKDeleted(s, d)),
     "sim_hybrid_rerank" -> ((s, d) => Similarity.hybridRerank(s, d)),
     "sim_hybrid_rerank_pq" -> ((s, d) => Similarity.hybridRerankPq(s, d)),
     "sim_ann_filtered" -> ((s, d) => Similarity.annIvfFiltered(s, d)),
@@ -303,6 +305,7 @@ object SparkEntry {
     "layout_deletes" -> Oracles.layoutDeletes,
     // N streamed partial DV commits == the one-shot delete's live set
     "stream_layout_takedown" -> Oracles.streamLayoutTakedown,
+    "stream_layout_takedown_pruned" -> Oracles.streamLayoutTakedownPruned,
     // tick-maintained MV must answer the full-table aggregate exactly
     "mv_incremental" -> Oracles.mvIncremental,
     // every stored MV version == a full refresh at that commit
@@ -423,6 +426,7 @@ object SparkEntry {
     "sim_pq_adc" -> PipelineOracles.simPqAdc,
     "sim_pq_recall" -> PipelineOracles.simPqRecall,
     "sim_ivf_pq" -> PipelineOracles.simIvfPq,
+    "sim_ivf_pq_delete" -> PipelineOracles.simIvfPqDeleted,
     "sim_hybrid_rerank" -> PipelineOracles.simHybridRerank,
     "sim_hybrid_rerank_pq" -> PipelineOracles.simHybridRerankPq,
     "sim_ann_filtered" -> PipelineOracles.simAnnFiltered,

@@ -823,6 +823,23 @@ object Oracles {
        |ORDER BY metric, l_returnflag""".stripMargin
   }
 
+  /** Pruned-takedown replay: file skipping is provably lossless (a file
+    * whose (min,max) rectangle misses the box holds no matching row)
+    * and the DV is exactly the purge predicate's lineage ids — so the
+    * serve must equal the box ∩ predicate-complement on the raw table.
+    */
+  val streamLayoutTakedownPruned: String = {
+    import graft.queries.Layout.{MorPartHi, MorBoxPartLo, MorBoxPartHi, MorBoxSuppLo, MorBoxSuppHi}
+    s"""SELECT l_returnflag, count(*) AS n_rows,
+       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_partkey > $MorPartHi
+       |  AND l_partkey BETWEEN $MorBoxPartLo AND $MorBoxPartHi
+       |  AND l_suppkey BETWEEN $MorBoxSuppLo AND $MorBoxSuppHi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val layoutSnapshot: String = {
     def snap(v: Int, pred: String): String =
       s"""SELECT CAST($v AS BIGINT) AS version, count(*) AS n_rows,

@@ -1154,7 +1154,24 @@ object Layout {
     */
   private[queries] def morChildFp(spark: SparkSession, dir: String): String = {
     val data = morDataDir(spark, dir)
-    val epoch = new java.io.File(data, "_SUCCESS").lastModified()
+    // parent epoch = a digest of the parent's part-file LISTING
+    // (names + lengths), not the _SUCCESS mtime: committer part-file
+    // names carry a fresh task UUID per build, so any rebuild changes
+    // the digest even on filesystems with coarse (1 s) mtime
+    // resolution, where a retire+rebuild completing within one tick
+    // would leave stale children dangling
+    val listing = new java.io.File(data)
+      .listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+      .map(f => s"${f.getName}:${f.length}")
+      .sorted
+      .mkString(",")
+    val epoch = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(listing.getBytes("UTF-8"))
+      .take(6)
+      .map("%02x".format(_))
+      .mkString
     s"${Relational.sourceFingerprint(spark, s"$dir/lineitem.parquet")}e$epoch"
   }
 
@@ -1386,6 +1403,95 @@ object Layout {
     if (dvs.isEmpty) base
     else base.join(broadcast(spark.read.parquet(dvs: _*)), MorKeys, "left_anti")
   }
+
+  // the box the pruned takedown serve scans: overlaps the victim range
+  // (l_partkey <= MorPartHi) on purpose, so BOTH the manifest pruning
+  // and the DV anti-join are load-bearing in one query — a box disjoint
+  // from the victims would never exercise delete semantics
+  val MorBoxPartLo = 32; val MorBoxPartHi = 96
+  val MorBoxSuppLo = 8; val MorBoxSuppHi = 24
+
+  /** Per-file (min,max) manifest of the takedown-maintained MoR layout —
+    * the same metadata layer [[manifestTable]] persists for the shared
+    * z-order artifact, built once per PARENT EPOCH ([[morChildFp]]) so a
+    * rebuilt parent invalidates it with the other MoR children. One
+    * stats pass at build time; production writers emit these stats
+    * during the write itself.
+    */
+  private[queries] def morManifestTable(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val data = morDataDir(spark, dir)
+    val fp = morChildFp(spark, dir)
+    val t = s"graft_mormanifest_$fp"
+    Relational.buildOnce(spark, Seq("graft_mormanifest_"), Seq(t)) {
+      spark.read
+        .parquet(data)
+        .groupBy(input_file_name().as("file"))
+        .agg(
+          min($"l_partkey").as("pmin"), max($"l_partkey").as("pmax"),
+          min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax")
+        )
+        .write
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(t)
+    }
+    t
+  }
+
+  /** Registered query `stream_layout_takedown_pruned`: the BOUNDED read
+    * over the stream-takedown-maintained layout — the fixture serve
+    * (`stream_layout_takedown`) aggregates the whole table by design
+    * (linear: it audits the full live set), but a 100 TB deployment
+    * reads this layout through manifest pruning, and the MoR DV
+    * composes with it for free: (1) the (tiny) manifest is filtered for
+    * data files whose (partkey, suppkey) rectangle intersects the box —
+    * only survivors' paths reach the reader, so skipped files are never
+    * opened; (2) the accumulated per-batch key-delete commits apply as
+    * ONE broadcast anti-join over the pruned rows. The box straddles
+    * the victim range on purpose, so pruning alone can't answer — the
+    * DV probe is load-bearing (spec pins both the pruned file count and
+    * the planted-victim exclusion). Cost at any table size: manifest
+    * rows (metadata-scale) + the few intersecting files + kilobytes of
+    * DV.
+    */
+  def streamTakedownPrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = streamTakedownRoot(spark, dir)
+    val dvs = streamTakedownDvDirs(root)
+    val keep = spark
+      .table(morManifestTable(spark, dir))
+      .filter(
+        $"pmax" >= MorBoxPartLo && $"pmin" <= MorBoxPartHi &&
+          $"smax" >= MorBoxSuppLo && $"smin" <= MorBoxSuppHi
+      )
+      .select($"file")
+      .collect()
+      .map(_.getString(0))
+    lastTakedownPrunedFiles.set(keep.length)
+    val base =
+      if (keep.isEmpty) spark.read.parquet(morDataDir(spark, dir)).filter(lit(false))
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    val live =
+      if (dvs.isEmpty) base
+      else base.join(broadcast(spark.read.parquet(dvs: _*)), MorKeys, "left_anti")
+    live
+      .filter(
+        $"l_partkey".between(MorBoxPartLo, MorBoxPartHi) &&
+          $"l_suppkey".between(MorBoxSuppLo, MorBoxSuppHi)
+      )
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+  }
+
+  /** Spec ledger: data files the last [[streamTakedownPrunedScan]] kept. */
+  private[graft] val lastTakedownPrunedFiles =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Registered query `stream_layout_takedown`: the merge-on-read serve
     * AFTER the victim queue drained THROUGH THE STREAM — the same live

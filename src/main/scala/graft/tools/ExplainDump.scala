@@ -43,7 +43,7 @@ object ExplainDump {
     "text_bm25_append" -> "serve reads the stored narrow postings + additive stats tables from the catalog — no corpus scan, no text decode, no tokenization in the query path; scoring is map-side literal math over [dl, tf..] longs, TakeOrdered top-k",
     "text_bm25_delete" -> "merge-on-read on a serving index: live postings = stored ∖ DV via one broadcast LeftAnti probe per row; the negative stats delta already retracted the victims, so scoring constants equal a fresh build on the survivors — no postings rewrite, no corpus scan",
     "sim_ivf_delete" -> "vector-store takedown: the kilobyte DV anti-joins the probed posting lists (broadcast LeftAnti), centroids and stored postings untouched — the serve differs from sim_ivf_append by exactly one predicate, no retrain, no rewrite",
-    "dedup_index_delete" -> "right-to-be-forgotten on the signature index: stored index ∖ DV feeds the UNCHANGED admission pipeline — victims stop sourcing exact-hash hits AND banded candidates, so a forgotten doc's content re-admits; index rows never rewritten",
+    "dedup_index_delete" -> "right-to-be-forgotten on the signature index: stored index ∖ DV feeds the CAPPED admission pipeline (hot LIVE buckets leave before the batch×index band join, the dedup_incremental_capped arm) — victims stop sourcing exact-hash hits AND banded candidates, so a forgotten doc's content re-admits; index rows never rewritten",
     "dedup_incremental_capped" -> "ingest admission with hot index buckets dropped BEFORE the batch×index band join (population counted index-side, profile-able offline); exact md5 admission stays uncapped; candidate volume bounded at #buckets·cap·batch_df",
     "sim_pq_delete" -> "the ONE corpus takedown list (shared with sim_ivf_delete) anti-joins the 6-byte code table before the ADC aggregate and the vector store before the refine; codebooks/codes/vectors untouched",
     "stream_bm25_ingest" -> "foreachBatch IS the index tick: each micro-batch runs bm25AppendTick verbatim (narrow postings + ONE additive stats delta); the serve is the same catalog-only narrow scan as text_bm25_append",
@@ -105,11 +105,13 @@ object ExplainDump {
     "stream_layout_takedown" -> "the GDPR queue's continuous form: each micro-batch commits its own kilobyte key-delete file, data files byte-identical across the drain; the serve is scan ∖ union(DV commits) via ONE broadcast LeftAnti probe, identical to the one-shot MoR serve",
     "mv_vacuum" -> "MV retention: expire all but the last K versions, physically delete only version dirs no retained snapshot references (live-set discipline); retained time travel reads are unchanged groups-sized artifact selections",
     "layout_spec_evolution" -> "partition-spec evolution as metadata: each segment records its own spec in the _spec ledger, and scan planning prunes every segment under ITS spec before the residual predicate — old files never rewritten",
-    "sim_ivf_balance" -> "the index-health audit in one narrow pass: stored postings ⋈ broadcast centroids, per-cell census + integer-quantized drift partial-aggregated; the priced retrain trigger (Σpop²/N² vs 1/C read-tax) computes from the census — no Lloyd, no pairwise work",
+    "sim_ivf_balance" -> "the index-health audit over the serving posting view (stored ∪ pending tick — the same ivfAppendServeParts derivation every append-family serve pays; stored-only once the tick persists): postings ⋈ broadcast centroids, per-cell census + integer-quantized drift partial-aggregated; the priced retrain trigger (Σpop²/N² vs 1/C read-tax) computes from the census — no Lloyd, no pairwise work",
     "sim_ivf_retrain" -> "the blue/green rollover the balance audit prices: fresh quantizer over the LIVE set read from the stored postings (no corpus re-scan), one broadcast reassignment pass, new catalog generation; the serve is an ordinary two-table IVF probe plan",
     "stream_ivf_takedown" -> "the vector takedown queue streamed: each trigger appends a kilobyte tombstone slice; the serve anti-joins the accumulated union over the probed posting lists exactly like the one-shot DV — quantizer and postings untouched by any number of commits",
-    "stream_dedup_takedown" -> "the forget queue streamed into the signature index: per-trigger tombstone slices accumulate, and the UNCHANGED admission pipeline runs over index ∖ union(slices) — takedown changes future admission decisions, never index rows",
-    "sim_pq_compact" -> "the PQ compaction: live 6-byte codes and live vector-store rows rewritten once each (no re-encode, survivors verbatim); the compacted serve reads two catalog tables with no DV anti-join and no pending-tick encode anywhere"
+    "stream_dedup_takedown" -> "the forget queue streamed into the signature index: per-trigger tombstone slices accumulate, and the CAPPED admission pipeline (the dedup_incremental_capped arm over the live bucket census) runs over index ∖ union(slices) — takedown changes future admission decisions, never index rows",
+    "sim_pq_compact" -> "the PQ compaction: live 6-byte codes and live vector-store rows rewritten once each (no re-encode, survivors verbatim); the compacted serve reads two catalog tables with no DV anti-join and no pending-tick encode anywhere",
+    "stream_layout_takedown_pruned" -> "the BOUNDED read over the takedown-maintained layout: the per-file (min,max) manifest filters the path list before the reader (skipped files never open), and the accumulated kilobyte DV commits apply as ONE broadcast LeftAnti probe on the pruned rows — the box straddles the victim range so both mechanisms are load-bearing",
+    "sim_ivf_pq_delete" -> "takedown on the composed production index: the shared corpus DV anti-joins the PROBED posting lists before any code row is ADC-scored — probes bound WHICH, codes bound BYTES, the DV bounds to LIVE; per query the delete costs a probe-set filter, never a corpus pass"
   )
 
   def main(args: Array[String]): Unit = {

@@ -772,4 +772,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(mdir))
   }
+
+  test("stream_layout_takedown_pruned: manifest skips files, DV probe load-bearing, equals the unpruned live view") {
+    import spark.implicits._
+    val df = Layout.streamTakedownPrunedScan(spark, dir)
+    val got = df.collect().map(_.toSeq).toSeq
+    // 1) the manifest actually pruned: some files kept, some skipped
+    val kept = Layout.lastTakedownPrunedFiles.get()
+    assert(kept > 0, "the box must intersect at least one data file")
+    assert(kept < Layout.MorFiles, s"pruning must skip files ($kept of ${Layout.MorFiles} kept)")
+    // 2) lossless: equals the same box aggregate over the UNPRUNED live view
+    val box = $"l_partkey".between(Layout.MorBoxPartLo, Layout.MorBoxPartHi) &&
+      $"l_suppkey".between(Layout.MorBoxSuppLo, Layout.MorBoxSuppHi)
+    val want = Layout
+      .streamTakedownRead(spark, dir)
+      .filter(box)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("revenue")
+      )
+      .orderBy($"l_returnflag")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(got === want)
+    // 3) the DV is load-bearing: the box straddles the victim range, so
+    // victims exist IN the box and the pruned serve must exclude them
+    val raw = Tables.lineitem(spark, dir)
+    val boxVictims = raw.filter(box && $"l_partkey" <= Layout.MorPartHi).count()
+    assert(boxVictims > 0, "fixture must plant victims inside the box")
+    val expectedRows = raw.filter(box && $"l_partkey" > Layout.MorPartHi).count()
+    assert(got.map(_(1).asInstanceOf[Long]).sum === expectedRows)
+    // 4) serve plan: broadcast DV anti-probe, no shuffle join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }
