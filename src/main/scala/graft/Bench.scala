@@ -90,6 +90,14 @@ object Bench {
     // 3-run verdict is a quiet-window measurement, not a third sample
     // of the same contention. Waits are logged per adjudication.
     val adjMaxWaitSec = sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX_WAIT", "120").toInt
+    // global cap on time spent WAITING for quiet across all
+    // adjudications: a persistently-contended window can trip dozens of
+    // 3×-prior gates (r15: 30), and 30 × 120 s of idle waiting would
+    // dominate the bench itself. Once the budget is spent, later
+    // adjudication passes run immediately (still recorded with their
+    // loads — the artifact stays self-interpreting).
+    val adjWaitBudgetSec = sys.env.getOrElse("SPARK_GRAFT_ADJ_WAIT_BUDGET", "600").toInt
+    var adjWaitSpentSec = 0.0
     case class Adj(runs: Seq[Double], loads: Seq[Double], waitedSec: Double)
     val adjudicated = scala.collection.mutable.LinkedHashMap.empty[String, Adj]
     val results = selected.map { case (name, fn) =>
@@ -108,12 +116,17 @@ object Bench {
       if (outlier && runs.forall(_._1)) {
         val adjStart = System.nanoTime()
         var l = loadavg
-        while (l >= gateThreshold && (System.nanoTime() - adjStart) / 1e9 < adjMaxWaitSec) {
+        while (
+          l >= gateThreshold &&
+          (System.nanoTime() - adjStart) / 1e9 < adjMaxWaitSec &&
+          adjWaitSpentSec + (System.nanoTime() - adjStart) / 1e9 < adjWaitBudgetSec
+        ) {
           System.err.println(f"[bench] $name adjudication: loadavg $l%.1f >= $gateThreshold%.1f, waiting")
           Thread.sleep(5000)
           l = loadavg
         }
         val waited = (System.nanoTime() - adjStart) / 1e9
+        adjWaitSpentSec += waited
         runs = runs :+ onePass()
         adjudicated(name) = Adj(runs.map(_._2), runs.map(_._3), waited)
         System.err.println(
