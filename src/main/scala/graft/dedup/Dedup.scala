@@ -709,12 +709,24 @@ object Dedup {
       corpus: DataFrame
   ): DataFrame = {
     import spark.implicits._
+    // the batch signature/size frames are shared by BOTH arms (index
+    // admission and intra-batch self-dedup) — computed once here,
+    // checkpointed below, and threaded into the index arm so the
+    // expensive MinhashAgg never runs twice over the same batch
+    val sh = shinglesOf(batch)
+    val sig = sh
+      .groupBy($"doc_id")
+      .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+      .localCheckpoint()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val idx = dedupBatchAgainstIndexDf(
       spark,
       index,
       batch,
       corpus,
-      indexBucketCap = Some(MinhashBucketCap)
+      indexBucketCap = Some(MinhashBucketCap),
+      precomputedSig = Some(sig),
+      precomputedSizes = Some(sizes)
     )
     // intra-batch exact: smallest batch doc with the same md5
     val hashes = batch.select($"doc_id", md5($"text").as("h"))
@@ -734,16 +746,11 @@ object Dedup {
     // corpus-slice-proportional and checkpointing it OOMs the executors
     // at sf30 (measured); consumers re-evaluate the map-side explode
     // instead, the same recompute-over-hold trade every operator makes.
-    // What IS checkpointed is the minhash signature frame: narrow
-    // (64 longs/doc), batch-bounded, and the input to BOTH sides of the
-    // band self-join plus the bucket census — without it the expensive
-    // MinhashAgg would run three times.
-    val sh = shinglesOf(batch)
-    val sig = sh
-      .groupBy($"doc_id")
-      .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
-      .localCheckpoint()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // What IS checkpointed is the minhash signature frame (declared
+    // above, shared with the index arm): narrow (64 longs/doc),
+    // batch-bounded, and the input to BOTH sides of the band self-join
+    // plus the bucket census — without it the expensive MinhashAgg
+    // would run three times.
     val bands0 = bandedSignatures(sig)
     val okBuckets = bands0
       .groupBy($"band", $"bv")
@@ -1006,6 +1013,12 @@ object Dedup {
     * the [[minhashLsh]] maxBandBucket knob (the exact-hash admission
     * check is NOT capped: md5 equality is a semi-join of 16-byte keys,
     * already batch-bounded, and byte-dup admission must stay exact).
+    * `precomputedSig` / `precomputedSizes`: the batch's (doc_id, mh)
+    * signature frame and (doc_id, n) shingle counts, when the caller
+    * already derived them — the full admission composition
+    * ([[batchAdmitOn]]) checkpoints both for its intra-batch arm, and
+    * recomputing the MinhashAgg (32 md5s per shingle) for the index
+    * arm was the composition's single largest duplicated cost.
     */
   private[graft] def dedupBatchAgainstIndexDf(
       spark: SparkSession,
@@ -1013,7 +1026,9 @@ object Dedup {
       batchDocs: DataFrame,
       corpusDocs: DataFrame,
       materializeCandidates: Boolean = true,
-      indexBucketCap: Option[Int] = None
+      indexBucketCap: Option[Int] = None,
+      precomputedSig: Option[DataFrame] = None,
+      precomputedSizes: Option[DataFrame] = None
   ): DataFrame = {
     import spark.implicits._
     val exactDup = batchDocs
@@ -1021,9 +1036,11 @@ object Dedup {
       .join(index.select($"h"), Seq("h"), "left_semi")
       .select($"doc_id", lit(1L).as("exact_hit"))
     val batchSh = shinglesOf(batchDocs)
-    val batchSig = batchSh
-      .groupBy($"doc_id")
-      .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+    val batchSig = precomputedSig.getOrElse(
+      batchSh
+        .groupBy($"doc_id")
+        .agg(graft.functions.MinhashAgg.minhashes($"sh", MinhashSeeds).as("mh"))
+    )
     val idxBands0 = bandedSignatures(index.filter($"mh".isNotNull).select($"doc_id", $"mh"))
     val idxBands = indexBucketCap match {
       case None => idxBands0
@@ -1070,8 +1087,11 @@ object Dedup {
       .join(candSh.select($"doc_id".as("id_b"), $"sh"), Seq("id_b", "sh"))
       .groupBy($"id_a", $"id_b")
       .agg(count(lit(1)).as("inter"))
+    val batchSizes = precomputedSizes.getOrElse(
+      batchSh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    )
     val near = inter
-      .join(batchSh.groupBy($"doc_id").agg(count(lit(1)).as("na")).select($"doc_id".as("id_a"), $"na"), "id_a")
+      .join(batchSizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
       .join(index.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .filter($"jaccard" >= JaccardThreshold)
