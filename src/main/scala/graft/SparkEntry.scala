@@ -78,6 +78,8 @@ object SparkEntry {
     "sql_q4_region" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q4RegionRevenue)),
     "sql_q8_topk" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q8TopK)),
     "sql_q10_window" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q10WindowRank)),
+    // parsed-surface DPP + WindowGroupLimit in one SQL string
+    "sql_q33_window" -> ((s, d) => Relational.sqlQ33Window(s, d)),
     "layout_zorder" -> ((s, d) => graft.queries.Layout.zorderScan(s, d)),
     "layout_compact" -> ((s, d) => graft.queries.Layout.compactScan(s, d)),
     "layout_pruned_scan" -> ((s, d) => graft.queries.Layout.prunedScan(s, d)),
@@ -217,9 +219,18 @@ object SparkEntry {
     "text_domain_mix" -> ((s, d) => Sampling.domainMix(s, d)),
     "pipeline_curate" -> ((s, d) => graft.text.Curation.curate(s, d)),
     "pipeline_curate_fuzzy" -> ((s, d) => graft.text.Curation.curateFuzzy(s, d)),
+    // capped twins: the SAME composed flows on the band-bucket-capped
+    // cluster-label edge source — the production (100 TB) path, where
+    // the uncapped LSH fixpoint is the known quadratic term
+    "pipeline_curate_fuzzy_capped" -> ((s, d) =>
+      graft.text.Curation.curateFuzzy(s, d, Some(Dedup.MinhashBucketCap))),
     "pipeline_multimodal" -> ((s, d) => graft.text.Curation.curateMultimodal(s, d)),
     "pipeline_pretrain" -> ((s, d) => graft.text.Curation.pretrain(s, d)),
+    "pipeline_pretrain_capped" -> ((s, d) =>
+      graft.text.Curation.pretrain(s, d, Some(Dedup.MinhashBucketCap))),
     "pipeline_pretrain_semantic" -> ((s, d) => graft.text.Curation.pretrainSemantic(s, d)),
+    "pipeline_pretrain_semantic_capped" -> ((s, d) =>
+      graft.text.Curation.pretrainSemantic(s, d, Some(Dedup.MinhashBucketCap))),
     "text_pack_blocks" -> ((s, d) => Sampling.packBlocks(s, d)),
     "text_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "text_stratified_topk" -> ((s, d) => Sampling.stratifiedTopK(s, d)),
@@ -288,6 +299,7 @@ object SparkEntry {
     "sql_q4_region" -> Oracles.q4RegionRevenue,
     "sql_q8_topk" -> Oracles.q8TopK,
     "sql_q10_window" -> Oracles.q10WindowRank,
+    "sql_q33_window" -> Oracles.sqlQ33Window,
     "layout_zorder" -> Oracles.layoutZorder,
     "layout_compact" -> Oracles.layoutCompact,
     // same result contract as the unpruned clustered scan
@@ -484,11 +496,15 @@ object SparkEntry {
     "text_domain_mix" -> PipelineOracles.textDomainMix,
     "pipeline_curate" -> PipelineOracles.pipelineCurate,
     "pipeline_curate_fuzzy" -> PipelineOracles.pipelineCurateFuzzy,
+    "pipeline_curate_fuzzy_capped" -> PipelineOracles.pipelineCurateFuzzyCapped,
     "pipeline_multimodal" -> PipelineOracles.pipelineMultimodal,
     "pipeline_pretrain" -> PipelineOracles.pipelinePretrain,
+    "pipeline_pretrain_capped" -> PipelineOracles.pipelinePretrainCapped,
     // both decontamination modalities: n-gram gate inside pretrain,
     // the semantic keep-list joined on the shared id space
     "pipeline_pretrain_semantic" -> PipelineOracles.pipelinePretrainSemantic(PipelineOracles.pipelinePretrain),
+    "pipeline_pretrain_semantic_capped" -> PipelineOracles.pipelinePretrainSemantic(
+      PipelineOracles.pipelinePretrainCapped),
     "text_pack_blocks" -> PipelineOracles.textPackBlocks,
     "text_stratified_topk" -> PipelineOracles.textStratifiedTopK,
     // text_stratified_sample: engine-specific RNG, rows-only check;

@@ -43,8 +43,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // session-end warehouse ledger + stale-fingerprint sweep (Verify
-    // runs against ./spark-warehouse, which persists across JVMs)
-    System.err.println(graft.queries.Relational.warehouseHygiene(spark))
+    // runs against ./spark-warehouse, which persists across JVMs); a
+    // FILTERED run must not sweep — it derived only a subset of the
+    // live fingerprints, so everything else would read as stale
+    System.err.println(graft.queries.Relational.warehouseHygiene(spark, sweep = only.isEmpty))
     spark.stop()
   }
 }

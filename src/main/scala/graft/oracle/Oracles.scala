@@ -416,6 +416,22 @@ object Oracles {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** sql_q33_window replay: the IDENTICAL SQL body the engine parses
+    * (`Relational.SqlQ33WindowBody` verbatim), with a raw-table CTE
+    * preamble standing in for the engine's partitioned-fact and
+    * calendar-dim views — the views are engine artifacts; their
+    * CONTENT is exactly these derivations of `orders`.
+    */
+  val sqlQ33Window: String =
+    s"""WITH orders_by_year AS (SELECT o.*, year(o_orderdate) AS o_year FROM orders o),
+       |calendar AS (
+       |  SELECT DISTINCT year(o_orderdate) AS cal_year,
+       |    CASE WHEN year(o_orderdate) BETWEEN 1997 AND 1999 THEN 'late90s'
+       |         WHEN year(o_orderdate) < 1997 THEN 'mid90s'
+       |         ELSE '2000s' END AS epoch_label
+       |  FROM orders)
+       |${graft.queries.Relational.SqlQ33WindowBody}""".stripMargin
+
   /** UNPIVOT replay as the portable long-form UNION ALL. */
   val q28Unpivot: String =
     """WITH long AS (

@@ -1868,12 +1868,21 @@ object PipelineOracles {
     * components (cluster minima) instead of byte-exact dedup. minhashCtes
     * opens with the same `toks` CTE curateStages reads.
     */
-  val pipelineCurateFuzzy: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  private def pipelineCurateFuzzySql(candCtes: String): String =
+    s"""WITH RECURSIVE $candCtes,
        |$componentCtes,
        |keepers AS (SELECT doc_id FROM cc WHERE doc_id = cluster_id),
        |$curateStages
        |${curateSelect()}""".stripMargin
+
+  val pipelineCurateFuzzy: String = pipelineCurateFuzzySql(minhashCtes)
+
+  /** Fuzzy curation over the CAPPED edge set — the production edge
+    * source (see [[dedupClustersCapped]]): capped components refine the
+    * exact ones, so keepers — and therefore survivors — only grow.
+    */
+  val pipelineCurateFuzzyCapped: String =
+    pipelineCurateFuzzySql(s"$minhashBandCtes,\n$cappedCandCtes")
 
   /** Multimodal curation replay: the image-clique keepers (min doc_id
     * per identical phash, from the same closed-form phash CTEs) feed
@@ -1892,11 +1901,11 @@ object PipelineOracles {
     * packing over the survivors — every fragment shared verbatim with
     * the per-operator oracles.
     */
-  val pipelinePretrain: String = {
+  private def pipelinePretrainSql(candCtes: String): String = {
     import graft.text.{Curation, Sampling}
     val splitBucket =
       """CAST('0x' || substr(md5('split#' || CAST(lang.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"""
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""WITH RECURSIVE $candCtes,
        |$componentCtes,
        |keepers AS (SELECT doc_id FROM cc WHERE doc_id = cluster_id),
        |$curateStages,
@@ -1935,6 +1944,15 @@ object PipelineOracles {
        |  (cum - 1) // ${Sampling.PackBlockTokens} AS end_block
        |FROM pk ORDER BY doc_id""".stripMargin
   }
+
+  val pipelinePretrain: String = pipelinePretrainSql(minhashCtes)
+
+  /** The pretraining flow over the CAPPED edge set — every stage
+    * identical, only the cluster-label edge source swaps to the
+    * band-bucket-capped candidates (see [[dedupClustersCapped]]).
+    */
+  val pipelinePretrainCapped: String =
+    pipelinePretrainSql(s"$minhashBandCtes,\n$cappedCandCtes")
 
   /** Replays the shard-parallel concat-and-chunk packing: same running
     * token offset per shard, same integer block arithmetic.

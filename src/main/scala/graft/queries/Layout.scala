@@ -1160,12 +1160,17 @@ object Layout {
     // the digest even on filesystems with coarse (1 s) mtime
     // resolution, where a retire+rebuild completing within one tick
     // would leave stale children dangling
-    val listing = new java.io.File(data)
-      .listFiles()
+    // null-guard the listing (the parent dir can vanish between the
+    // tmpDirOnce check and this walk — /tmp cleanup), and fold the
+    // _SUCCESS marker's PRESENCE into the digest: an incomplete parent
+    // write (part files landed, commit marker absent) must digest as a
+    // different epoch than the completed build, not as a valid parent
+    val files = Option(new java.io.File(data).listFiles()).getOrElse(Array.empty[java.io.File])
+    val listing = files
       .filter(f => f.getName.startsWith("part-"))
       .map(f => s"${f.getName}:${f.length}")
       .sorted
-      .mkString(",")
+      .mkString(",") + s";_SUCCESS=${files.exists(_.getName == "_SUCCESS")}"
     val epoch = java.security.MessageDigest
       .getInstance("MD5")
       .digest(listing.getBytes("UTF-8"))

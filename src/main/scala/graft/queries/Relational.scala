@@ -710,8 +710,22 @@ object Relational {
     * Child fingerprints (`<fp>e<epoch>`) contain the parent fp, so a
     * substring match keeps them with their parent. Call only at
     * session end (Bench/Verify), after the last query.
+    *
+    * Two guards keep the sweep from eating artifacts it must not:
+    * `sweep=false` (a FILTERED Verify/Bench run — this session derived
+    * fingerprints for only a subset of queries, so "no fp from this
+    * session" proves nothing about the rest) prints the ledger without
+    * retiring; and even when sweeping, dirs younger than `minAgeMs`
+    * survive — a concurrently running Verify/test JVM's in-flight
+    * builds are by construction fresh, so the age floor closes the
+    * cross-JVM delete race the per-process Bench warehouse was
+    * introduced to remove (Verify still shares ./spark-warehouse).
     */
-  private[graft] def warehouseHygiene(spark: SparkSession): String = {
+  private[graft] def warehouseHygiene(
+      spark: SparkSession,
+      sweep: Boolean = true,
+      minAgeMs: Long = 60L * 60 * 1000
+  ): String = {
     val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(warehouse)) return "[warehouse] empty"
@@ -719,10 +733,16 @@ object Relational {
       scala.jdk.CollectionConverters.SetHasAsScala(sessionFps).asScala
     )
     val entries = fs.listStatus(warehouse).filter(_.getPath.getName.startsWith("graft_"))
-    val (kept, stale) = entries.partition(st => live.exists(fp => st.getPath.getName.contains(fp)))
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val (kept, dead) = entries.partition(st =>
+      live.exists(fp => st.getPath.getName.contains(fp)) ||
+        (sweep && st.getModificationTime > cutoff)
+    )
+    val stale = if (sweep) dead else Array.empty[org.apache.hadoop.fs.FileStatus]
     stale.foreach(st => fs.delete(st.getPath, true))
     val bytes = kept.map(st => fs.getContentSummary(st.getPath).getLength).sum
-    s"[warehouse] ${kept.length} live artifact dirs, $bytes bytes; retired ${stale.length} stale"
+    val mode = if (sweep) "" else " (filtered run: sweep skipped)"
+    s"[warehouse] ${kept.length} live artifact dirs, $bytes bytes; retired ${stale.length} stale$mode"
   }
 
   // serializes bucket-table builds: two first callers racing on the same
@@ -1010,9 +1030,12 @@ object Relational {
     * at runtime from the join itself. The calendar dim is a build-once
     * fingerprinted artifact derived from the orders date domain.
     */
-  def q33DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+  /** The calendar DIMENSION the DPP queries filter through — a
+    * build-once fingerprinted artifact derived from the orders date
+    * domain (shared by q33 and the parsed-surface sql_q33_window).
+    */
+  private[graft] def calendarTable(spark: SparkSession, dir: String): String = {
     import spark.implicits._
-    val pt = ordersByYearTable(spark, dir)
     val fp = sourceFingerprint(spark, s"$dir/orders.parquet")
     val ct = s"graft_calendar_$fp"
     buildOnce(spark, Seq("graft_calendar_"), Seq(ct)) {
@@ -1032,6 +1055,13 @@ object Relational {
         .format("parquet")
         .saveAsTable(ct)
     }
+    ct
+  }
+
+  def q33DynamicPruning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pt = ordersByYearTable(spark, dir)
+    val ct = calendarTable(spark, dir)
     spark
       .table(pt)
       .join(
@@ -1044,6 +1074,48 @@ object Relational {
         sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue")
       )
       .orderBy($"o_orderpriority")
+  }
+
+  /** The shared SQL BODY of `sql_q33_window` — one text, two engines:
+    * the engine parses it over the `orders_by_year` (year-partitioned
+    * fact) and `calendar` (epoch dim) views; the oracle prepends a
+    * raw-table CTE preamble defining the same two names and runs the
+    * identical body in DuckDB. Per epoch-year, the top-k order
+    * priorities by exact-decimal revenue through a ranked window; the
+    * rank tie-breaks on priority so the selection is a total order.
+    */
+  val SqlQ33WindowBody: String =
+    s"""SELECT o_year, o_orderpriority, n_orders, revenue, rnk
+       |FROM (
+       |  SELECT f.o_year, f.o_orderpriority,
+       |    count(*) AS n_orders,
+       |    CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       |    rank() OVER (PARTITION BY f.o_year
+       |      ORDER BY CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) DESC,
+       |               f.o_orderpriority) AS rnk
+       |  FROM orders_by_year f JOIN calendar c ON f.o_year = c.cal_year
+       |  WHERE c.epoch_label = '$DppEpoch'
+       |  GROUP BY f.o_year, f.o_orderpriority) t
+       |WHERE rnk <= $WindowTopK
+       |ORDER BY o_year, rnk""".stripMargin
+
+  /** Registered query `sql_q33_window` — the parsed-surface stretch
+    * composing BOTH runtime physical treatments in one SQL string: the
+    * epoch filter arrives through the calendar DIMENSION, so only DPP
+    * (the broadcast of the filtered dim reused as a
+    * `dynamicpruningexpression` in the fact scan's PartitionFilters —
+    * plan-pinned) keeps the scan to the matching year directories; the
+    * rank predicate on top is pushed INTO the window as a
+    * WindowGroupLimit (plan-pinned) exactly as the q34 builder twin.
+    * Proves `spark.sql(text)` inherits the builder plans' physical
+    * treatments — at 100 TB the analyst's ad-hoc SQL gets the same
+    * 3-years-not-30 scan and bounded window state as the curated
+    * DataFrame queries, with no rewrite.
+    */
+  def sqlQ33Window(spark: SparkSession, dir: String): DataFrame = {
+    spark.table(ordersByYearTable(spark, dir)).createOrReplaceTempView("orders_by_year")
+    spark.table(calendarTable(spark, dir)).createOrReplaceTempView("calendar")
+    spark.sql(SqlQ33WindowBody)
   }
 
   /** Correlated scalar subquery — the optimizer surface the DataFrame

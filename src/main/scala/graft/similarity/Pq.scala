@@ -419,29 +419,10 @@ object Pq {
       }
       Seq(ct, kt, vt).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       spark.table(act).write.mode("overwrite").format("parquet").saveAsTable(ct)
-      val chk = java.nio.file.Files.createTempDirectory("graft_pqchk_").toString
-      val schema = spark.read.parquet(frag).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(frag)
-      val batches = new java.util.concurrent.atomic.AtomicInteger
-      val q = stream.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
-          if (!df.isEmpty) {
-            pqAppendTick(spark, ct, kt, vt, df)
-            batches.incrementAndGet()
-          }
-          ()
-        }
-        .option("checkpointLocation", s"$chk/_chk")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      val batches = graft.streaming.StreamDrain.drainTicks(spark, frag, "graft_pqchk_") {
+        df => pqAppendTick(spark, ct, kt, vt, df)
       }
-      lastStreamPq.set((batches.get, spark.table(kt).count()))
+      lastStreamPq.set((batches, spark.table(kt).count()))
       graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }

@@ -776,29 +776,10 @@ object Similarity {
       }
       Seq(ct, at).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       spark.table(act).write.mode("overwrite").format("parquet").saveAsTable(ct)
-      val chk = java.nio.file.Files.createTempDirectory("graft_ivfchk_").toString
-      val schema = spark.read.parquet(frag).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(frag)
-      val batches = new java.util.concurrent.atomic.AtomicInteger
-      val q = stream.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
-          if (!df.isEmpty) {
-            ivfAppendTick(spark, ct, at, df)
-            batches.incrementAndGet()
-          }
-          ()
-        }
-        .option("checkpointLocation", s"$chk/_chk")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      val batches = graft.streaming.StreamDrain.drainTicks(spark, frag, "graft_ivfchk_") {
+        df => ivfAppendTick(spark, ct, at, df)
       }
-      lastStreamIvf.set((batches.get, spark.table(at).count()))
+      lastStreamIvf.set((batches, spark.table(at).count()))
       graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }

@@ -45,29 +45,82 @@ object StreamDrain {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(frag)
-    val batches = new java.util.concurrent.atomic.AtomicInteger
     val q = stream.writeStream
       .foreachBatch { (df: DataFrame, batchId: java.lang.Long) =>
         if (!df.isEmpty) {
           df.coalesce(1).write.mode("overwrite").parquet(s"$stg/b$batchId")
-          batches.incrementAndGet()
         }
         ()
       }
       .option("checkpointLocation", s"$chk/_chk")
       .start()
-    try {
-      q.processAllAvailable()
-      // the commit point: only a COMPLETE drain materializes the table
-      val union =
-        if (batches.get == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.parquet(s"$stg/b*")
-      union.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
-    } finally {
+    // the batch count is derived at commit time from the DISTINCT staged
+    // b<batchId> dirs, never a foreachBatch invocation counter: a
+    // replayed/retried micro-batch re-enters foreachBatch (which the
+    // staged overwrite absorbs for DATA) but must not inflate the count
+    // the ledgers and CrashSafetySpec compare across drains
+    def stagedBatches: Int =
+      Option(new java.io.File(stg).listFiles())
+        .map(_.count(f => f.isDirectory && f.getName.startsWith("b")))
+        .getOrElse(0)
+    val n =
+      try {
+        q.processAllAvailable()
+        // the commit point: only a COMPLETE drain materializes the table
+        val count = stagedBatches
+        val union =
+          if (count == 0)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.parquet(s"$stg/b*")
+        union.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(table)
+        count
+      } finally {
+        q.stop()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stg))
+      }
+    n
+  }
+
+  /** Drains the parquet file-source at `frag` running `tick` once per
+    * NON-EMPTY micro-batch — the shared shape of every append-tick
+    * stream build (IVF postings, PQ codes, BM25 postings and takedown).
+    * The tick is guarded idempotent per batchId: the append-mode
+    * saveAsTable inside a tick is not idempotent, so a replayed/retried
+    * micro-batch (same batchId, the micro-batch-retry window the staged
+    * DV drains already close) must not run its tick twice — the guard
+    * set admits each batchId exactly once for the build's lifetime.
+    * The build-once done-sentinel callers write AFTER this returns
+    * covers the cross-JVM half (a crashed drain rebuilds from batch 0
+    * with a fresh guard set), so in-memory is exactly the right scope.
+    * Returns the number of ticked batches — derived from the guard set,
+    * so a replay can't inflate the ledgers either.
+    */
+  def drainTicks(
+      spark: SparkSession,
+      frag: String,
+      chkPrefix: String,
+      maxFilesPerTrigger: Int = 2
+  )(tick: DataFrame => Unit): Int = {
+    val chk = java.nio.file.Files.createTempDirectory(chkPrefix).toString
+    val schema = spark.read.parquet(frag).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(frag)
+    val ticked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (df: DataFrame, batchId: java.lang.Long) =>
+        if (!df.isEmpty && ticked.add(batchId)) tick(df)
+        ()
+      }
+      .option("checkpointLocation", s"$chk/_chk")
+      .start()
+    try q.processAllAvailable()
+    finally {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stg))
     }
-    batches.get
+    ticked.size
   }
 }

@@ -25,14 +25,22 @@ object Curation {
     * dedup stage keeps the cluster KEEPERS of the MinHash-LSH connected
     * components — every near-duplicate is dropped, not just byte-exact
     * copies (the policy production pretraining pipelines actually run).
+    * `cap` picks the edge source exactly as [[Dedup.clusterLabels]]
+    * documents: None = the exact LSH pair set (audit path), Some(c) =
+    * the band-bucket-capped pair set — the production edge source at
+    * 100 TB, where the uncapped candidate join's hot buckets are the
+    * known quadratic term. Capped edges ⊆ uncapped edges ⇒ capped
+    * components refine uncapped ones ⇒ keepers (and so survivors) can
+    * only GROW under the cap — the conservative direction for a
+    * curation gate (PipelineSpec pins the survivor superset).
     */
-  def curateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+  def curateFuzzy(spark: SparkSession, dir: String, cap: Option[Int] = None): DataFrame = {
     import spark.implicits._
     // keepers need only the label fixpoint, not the cluster-size agg
     curateWith(
       spark,
       dir,
-      Dedup.clusterLabels(spark, dir).filter($"doc_id" === $"cluster_id").select($"doc_id")
+      Dedup.clusterLabels(spark, dir, cap).filter($"doc_id" === $"cluster_id").select($"doc_id")
     )
   }
 
@@ -63,22 +71,22 @@ object Curation {
     * broadcast-able keep-list join over [[pretrain]]'s plan; the gate
     * itself is the sim_decontaminate map pass.
     */
-  def pretrainSemantic(spark: SparkSession, dir: String): DataFrame = {
+  def pretrainSemantic(spark: SparkSession, dir: String, cap: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val semClean = graft.similarity.Similarity
       .decontaminate(spark, dir)
       .filter($"keep" === 1L)
       .select($"vec_id".as("doc_id"))
-    pretrain(spark, dir).join(semClean, "doc_id").orderBy($"doc_id")
+    pretrain(spark, dir, cap).join(semClean, "doc_id").orderBy($"doc_id")
   }
 
-  def pretrain(spark: SparkSession, dir: String): DataFrame = {
+  def pretrain(spark: SparkSession, dir: String, cap: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val clean = TextAnalysis
       .decontaminate(spark, dir)
       .filter($"is_clean" === 1L)
       .select($"doc_id")
-    val survivors = curateFuzzy(spark, dir)
+    val survivors = curateFuzzy(spark, dir, cap)
       .join(clean, "doc_id") // also drops the held-out eval docs themselves
       .filter($"split" === "train")
     val tokenCounts = graft.Tables

@@ -806,29 +806,10 @@ object TextAnalysis {
       // tables the catalog still lists — drop them so the restarted
       // stream indexes from batch 0.
       Seq(bt, st).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      val chk = java.nio.file.Files.createTempDirectory("graft_bm25chk_").toString
-      val schema = spark.read.parquet(frag).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(frag)
-      val batches = new java.util.concurrent.atomic.AtomicInteger
-      val q = stream.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
-          if (!df.isEmpty) {
-            bm25AppendTick(spark, bt, st, df)
-            batches.incrementAndGet()
-          }
-          ()
-        }
-        .option("checkpointLocation", s"$chk/_chk")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      val batches = graft.streaming.StreamDrain.drainTicks(spark, frag, "graft_bm25chk_") {
+        df => bm25AppendTick(spark, bt, st, df)
       }
-      lastStreamBm25.set((batches.get, spark.table(st).count()))
+      lastStreamBm25.set((batches, spark.table(st).count()))
       graft.queries.Relational.writeDoneSentinel(spark, done)
       ()
     }
@@ -986,30 +967,11 @@ object TextAnalysis {
           .mode("overwrite")
           .parquet(path)
       }
-      val chk = java.nio.file.Files.createTempDirectory("graft_bm25dchk_").toString
-      val schema = spark.read.parquet(frag).schema
-      val stream = spark.readStream
-        .schema(schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(frag)
-      val batches = new java.util.concurrent.atomic.AtomicInteger
-      val q = stream.writeStream
-        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: java.lang.Long) =>
-          if (!df.isEmpty) {
-            bm25DeleteTick(spark, bt, st, dvt, df)
-            batches.incrementAndGet()
-          }
-          ()
-        }
-        .option("checkpointLocation", s"$chk/_chk")
-        .start()
-      try q.processAllAvailable()
-      finally {
-        q.stop()
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
+      val batches = graft.streaming.StreamDrain.drainTicks(spark, frag, "graft_bm25dchk_") {
+        df => bm25DeleteTick(spark, bt, st, dvt, df)
       }
       lastStreamBm25Del.set(
-        (batches.get, spark.table(st).filter($"n_docs" < 0).count())
+        (batches, spark.table(st).filter($"n_docs" < 0).count())
       )
       graft.queries.Relational.writeDoneSentinel(spark, done)
       ()

@@ -109,6 +109,56 @@ object ProbeFixedBatch {
         () => Dedup.batchAdmitOn(spark, idx, fixedArrivals, corpus),
         arrivalRows
       )
+
+      // delete-family serves at FIXED batch: the sf30 coupled-fixture
+      // band growth (168–197 s) was attributed to batch = corpus/5 by
+      // analogy with the admission probe — these rows measure it. The
+      // serve under test is the CAPPED admission arm over (index ∖ DV)
+      // / the compacted live table; DV and compaction builds are
+      // context (build_sec above covers the index; the DV/compact
+      // tables build lazily on first reference inside run 1, so min-of-N
+      // still isolates the steady serve).
+      val dv = spark.table(Dedup.indexDvTable(spark, idxDir))
+      def liveIdx: DataFrame =
+        idx.join(org.apache.spark.sql.functions.broadcast(dv), Seq("doc_id"), "left_anti")
+      timed(
+        "dedup_index_delete_fixed",
+        () =>
+          Dedup.dedupBatchAgainstIndexDf(
+            spark,
+            liveIdx,
+            fixedBatch,
+            corpus,
+            indexBucketCap = Some(Dedup.MinhashBucketCap)
+          ),
+        batchRows
+      )
+      val streamDv = spark.table(Dedup.indexStreamDvTable(spark, idxDir))
+      timed(
+        "stream_dedup_takedown_fixed",
+        () =>
+          Dedup.dedupBatchAgainstIndexDf(
+            spark,
+            idx.join(org.apache.spark.sql.functions.broadcast(streamDv), Seq("doc_id"), "left_anti"),
+            fixedBatch,
+            corpus,
+            indexBucketCap = Some(Dedup.MinhashBucketCap)
+          ),
+        batchRows
+      )
+      val compacted = spark.table(Dedup.compactedIndexTable(spark, idxDir))
+      timed(
+        "dedup_index_compact_fixed",
+        () =>
+          Dedup.dedupBatchAgainstIndexDf(
+            spark,
+            compacted,
+            fixedBatch,
+            corpus,
+            indexBucketCap = Some(Dedup.MinhashBucketCap)
+          ),
+        batchRows
+      )
     }
     spark.stop()
   }

@@ -160,6 +160,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(kb === capped.map(c => c._1 -> c._2).toMap)
   }
 
+  test("capped pipeline flows: uncapped survivors ⊆ capped survivors; shared rows identical") {
+    // capped edges ⊆ uncapped edges ⇒ components split ⇒ keepers grow:
+    // every doc the uncapped curation keeps, the capped one keeps too,
+    // with identical per-doc features (lang/quality/split are cap-blind)
+    val cf = graft.text.Curation.curateFuzzy(spark, dir).collect().map(r => r.toSeq).toSet
+    val cfCap = graft.text.Curation
+      .curateFuzzy(spark, dir, Some(Dedup.MinhashBucketCap))
+      .collect()
+      .map(r => r.toSeq)
+      .toSet
+    assert(cf.subsetOf(cfCap), "uncapped fuzzy-curation survivors must survive under the cap")
+    // pretrain inherits it: pack offsets can shift when the survivor set
+    // grows, so compare on the cap-blind columns (doc_id + features)
+    val pt = graft.text.Curation
+      .pretrain(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val ptCap = graft.text.Curation
+      .pretrain(spark, dir, Some(Dedup.MinhashBucketCap))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(pt.subsetOf(ptCap), "uncapped pretrain survivors must survive under the cap")
+  }
+
   test("semantic dedup drops the planted within-cluster duplicate and keeps the smallest id") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-semdedup-").toString

@@ -677,6 +677,21 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("sql_q33_window (parsed surface) inherits BOTH runtime treatments: DPP + WindowGroupLimit") {
+    val df = Relational.sqlQ33Window(spark, dir)
+    // the parsed text's fact scan must carry the runtime dynamicpruning
+    // partition filter exactly like the q33 builder plan — the epoch
+    // filter only exists on the calendar dim
+    val fact = scans(df).filter(_.requiredSchema.fieldNames.contains("o_orderpriority"))
+    assert(fact.nonEmpty, scans(df).map(_.toString).mkString("\n"))
+    val pf = fact.head.partitionFilters.map(_.toString).mkString(",")
+    assert(pf.toLowerCase.contains("dynamicpruning"), s"PartitionFilters: $pf")
+    // and the rank predicate must be pushed into the window as a group
+    // limit, the q34 treatment — one SQL string, both optimizations
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("q34 window top-k: the rank limit is pushed into the window as a group limit") {
     val plan = Relational.q34WindowTopK(spark, dir).queryExecution.executedPlan.toString
     // Partial group-limit on the map side (bounded top-k per group

@@ -7,7 +7,17 @@ ranges, value grids, category sets, planted exact/near-dup rates, the
 timestamps). Used for the sf1 scaling probe in BASELINE.md — the driver
 sets are read-only and stop at sf0.1.
 
-Usage: python3 tools/gen_sf.py <sf> <outDir>   (e.g. 1 /tmp/sf1)
+Usage: python3 tools/gen_sf.py <sf> <outDir> [--vocab heaps]
+
+--vocab heaps swaps the fixed 31-word document vocabulary for a
+Heap's-law one (V = 12 * sqrt(total tokens) word types, Zipf s=1.1
+frequencies). The fixed vocab makes every shingle's document frequency
+scale-invariant — band-collision probability never decays, so every
+uncapped LSH audit reads n^2 REGARDLESS of implementation (documented
+since r8); the Heaps corpus has a realistic df spread (a few hot stop
+words, a long rare tail), separating the data-law from the operator so
+uncapped-vs-capped gaps measure the algorithm, not the fixture. All
+non-document tables are byte-identical between the two modes.
 
 Distribution notes (measured on /root/testdata/sf0.1, seed there = 42):
   rows: customer 150k*sf, supplier 10k*sf, part 200k*sf, orders 1.5M*sf,
@@ -60,7 +70,7 @@ def write(out, name, table):
     print(f"wrote {name}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str, seed: int = 42) -> None:
+def gen(sf: float, out: str, seed: int = 42, vocab_mode: str = "fixed") -> None:
     rng = np.random.RandomState(seed)
     n_cust = int(150000 * sf)
     n_supp = int(10000 * sf)
@@ -146,6 +156,24 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
 
     langs = np.array(["en", "zh", "es", "fr", "de"])
     lang_p = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
+    if vocab_mode == "heaps":
+        # Heap's law V = K * N^beta (K=12, beta=0.5) with Zipf s=1.1
+        # frequencies: a handful of stop-word-hot types, a long rare
+        # tail — document frequency now DECAYS with corpus growth, so
+        # uncapped LSH band-collision mass thins out the way it does on
+        # a real crawl instead of staying scale-invariant
+        n_tokens_est = n_doc * 55
+        v_size = max(64, int(12 * n_tokens_est ** 0.5))
+        heaps_words = np.array([f"w{i}" for i in range(v_size)])
+        zipf_cum = np.cumsum(1.0 / np.arange(1, v_size + 1) ** 1.1)
+        zipf_cum /= zipf_cum[-1]
+
+        def draw_words(k):
+            return heaps_words[np.searchsorted(zipf_cum, rng.rand(k))]
+        print(f"vocab: heaps V={v_size} (est tokens {n_tokens_est})")
+    else:
+        def draw_words(k):
+            return [VOCAB[w] for w in rng.randint(0, 31, k)]
     texts, doc_lang, doc_src = [], [], []
     for i in range(n_doc):
         r = rng.rand()
@@ -154,9 +182,9 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
         elif i > 10 and r < 0.05:            # near-dup: 1-2 word mutations
             words = texts[rng.randint(0, i)].split(" ")
             for _ in range(rng.randint(1, 3)):
-                words[rng.randint(0, len(words))] = VOCAB[rng.randint(0, 31)]
+                words[rng.randint(0, len(words))] = draw_words(1)[0]
         else:
-            words = [VOCAB[w] for w in rng.randint(0, 31, rng.randint(10, 101))]
+            words = list(draw_words(rng.randint(10, 101)))
         texts.append(" ".join(words))
         doc_lang.append(langs[np.searchsorted(lang_p.cumsum(), rng.rand())])
         doc_src.append(f"src{rng.randint(0, 20)}")
@@ -179,6 +207,13 @@ def gen(sf: float, out: str, seed: int = 42) -> None:
 
 if __name__ == "__main__":
     sf, out = float(sys.argv[1]), sys.argv[2]
+    mode = "fixed"
+    rest = sys.argv[3:]
+    for i, a in enumerate(rest):
+        if a == "--vocab" and i + 1 < len(rest):
+            mode = rest[i + 1]
+        elif a.startswith("--vocab="):
+            mode = a.split("=", 1)[1]
     import os
     os.makedirs(out, exist_ok=True)
-    gen(sf, out)
+    gen(sf, out, vocab_mode=mode)
