@@ -1257,23 +1257,27 @@ object Dedup {
     * structural check that the containment actually holds.
     *
     * Scale shape: both inputs are near-dup PAIR sets (orders of
-    * magnitude below the corpus); the semi-join keys on the id pair and
-    * the counts are 1-row map-side-combined aggregates. The expensive
-    * parts — signatures and the exact index — are the operators under
+    * magnitude below the corpus), and each is computed ONCE: a single
+    * full-outer join on the id pair tags every pair with which side(s)
+    * produced it, and one map-side-combined 1-row aggregate derives all
+    * three counts. (The obvious count/count/semi-join formulation runs
+    * each pair set twice — column pruning specializes the two subtrees,
+    * so exchange reuse cannot dedupe them.) The expensive parts —
+    * signatures and the exact index — are the operators under
     * evaluation, not overhead added by it (and at 100 TB the exact side
     * would run on a SAMPLE of the corpus: the estimator is unchanged).
     */
   def lshRecall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val exact = ngramJaccard(spark, dir).select($"id_a", $"id_b")
-    val lsh = minhashLsh(spark, dir).select($"id_a", $"id_b")
-    val ne = exact.agg(count(lit(1)).as("n_exact"))
-    val nl = lsh.agg(count(lit(1)).as("n_lsh"))
-    val hit = exact
-      .join(lsh, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    ne.crossJoin(nl)
-      .crossJoin(hit)
+    val exact = ngramJaccard(spark, dir).select($"id_a", $"id_b", lit(1L).as("e"))
+    val lsh = minhashLsh(spark, dir).select($"id_a", $"id_b", lit(1L).as("l"))
+    exact
+      .join(lsh, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        count($"e").as("n_exact"),
+        count($"l").as("n_lsh"),
+        count(when($"e".isNotNull && $"l".isNotNull, 1)).as("n_hit")
+      )
       .select(
         $"n_exact",
         $"n_lsh",

@@ -747,10 +747,17 @@ object Pq {
       .filter($"xrank" <= PqTopK)
       .select($"query_id", $"vec_id")
     val approx = adcTopK(spark, dir, refine).select($"query_id", $"neighbor_id".as("vec_id"))
-    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+    // one full-outer join + one 1-row aggregate: the exact truth (the
+    // expensive brute-force side) and the ADC ranking each compute ONCE,
+    // vs twice in the count/semi-join formulation (column pruning
+    // specializes the subtrees, so exchange reuse can't dedupe them)
     exact
-      .agg(count(lit(1)).as("n_exact"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select($"query_id", $"vec_id", lit(1L).as("e"))
+      .join(approx.select($"query_id", $"vec_id", lit(1L).as("a")), Seq("query_id", "vec_id"), "full_outer")
+      .agg(
+        count($"e").as("n_exact"),
+        count(when($"e".isNotNull && $"a".isNotNull, 1)).as("n_hits")
+      )
       .select(
         $"n_exact",
         $"n_hits",
