@@ -1301,12 +1301,17 @@ object Relational {
     * percentiles, with per-bucket row count, exact NDV, and data
     * min/max — what a cost-based optimizer consumes for selectivity on
     * skewed columns. Fences come from the same rank-based plan as q20
-    * (never a full-column aggregation buffer; the one-row fence frame
-    * broadcasts back over the corpus), bucket assignment is a codegen'd
+    * (never a full-column aggregation buffer; the per-column fence rows
+    * broadcast back over the corpus), bucket assignment is a codegen'd
     * when-chain per row, and the per-bucket stats are ordinary
-    * partial-aggregable aggregates — two corpus passes per column total
-    * (fence derivation + assignment), both partition-parallel at any
-    * scale. Tie semantics are value-based on purpose: a value with more
+    * partial-aggregable aggregates. ALL columns share the two corpus
+    * passes: a zero-shuffle `stack` Expand fans each scanned row to one
+    * (column, value) row per profiled column, the rank-percentile plan
+    * groups by column, and assignment joins the fences back on the
+    * column name — fence derivation + assignment stay two table scans
+    * TOTAL however many columns ANALYZE profiles, both
+    * partition-parallel at any scale. Tie semantics are value-based on
+    * purpose: a value with more
     * mass than a bucket's nominal height spills its whole tie group
     * into one bucket (l_quantity, 50 distinct values under heavy ties,
     * pins this path; l_extendedprice pins the near-unique path), which
@@ -1321,38 +1326,43 @@ object Relational {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
     val B = HistBuckets
-    val per = HistCols.map { c =>
-      val vals = li.select(lit(c).as("g"), col(c).cast("double").as("v"))
-      val ps = (1 until B).map(i => s"f$i" -> i.toDouble / B)
-      val fences = rankPercentiles(vals, ps).drop("g")
-      val bucket = (1 until B).foldLeft(lit(1)) { (acc, i) =>
-        acc + when($"v" > col(s"f$i"), 1).otherwise(0)
-      }
-      val lo = (2 to B).foldLeft(lit(null).cast("double")) { (acc, i) =>
-        when($"bucket" === i, round(col(s"f${i - 1}"), 4)).otherwise(acc)
-      }
-      val hi = (1 until B).foldLeft(lit(null).cast("double")) { (acc, i) =>
-        when($"bucket" === i, round(col(s"f$i"), 4)).otherwise(acc)
-      }
-      vals
-        .crossJoin(broadcast(fences))
-        .withColumn("bucket", bucket)
-        .withColumn("lo", lo)
-        .withColumn("hi", hi)
-        .groupBy($"bucket", $"lo", $"hi")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct($"v").as("ndv"),
-          round(min($"v"), 4).as("bucket_min"),
-          round(max($"v"), 4).as("bucket_max")
-        )
-        .select(
-          lit(c).as("col"),
-          $"bucket".cast("long").as("bucket"),
-          $"lo", $"hi", $"n_rows", $"ndv", $"bucket_min", $"bucket_max"
-        )
+    // one scan fans to (g, v) rows for every profiled column — Expand,
+    // no shuffle — so fences and assignment each scan the table once
+    // regardless of how many columns ANALYZE covers
+    val stackExpr =
+      s"stack(${HistCols.size}, " +
+        HistCols.map(c => s"'$c', cast($c as double)").mkString(", ") +
+        ") as (g, v)"
+    def vals: DataFrame = li.selectExpr(stackExpr)
+    val ps = (1 until B).map(i => s"f$i" -> i.toDouble / B)
+    val fences = rankPercentiles(vals, ps)
+    val bucket = (1 until B).foldLeft(lit(1)) { (acc, i) =>
+      acc + when($"v" > col(s"f$i"), 1).otherwise(0)
     }
-    per.reduce(_.unionByName(_)).orderBy($"col", $"bucket")
+    val lo = (2 to B).foldLeft(lit(null).cast("double")) { (acc, i) =>
+      when($"bucket" === i, round(col(s"f${i - 1}"), 4)).otherwise(acc)
+    }
+    val hi = (1 until B).foldLeft(lit(null).cast("double")) { (acc, i) =>
+      when($"bucket" === i, round(col(s"f$i"), 4)).otherwise(acc)
+    }
+    vals
+      .join(broadcast(fences), "g")
+      .withColumn("bucket", bucket)
+      .withColumn("lo", lo)
+      .withColumn("hi", hi)
+      .groupBy($"g", $"bucket", $"lo", $"hi")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct($"v").as("ndv"),
+        round(min($"v"), 4).as("bucket_min"),
+        round(max($"v"), 4).as("bucket_max")
+      )
+      .select(
+        $"g".as("col"),
+        $"bucket".cast("long").as("bucket"),
+        $"lo", $"hi", $"n_rows", $"ndv", $"bucket_min", $"bucket_max"
+      )
+      .orderBy($"col", $"bucket")
   }
 
   /** Replication factor for the salted join: the small-but-not-broadcast

@@ -111,7 +111,11 @@ object ExplainDump {
     "stream_dedup_takedown" -> "the forget queue streamed into the signature index: per-trigger tombstone slices accumulate, and the CAPPED admission pipeline (the dedup_incremental_capped arm over the live bucket census) runs over index ∖ union(slices) — takedown changes future admission decisions, never index rows",
     "sim_pq_compact" -> "the PQ compaction: live 6-byte codes and live vector-store rows rewritten once each (no re-encode, survivors verbatim); the compacted serve reads two catalog tables with no DV anti-join and no pending-tick encode anywhere",
     "stream_layout_takedown_pruned" -> "the BOUNDED read over the takedown-maintained layout: the per-file (min,max) manifest filters the path list before the reader (skipped files never open), and the accumulated kilobyte DV commits apply as ONE broadcast LeftAnti probe on the pruned rows — the box straddles the victim range so both mechanisms are load-bearing",
-    "sim_ivf_pq_delete" -> "takedown on the composed production index: the shared corpus DV anti-joins the PROBED posting lists before any code row is ADC-scored — probes bound WHICH, codes bound BYTES, the DV bounds to LIVE; per query the delete costs a probe-set filter, never a corpus pass"
+    "sim_ivf_pq_delete" -> "takedown on the composed production index: the shared corpus DV anti-joins the PROBED posting lists before any code row is ADC-scored — probes bound WHICH, codes bound BYTES, the DV bounds to LIVE; per query the delete costs a probe-set filter, never a corpus pass",
+    "sql_q33_window" -> "ONE parsed SQL string inherits BOTH runtime treatments: the epoch filter arrives through the calendar dim and reappears as a dynamicpruningexpression in the fact scan's PartitionFilters (DPP), and the rank predicate pushes into the window as a WindowGroupLimit — the analyst's ad-hoc text gets the 3-years-not-30 scan and bounded window state with no rewrite",
+    "pipeline_curate_fuzzy_capped" -> "the fuzzy-curation flow on the CAPPED cluster-label artifact: hot LSH buckets leave before the edge join, so the label fixpoint is the production edge source (capped keepers ⊇ uncapped, spec-pinned); per-run cost is the langid+quality corpus map passes, doc_id-keyed joins compose the plan",
+    "pipeline_pretrain_capped" -> "pretrain assembly riding the capped label artifact: decontamination gate + quality keeper + packing joins, all doc_id-keyed over map-pass scores — the n² uncapped fixpoint is out of every registered flow's build path",
+    "pipeline_pretrain_semantic_capped" -> "both decontamination modalities over the capped labels: n-gram gate for verbatim leakage, broadcast embedding keep-list for paraphrase leakage — one broadcast-able join over the capped pretrain plan"
   )
 
   def main(args: Array[String]): Unit = {
