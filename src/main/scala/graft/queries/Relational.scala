@@ -374,6 +374,26 @@ object Relational {
     *      are bit-identical to the exact aggregate this replaces
     *      (pinned by PercentileParitySpec).
     */
+  /** The persisted per-group distinct-value histogram (g, v, c, b) every
+    * rank-percentile consumer shares: distinct VALUES only — bounded by
+    * the value grid, tiny relative to the table — and the CacheManager
+    * dedupes invocations by canonical plan, so every caller over the
+    * same (g, v) frame ([[rankPercentiles]]' internal branches AND
+    * [[statsHistogram]]'s bucket-stats aggregate) reads ONE cached
+    * materialization — one table scan total. The entry is session-lived:
+    * the engine invokes this over a FIXED set of inputs (q19/q20/
+    * histogram); a caller looping over many ad-hoc inputs should
+    * clearCache()/unpersist between rounds.
+    */
+  private[graft] def valueHistogram(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupBy($"g", $"v")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("b", floor($"v"))
+      .persist()
+  }
+
   private[graft] def rankPercentiles(
       df: DataFrame,
       ps: Seq[(String, Double)],
@@ -382,21 +402,11 @@ object Relational {
     val spark = df.sparkSession
     import spark.implicits._
     // every downstream branch (cumulative rank, bucket offsets, group
-    // stats) consumes THIS aggregation; persisting it runs the table
-    // scan and the (g, v) shuffle ONCE instead of once per branch
+    // stats) consumes the shared histogram; persisting it runs the
+    // table scan and the (g, v) shuffle ONCE instead of once per branch
     // (column pruning specializes each branch's aggregate schema, so
-    // exchange reuse can't dedupe them unpersisted). The histogram is
-    // distinct VALUES only — bounded by the value grid, tiny relative
-    // to the table — and the CacheManager dedupes re-invocations by
-    // canonical plan, so repeated calls share one entry. The entry is
-    // session-lived: the engine invokes this over a FIXED set of inputs
-    // (q19/q20); a caller looping over many ad-hoc inputs should
-    // clearCache()/unpersist between rounds.
-    val hist = df
-      .groupBy($"g", $"v")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("b", floor($"v"))
-      .persist()
+    // exchange reuse can't dedupe them unpersisted).
+    val hist = valueHistogram(df)
     val wInBucket = Window
       .partitionBy($"g", $"b")
       .orderBy($"v")
@@ -1304,13 +1314,17 @@ object Relational {
     * (never a full-column aggregation buffer; the per-column fence rows
     * broadcast back over the corpus), bucket assignment is a codegen'd
     * when-chain per row, and the per-bucket stats are ordinary
-    * partial-aggregable aggregates. ALL columns share the two corpus
-    * passes: a zero-shuffle `stack` Expand fans each scanned row to one
-    * (column, value) row per profiled column, the rank-percentile plan
-    * groups by column, and assignment joins the fences back on the
-    * column name — fence derivation + assignment stay two table scans
-    * TOTAL however many columns ANALYZE profiles, both
-    * partition-parallel at any scale. Tie semantics are value-based on
+    * partial-aggregable aggregates. ALL columns share ONE corpus pass:
+    * a zero-shuffle `stack` Expand fans each scanned row to one
+    * (column, value) row per profiled column, the shared persisted
+    * [[valueHistogram]] collapses that to distinct values (the only
+    * table scan, cache-deduped with the rank-percentile plan's own
+    * read), and BOTH the fences and the per-bucket stats derive from
+    * the histogram — n_rows is Σc, NDV is the bucket's histogram row
+    * count (exact, no countDistinct expand), min/max are value maxima.
+    * Bucket assignment touches distinct values only, so the
+    * fences-back join moves a value-grid-bounded frame however many
+    * columns ANALYZE profiles. Tie semantics are value-based on
     * purpose: a value with more
     * mass than a bucket's nominal height spills its whole tie group
     * into one bucket (l_quantity, 50 distinct values under heavy ties,
@@ -1327,13 +1341,14 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     val B = HistBuckets
     // one scan fans to (g, v) rows for every profiled column — Expand,
-    // no shuffle — so fences and assignment each scan the table once
-    // regardless of how many columns ANALYZE covers
+    // no shuffle — collapsed once to the shared persisted histogram;
+    // everything downstream (fences AND bucket stats) reads that
     val stackExpr =
       s"stack(${HistCols.size}, " +
         HistCols.map(c => s"'$c', cast($c as double)").mkString(", ") +
         ") as (g, v)"
     def vals: DataFrame = li.selectExpr(stackExpr)
+    val hist = valueHistogram(vals)
     val ps = (1 until B).map(i => s"f$i" -> i.toDouble / B)
     val fences = rankPercentiles(vals, ps)
     val bucket = (1 until B).foldLeft(lit(1)) { (acc, i) =>
@@ -1345,15 +1360,15 @@ object Relational {
     val hi = (1 until B).foldLeft(lit(null).cast("double")) { (acc, i) =>
       when($"bucket" === i, round(col(s"f$i"), 4)).otherwise(acc)
     }
-    vals
+    hist
       .join(broadcast(fences), "g")
       .withColumn("bucket", bucket)
       .withColumn("lo", lo)
       .withColumn("hi", hi)
       .groupBy($"g", $"bucket", $"lo", $"hi")
       .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct($"v").as("ndv"),
+        sum($"c").as("n_rows"),
+        count(lit(1)).as("ndv"),
         round(min($"v"), 4).as("bucket_min"),
         round(max($"v"), 4).as("bucket_max")
       )

@@ -172,12 +172,12 @@ class PlanSpec extends AnyFunSuite {
     // corpus-side assignment pass never shuffles for the fences
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastNestedLoopJoin") || physical.contains("BroadcastExchange"), physical)
-    // every profiled column shares the same corpus passes through the
-    // stack Expand: the assignment pass is the ONLY file scan in the
-    // plan (the fence derivation reads the persisted (g, v) histogram,
-    // whose populate scan is the other pass) — adding a column to
+    // the serve plan contains NO file scan at all: fences and bucket
+    // stats both read the shared persisted (g, v) histogram (one
+    // cache-deduped entry; its populate scan — the query's only table
+    // pass — lives inside the InMemoryRelation) — adding a column to
     // ANALYZE must not add a table scan
-    assert(scans(df).size === 1, physical)
+    assert(scans(df).isEmpty, physical)
   }
 
   test("q21_sketch_gate verifies the sketch median by rank counting, not an exact percentile buffer") {
