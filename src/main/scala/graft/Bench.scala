@@ -66,20 +66,27 @@ object Bench {
     // mechanically, and all runs are reported under "adjudicated" so the
     // evidence rides in the artifact instead of needing a manual
     // quiet-window re-probe (the r9 events-family case).
-    val prior: Map[String, Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_DETAIL.json")),
-          "UTF-8"
-        )
-        val qobj = txt.split("\"queries\":\\{", 2)
-        if (qobj.length < 2) Map.empty
-        else
-          "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
-            .findAllMatchIn(qobj(1).split("\\}", 2)(0))
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .toMap
-      } catch { case _: Throwable => Map.empty }
+    val anchorTxt: String =
+      try new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_DETAIL.json")),
+        "UTF-8"
+      )
+      catch { case _: Throwable => "" }
+    def parseAnchorObj(key: String): Map[String, Double] = {
+      val qobj = anchorTxt.split("\"" + key + "\":\\{", 2)
+      if (qobj.length < 2) Map.empty
+      else
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r
+          .findAllMatchIn(qobj(1).split("\\}", 2)(0))
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
+    }
+    // the anchor's measured per-query map, overlaid with its quietest-
+    // known reference ("queries_adjref", written when a contended-but-
+    // faster run advanced the anchor): adjudication compares against the
+    // best quiet evidence available, not a contention-inflated time
+    val priorQueries = parseAnchorObj("queries")
+    val prior: Map[String, Double] = priorQueries ++ parseAnchorObj("queries_adjref")
     // Per-query load annotation + adjudication quiet-wait: the r13/r14
     // driver windows measured 231 s vs 134 s on byte-identical code —
     // pure host contention — so (a) every query records the 1-min
@@ -165,8 +172,6 @@ object Bench {
       .mkString("{", ",", "}")
     val gateObj =
       s"""{"threshold":${fmt(gateThreshold)},"waited_sec":${fmt(gateWaitedSec)},"loadavg_at_start":${fmt(loadNow)}}"""
-    val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(3)(_._2)},"queries_max":${obj(3)(_._3)},"queries_load":${obj(2)(_._4)},"adjudicated":$adjObj,"failed":$failed,"load_gate":$gateObj,"sf":"$sfDir"}"""
     // a filtered run must not clobber the committed full-set record;
     // neither must a CONTENDED window clobber a quieter committed
     // anchor (the anchor is the self-adjudication reference AND the
@@ -179,23 +184,17 @@ object Bench {
     // loadavg decay otherwise pins an improved-code anchor forever).
     // Otherwise the detail lands beside it.
     def anchorField(name: String): Option[Double] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_DETAIL.json")),
-          "UTF-8"
-        )
-        s""""$name":(-?[0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
-      } catch { case _: Throwable => None }
+      s""""$name":(-?[0-9.]+)""".r.findFirstMatchIn(anchorTxt).map(_.group(1).toDouble)
     val anchorLoad = anchorField("loadavg_at_start")
     val anchorTotal = anchorField("value")
+    // the anchor's key set (`prior` is its parsed per-query map): the
+    // beats-total advance below is only meaningful against the SAME
+    // query set — a run after a query was removed or renamed covers
+    // less work and reads "faster" for a non-reason
+    val sameQuerySet =
+      priorQueries.nonEmpty && priorQueries.keySet == results.map(_._1).toSet
     val anchorSf: Option[String] =
-      try {
-        val txt = new String(
-          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_DETAIL.json")),
-          "UTF-8"
-        )
-        "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      } catch { case _: Throwable => None }
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(anchorTxt).map(_.group(1))
     // a run with ANY failed query can never advance the anchor (a
     // partial/killed window reads "faster" precisely because it did
     // less work), and neither can a run over a DIFFERENT sf dir (a
@@ -215,14 +214,37 @@ object Bench {
             " writing BENCH_DETAIL_LAST.json, anchor preserved"
         )
         "BENCH_DETAIL_LAST.json"
-      } else if (anchorLoad.exists(_ < loadNow) && !anchorTotal.exists(total < _)) {
+      } else if (
+        anchorLoad.exists(_ < loadNow) && !(anchorTotal.exists(total < _) && sameQuerySet)
+      ) {
         System.err.println(
           f"[bench] committed anchor is quieter (loadavg ${anchorLoad.get}%.2f < $loadNow%.2f)" +
-            f" and not beaten (total ${anchorTotal.getOrElse(Double.NaN)}%.1f <= $total%.1f):" +
+            f" and not beaten on the same query set" +
+            f" (total ${anchorTotal.getOrElse(Double.NaN)}%.1f, same_set=$sameQuerySet):" +
             " writing BENCH_DETAIL_LAST.json, anchor preserved"
         )
         "BENCH_DETAIL_LAST.json"
       } else "BENCH_DETAIL.json"
+    // min-merged per-query reference: a contended-but-faster run that
+    // advances the anchor would otherwise replace the quiet per-query
+    // map (the 3×-prior adjudication reference) with contention-inflated
+    // individual times even though the TOTAL improved — so the anchor
+    // carries "queries_adjref", the element-wise min of this run and the
+    // prior reference, and adjudication reads it in preference to
+    // "queries". "queries" itself stays the honest measurement of THIS
+    // run (totals and per-query times remain mutually consistent).
+    val adjRefField =
+      if (detailPath == "BENCH_DETAIL.json" && anchorLoad.exists(_ < loadNow) && sameQuerySet) {
+        val merged = results
+          .map { r =>
+            val ref = prior.get(r._1).filter(_ > 0).fold(r._2)(math.min(r._2, _))
+            "\"" + r._1 + "\":" + fmtAt(3)(ref)
+          }
+          .mkString("{", ",", "}")
+        s""","queries_adjref":$merged"""
+      } else ""
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(3)(_._2)},"queries_max":${obj(3)(_._3)},"queries_load":${obj(2)(_._4)},"adjudicated":$adjObj,"failed":$failed,"load_gate":$gateObj$adjRefField,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detail.getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     println(

@@ -80,6 +80,8 @@ object SparkEntry {
     "sql_q10_window" -> ((s, d) => graft.queries.SqlSurface.sql(s, d, Oracles.q10WindowRank)),
     // parsed-surface DPP + WindowGroupLimit in one SQL string
     "sql_q33_window" -> ((s, d) => Relational.sqlQ33Window(s, d)),
+    // raw SQL text through the INJECTED native expressions
+    "sql_native_text" -> ((s, d) => graft.queries.SqlSurface.nativeText(s, d)),
     "layout_zorder" -> ((s, d) => graft.queries.Layout.zorderScan(s, d)),
     "layout_compact" -> ((s, d) => graft.queries.Layout.compactScan(s, d)),
     "layout_pruned_scan" -> ((s, d) => graft.queries.Layout.prunedScan(s, d)),
@@ -300,6 +302,7 @@ object SparkEntry {
     "sql_q8_topk" -> Oracles.q8TopK,
     "sql_q10_window" -> Oracles.q10WindowRank,
     "sql_q33_window" -> Oracles.sqlQ33Window,
+    "sql_native_text" -> PipelineOracles.sqlNativeText,
     "layout_zorder" -> Oracles.layoutZorder,
     "layout_compact" -> Oracles.layoutCompact,
     // same result contract as the unpruned clustered scan

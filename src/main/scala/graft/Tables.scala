@@ -135,6 +135,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+      // the native expressions' SQL surface (graft_fdot & co.) plus the
+      // as-of-join strategy/rule ride on every engine session, so raw
+      // spark.sql text reaches them exactly like the builders do
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

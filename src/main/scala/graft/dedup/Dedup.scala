@@ -293,6 +293,25 @@ object Dedup {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Option[Int]), DataFrame]()
 
+  /** Evicts (unpersisting) every cached cluster-label frame for
+    * (spark, dir) — the build-probe hook: ProbeBuilds re-runs the label
+    * fixpoint under min-of-N timing, which the session cache would
+    * otherwise short-circuit after run 1. Returns the number evicted.
+    */
+  private[graft] def evictLabelCache(spark: SparkSession, dir: String): Int = {
+    var n = 0
+    val it = labelCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && e.getKey._2 == dir) {
+        e.getValue.unpersist()
+        it.remove()
+        n += 1
+      }
+    }
+    n
+  }
+
   /** (doc_id, cluster_id) for every document — the label fixpoint alone,
     * without the cluster-size aggregation `clusters` adds on top.
     * Consumers that only need keepers (cluster_id == doc_id) skip a

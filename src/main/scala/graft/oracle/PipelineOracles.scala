@@ -1531,6 +1531,32 @@ object PipelineOracles {
        |FROM scrubbed ORDER BY doc_id""".stripMargin
   }
 
+  /** Replays the native-function SQL surface (sql_native_text): the
+    * distinct-3-shingle count, the distinct-token count, and the seed-7
+    * rolling polynomial hash — the same three semantics the injected
+    * graft_word_shingles / graft_distinct_tokens / graft_rolling_hash
+    * expressions compute in one pass.
+    */
+  val sqlNativeText: String =
+    s"""WITH toks AS (SELECT doc_id, $toks AS w FROM documents),
+       |sets AS (SELECT doc_id,
+       |  CASE WHEN len(w) >= 3
+       |    THEN list_distinct(list_transform(generate_series(1, len(w)-2), i -> w[i]||' '||w[i+1]||' '||w[i+2]))
+       |    ELSE CAST([] AS VARCHAR[]) END AS shs,
+       |  list_distinct(w) AS dts
+       |  FROM toks)
+       |SELECT d.doc_id,
+       |  CAST(len(s.shs) AS BIGINT) AS n_shingles,
+       |  CAST(len(s.dts) AS BIGINT) AS n_tokens,
+       |  CASE WHEN length(d.text) = 0 THEN 7
+       |    ELSE list_reduce(
+       |      list_prepend(CAST(7 AS BIGINT),
+       |        list_transform(generate_series(1, length(d.text)), i -> CAST(ord(substr(d.text, i, 1)) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % ${TextAnalysis.FingerprintMod})
+       |  END AS fingerprint
+       |FROM documents d JOIN sets s ON s.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val textFingerprint: String =
     s"""SELECT doc_id,
        |  CASE WHEN length(text) = 0 THEN 7

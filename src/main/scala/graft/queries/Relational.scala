@@ -380,19 +380,67 @@ object Relational {
     * dedupes invocations by canonical plan, so every caller over the
     * same (g, v) frame ([[rankPercentiles]]' internal branches AND
     * [[statsHistogram]]'s bucket-stats aggregate) reads ONE cached
-    * materialization — one table scan total. The entry is session-lived:
-    * the engine invokes this over a FIXED set of inputs (q19/q20/
-    * histogram); a caller looping over many ad-hoc inputs should
-    * clearCache()/unpersist between rounds.
+    * materialization — one table scan total. Entries live in a bounded
+    * plan-keyed registry, NOT open-endedly in the session: the engine
+    * invokes this over a FIXED set of inputs (q19/q20/histogram — three
+    * frames), so repeated calls return the one registered DataFrame per
+    * canonical plan instead of re-marking a persist, an ad-hoc caller
+    * churning through many inputs evicts the eldest entry at the size
+    * cap instead of accumulating executor memory without bound, and the
+    * session-end hygiene pass ([[warehouseHygiene]], which Bench and
+    * Verify already run) releases every entry — no cache outlives the
+    * serving pass that needed it.
     */
+  private val HistRegistryCap = 8
+  private val histRegistry =
+    new java.util.LinkedHashMap[
+      (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+      DataFrame
+    ]
+
   private[graft] def valueHistogram(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.groupBy($"g", $"v")
+    val hist = df
+      .groupBy($"g", $"v")
       .agg(count(lit(1)).as("c"))
       .withColumn("b", floor($"v"))
-      .persist()
+    val key = (spark, hist.queryExecution.analyzed.canonicalized)
+    histRegistry.synchronized {
+      histRegistry.entrySet().removeIf(_.getKey._1.sparkContext.isStopped)
+      val cached = histRegistry.get(key)
+      if (cached != null) cached
+      else {
+        if (histRegistry.size >= HistRegistryCap) {
+          val eldest = histRegistry.entrySet().iterator().next()
+          eldest.getValue.unpersist()
+          histRegistry.remove(eldest.getKey)
+        }
+        val built = hist.persist()
+        histRegistry.put(key, built)
+        built
+      }
+    }
   }
+
+  /** Unpersists every registered rank-percentile histogram for
+    * `spark` — the session-end half of the registry's lifetime story,
+    * invoked from [[warehouseHygiene]]. Returns the number released.
+    */
+  private[graft] def releaseHistograms(spark: SparkSession): Int =
+    histRegistry.synchronized {
+      val it = histRegistry.entrySet().iterator()
+      var n = 0
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) {
+          e.getValue.unpersist()
+          it.remove()
+          n += 1
+        }
+      }
+      n
+    }
 
   private[graft] def rankPercentiles(
       df: DataFrame,
@@ -736,23 +784,45 @@ object Relational {
       sweep: Boolean = true,
       minAgeMs: Long = 60L * 60 * 1000
   ): String = {
+    // session-end cache hygiene rides with the warehouse ledger: the
+    // registered rank-percentile histograms must not outlive the
+    // serving pass (Bench/Verify call this exactly once, at the end)
+    val released = releaseHistograms(spark)
     val warehouse = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(warehouse)) return "[warehouse] empty"
+    if (!fs.exists(warehouse)) return s"[warehouse] empty; released $released cached histograms"
     val live = scala.collection.immutable.Set.from(
       scala.jdk.CollectionConverters.SetHasAsScala(sessionFps).asScala
     )
     val entries = fs.listStatus(warehouse).filter(_.getPath.getName.startsWith("graft_"))
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val (kept, dead) = entries.partition(st =>
-      live.exists(fp => st.getPath.getName.contains(fp)) ||
-        (sweep && st.getModificationTime > cutoff)
-    )
-    val stale = if (sweep) dead else Array.empty[org.apache.hadoop.fs.FileStatus]
+    // the age floor is BUILD-TIME-DERIVED: an artifact's age is its
+    // newest write anywhere under the dir, not the dir inode's mtime —
+    // a concurrent JVM mid-way through a build LONGER than the floor
+    // (sf30 index builds run to the hour) keeps writing files, so its
+    // newest-write stays fresh even though the dir was created before
+    // the cutoff. Recursion only ever runs over the dead candidates
+    // (dirs no live fingerprint claims), never the whole warehouse.
+    def newestWrite(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else {
+        val children = fs.listStatus(p)
+        if (children.isEmpty) st.getModificationTime
+        else math.max(st.getModificationTime, children.map(c => newestWrite(c.getPath)).max)
+      }
+    }
+    val (liveKept, dead) =
+      entries.partition(st => live.exists(fp => st.getPath.getName.contains(fp)))
+    val stale =
+      if (sweep) dead.filter(st => newestWrite(st.getPath) <= cutoff)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
     stale.foreach(st => fs.delete(st.getPath, true))
+    val kept = liveKept ++ dead.diff(stale)
     val bytes = kept.map(st => fs.getContentSummary(st.getPath).getLength).sum
     val mode = if (sweep) "" else " (filtered run: sweep skipped)"
-    s"[warehouse] ${kept.length} live artifact dirs, $bytes bytes; retired ${stale.length} stale$mode"
+    s"[warehouse] ${kept.length} live artifact dirs, $bytes bytes; retired ${stale.length} stale$mode;" +
+      s" released $released cached histograms"
   }
 
   // serializes bucket-table builds: two first callers racing on the same
@@ -1368,7 +1438,11 @@ object Relational {
       .groupBy($"g", $"bucket", $"lo", $"hi")
       .agg(
         sum($"c").as("n_rows"),
-        count(lit(1)).as("ndv"),
+        // NDV counts non-null distinct VALUES (histogram rows), exactly
+        // the old countDistinct(v) semantics: a nullable profiled column
+        // contributes one (g, NULL) histogram row, which must count in
+        // n_rows (the bucket's mass) but never in ndv
+        count(when($"v".isNotNull, 1)).as("ndv"),
         round(min($"v"), 4).as("bucket_min"),
         round(max($"v"), 4).as("bucket_max")
       )

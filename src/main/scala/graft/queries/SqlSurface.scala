@@ -34,4 +34,28 @@ object SqlSurface {
     registerViews(spark, dir)
     spark.sql(statement)
   }
+
+  /** The native-expression SQL surface: raw `spark.sql` text calling the
+    * engine's INJECTED Catalyst expressions (GraftExtensions — the
+    * as-of-join strategy's sibling registration path) over the documents
+    * temp view. The parser resolves `graft_word_shingles` /
+    * `graft_distinct_tokens` / `graft_rolling_hash` to the SAME
+    * expression instances the DataFrame builders construct directly
+    * (PlanSpec pins the physical identity), so an analyst typing SQL
+    * gets the one-pass per-doc shingle/token/fingerprint profile at
+    * builder cost — one pruned (doc_id, text) scan, no join, no
+    * shuffle except the output sort. The DuckDB oracle replays all
+    * three semantics relationally (shingle CTE + list_distinct +
+    * list_reduce hash fold).
+    */
+  val nativeTextStatement: String =
+    """SELECT doc_id,
+      |  CAST(size(graft_word_shingles(lower(text))) AS BIGINT) AS n_shingles,
+      |  CAST(size(graft_distinct_tokens(lower(text))) AS BIGINT) AS n_tokens,
+      |  graft_rolling_hash(text) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  def nativeText(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, nativeTextStatement)
 }

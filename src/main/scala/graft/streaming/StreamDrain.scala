@@ -96,6 +96,28 @@ object StreamDrain {
     * Returns the number of ticked batches — derived from the guard set,
     * so a replay can't inflate the ledgers either.
     */
+  /** The replayed-batch guard around a drain tick, factored out of
+    * [[drainTicks]] so the spec can drive a DUPLICATE batchId through
+    * the exact foreachBatch lambda the production drains install
+    * (CrashSafetySpec) instead of asserting the guard by reading it.
+    * Admits each batchId's tick exactly once for the guard's lifetime
+    * (one drain = one guard instance); empty batches never tick and
+    * never consume their batchId — a replay that delivers the data on
+    * the retry still gets its tick.
+    */
+  private[streaming] final class BatchGuard(tick: DataFrame => Unit)
+      extends ((DataFrame, Long) => Unit)
+      with Serializable {
+    private val ticked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    override def apply(df: DataFrame, batchId: Long): Unit = {
+      if (!df.isEmpty && ticked.add(batchId)) tick(df)
+      ()
+    }
+
+    /** Number of batchIds whose tick ran — the drain's ledger count. */
+    def count: Int = ticked.size
+  }
+
   def drainTicks(
       spark: SparkSession,
       frag: String,
@@ -108,12 +130,9 @@ object StreamDrain {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(frag)
-    val ticked = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val guard = new BatchGuard(tick)
     val q = stream.writeStream
-      .foreachBatch { (df: DataFrame, batchId: java.lang.Long) =>
-        if (!df.isEmpty && ticked.add(batchId)) tick(df)
-        ()
-      }
+      .foreachBatch(guard)
       .option("checkpointLocation", s"$chk/_chk")
       .start()
     try q.processAllAvailable()
@@ -121,6 +140,6 @@ object StreamDrain {
       q.stop()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(chk))
     }
-    ticked.size
+    guard.count
   }
 }

@@ -698,6 +698,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("sql_native_text (parsed surface) binds the injected expressions — builder physical treatment") {
+    val df = graft.queries.SqlSurface.nativeText(spark, dir)
+    // the parsed graft_* function names must resolve to the SAME native
+    // Catalyst expression classes the DataFrame builders construct
+    // (GraftExtensions injection — not a UDF, not a rewrite)
+    val exprClasses = df.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }
+      .flatten
+      .flatMap(_.collect {
+        case _: graft.functions.WordShingles   => "WordShingles"
+        case _: graft.functions.DistinctTokens => "DistinctTokens"
+        case _: graft.functions.RollingHash    => "RollingHash"
+      })
+      .toSet
+    assert(
+      exprClasses === Set("WordShingles", "DistinctTokens", "RollingHash"),
+      s"parsed plan must contain all three native expressions, got $exprClasses:\n" +
+        df.queryExecution.optimizedPlan
+    )
+    // builder treatment: ONE scan, pruned to exactly (doc_id, text) —
+    // the per-doc profile is a single map pass over the corpus
+    val sc = scans(df)
+    assert(sc.size === 1, sc.map(_.toString).mkString("\n"))
+    assert(
+      sc.head.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+      sc.head.requiredSchema.treeString
+    )
+    // and no shuffle beyond the output sort's range exchange
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected at most the sort exchange, found $exchanges:\n$plan")
+  }
+
   test("q34 window top-k: the rank limit is pushed into the window as a group limit") {
     val plan = Relational.q34WindowTopK(spark, dir).queryExecution.executedPlan.toString
     // Partial group-limit on the map side (bounded top-k per group

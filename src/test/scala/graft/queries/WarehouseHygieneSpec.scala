@@ -63,4 +63,39 @@ class WarehouseHygieneSpec extends AnyFunSuite {
     assert(live.exists(), "live-fingerprint dir must survive any sweep")
     live.listFiles().foreach(_.delete()); live.delete()
   }
+
+  test("a concurrent in-flight build OLDER than the age floor survives the sweep") {
+    val whConf = spark.conf.get("spark.sql.warehouse.dir")
+    val warehouse = new java.io.File(
+      if (whConf.startsWith("file:")) new java.net.URI(whConf).getPath else whConf
+    )
+    warehouse.mkdirs()
+    // the fourth-decade shape: another JVM started this build HOURS ago
+    // (dir inode + its first files are older than the 1 h floor) and is
+    // still writing — builds at sf30 run to the hour. The artifact's age
+    // must derive from its NEWEST write, not the dir inode.
+    val inflight = mkArtifact(warehouse, "graft_hyg_inflight_feedf00d0001", old = true)
+    val freshPart = new java.io.File(inflight, "part-00001")
+    java.nio.file.Files.writeString(freshPart.toPath, "y") // the write in flight: fresh mtime
+    val deep = new java.io.File(inflight, "_temporary/0")
+    deep.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(deep, "task-0").toPath, "z")
+    // age the intermediate dirs too — only the leaf write is fresh
+    deep.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+
+    val swept = Relational.warehouseHygiene(spark)
+    assert(
+      inflight.exists() && freshPart.exists(),
+      s"an in-flight build with a fresh newest-write must survive the sweep: $swept"
+    )
+
+    // once the writer goes quiet past the floor, the same dir IS stale
+    def ageAll(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+      Option(f.listFiles()).foreach(_.foreach(ageAll))
+    }
+    ageAll(inflight)
+    val swept2 = Relational.warehouseHygiene(spark)
+    assert(!inflight.exists(), s"a dead build past the floor must still be retired: $swept2")
+  }
 }

@@ -49,6 +49,47 @@ class CrashSafetySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(frag))
   }
 
+  test("drainTicks replay guard: a replayed batchId ticks exactly once, and the ledger counts admissions") {
+    import spark.implicits._
+    // the EXACT foreachBatch lambda the four append-mode index drains
+    // install (IVF postings graft_ivfchk_, PQ codes graft_pqchk_, BM25
+    // postings graft_bm25chk_ and takedown graft_bm25dchk_ — all route
+    // through StreamDrain.drainTicks), driven directly with the
+    // replayed-micro-batch sequence the streaming engine can deliver
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val guard = new StreamDrain.BatchGuard(_ => { ticks.incrementAndGet(); () })
+    val batch = Seq(1L, 2L).toDF("doc_id")
+
+    guard(batch, 7L)
+    guard(batch, 7L) // the retry window: same batchId re-enters foreachBatch
+    assert(ticks.get === 1, "a replayed batchId must not run its append tick twice")
+    assert(guard.count === 1, "the ledger counts admitted batchIds, not invocations")
+
+    guard(batch.limit(0), 8L) // empty delivery: no tick, batchId NOT consumed
+    assert(ticks.get === 1 && guard.count === 1)
+    guard(batch, 8L) // the retry that delivers the data still gets its tick
+    assert(ticks.get === 2 && guard.count === 2)
+
+    guard(batch, 9L)
+    assert(ticks.get === 3 && guard.count === 3)
+  }
+
+  test("drainTicks: the returned ledger equals the ticks that actually ran") {
+    import spark.implicits._
+    val frag = java.nio.file.Files.createTempDirectory("graft-tickq-").toString
+    (1L to 40L).toDF("doc_id").repartition(4).write.mode("overwrite").parquet(frag)
+    val ticks = new java.util.concurrent.atomic.AtomicInteger(0)
+    var rows = 0L
+    val n = StreamDrain.drainTicks(spark, frag, "graft_testchk_") { df =>
+      ticks.incrementAndGet()
+      rows += df.count()
+    }
+    assert(n === ticks.get, "ledger must equal executed ticks")
+    assert(n >= 2, s"4 files / 2 per trigger must tick >=2 batches ($n)")
+    assert(rows === 40L, "ticks together must see every queued row exactly once")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(frag))
+  }
+
   test("sentinel-guarded stream build: a missing done-sentinel forces a full rebuild") {
     import graft.similarity.Similarity
     // first build: drains the corpus, writes the sentinel LAST
