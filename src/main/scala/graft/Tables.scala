@@ -132,6 +132,16 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // typed-aggregate hash capacity: Spark's ObjectHashAggregate falls
+      // back to SORT-based aggregation after 128 keys per task (the
+      // SQLConf default) — every imperative aggregate here (minhash
+      // signatures, top-k buffers, KMV, the PQ/IVF argmaxes) then pays a
+      // full sort of its INPUT rows, which is exactly the superlinear
+      // fourth-decade term the r18 build probes measured (sig build 13 s
+      // → 159 s at 3× data). 128k keys × ≤256 B buffers ≈ 33 MB/task —
+      // bounded at any corpus size because keys/task are shuffle-bounded,
+      // while the avoided sort grows with the DATA
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")

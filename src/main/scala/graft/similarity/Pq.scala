@@ -100,10 +100,17 @@ object Pq {
       )
       .select($"m", floor(($"vec_id" - offset) / stride).cast("int").as("code"), $"sub".as("ce"))
     for (_ <- 1 to PqLloydRounds) {
+      // argmax carries ONLY (score, code) through the aggregation buffer
+      // — carrying `sub` via first() widens every partial-agg row by the
+      // subvector array over the ×PqCodes exploded scored stream (the
+      // r18 fourth-decade build term); the winning rows join their sub
+      // back afterwards, a narrow corpus-sized join instead
       val assigned = scored(subv, cents)
         .groupBy($"vec_id", $"m")
-        .agg(max(struct($"score", (-$"code").as("nc"))).as("best"), first($"sub").as("sub"))
-        .select($"m", (-$"best.nc").as("code"), $"sub")
+        .agg(max(struct($"score", (-$"code").as("nc"))).as("best"))
+        .select($"vec_id", $"m", (-$"best.nc").as("code"))
+        .join(subv, Seq("vec_id", "m"))
+        .select($"m", $"code", $"sub")
       cents = assigned
         .select($"m", $"code", posexplode($"sub").as(Seq("j", "x")))
         .groupBy($"m", $"code", $"j")
@@ -121,6 +128,12 @@ object Pq {
         )
         .groupBy($"m", $"code")
         .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
+        // truncate the Lloyd recurrence per round (the connected-
+        // components discipline): the next round broadcasts `cents`, and
+        // without the checkpoint that broadcast RE-EXECUTES every prior
+        // round's join-aggregate chain — ≤ M·K rows, so materializing is
+        // free and the per-round cost stays flat at any corpus size
+        .localCheckpoint()
     }
     cents.persist()
   }

@@ -150,15 +150,19 @@ object Similarity {
       .filter($"vec_id" % IvfStride === initOffset && $"vec_id" < IvfStride.toLong * IvfMaxCells)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
     for (_ <- 1 to IvfLloydRounds) {
+      // argmax carries ONLY (ccos, cid) through the aggregation buffer —
+      // carrying the embedding via first() widens every partial-agg row
+      // by a 64-float array over the ×cells crossJoin stream; the
+      // assignments join their embedding back afterwards (narrow
+      // corpus-sized join, the PQ codebook discipline)
       val assigned = emb
         .crossJoin(broadcast(cents))
         .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
         .groupBy($"vec_id")
-        .agg(
-          max(struct($"ccos", (-$"cid").as("ncid"))).as("best"),
-          first($"embedding").as("embedding")
-        )
-        .select((-$"best.ncid").as("cid"), $"embedding")
+        .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
+        .select($"vec_id", (-$"best.ncid").as("cid"))
+        .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+        .select($"cid", $"embedding")
       val comps = assigned
         .select($"cid", posexplode($"embedding").as(Seq("j", "x")))
         .groupBy($"cid", $"j")
@@ -172,6 +176,10 @@ object Similarity {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
         .select($"cid", $"ce", norm($"ce").as("cn"))
+        // truncate the recurrence per round: the next round's broadcast
+        // must not re-execute this round's corpus-wide chain (≤ cells
+        // rows, materializing is free)
+        .localCheckpoint()
     }
     // persisted: the trained quantizer IS the stored artifact of a
     // production IVF index ("train once, serve many") — ≤ IvfMaxCells
