@@ -55,6 +55,45 @@ object Tables {
     */
   private val splitCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Effective scan parallelism of a parquet path: byte-range splits
+    * OVERCOUNT it — a split yields rows only if it contains a row-group
+    * midpoint, so a large single file with few row groups reads on few
+    * tasks no matter how many 5 MB splits the planner cuts (measured in
+    * the r18 build probes: the planner cut 32 splits of the sf30
+    * documents file, but its 2 row groups serialized the whole
+    * shingle+minhash chain onto 2 tasks — the entire "fourth-decade
+    * superlinearity" of the index builds). The real floor is the ROW
+    * GROUP count; footers are read only when the path has fewer files
+    * than cores, so a production table (≥ cores files) never pays a
+    * footer pass.
+    */
+  private def effectiveParts(df: DataFrame, path: String, cores: Int): Int = {
+    val scanParts = df.rdd.getNumPartitions
+    try {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      val files =
+        if (st.isDirectory)
+          fs.listStatus(p).filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }.toSeq
+        else Seq(st)
+      if (files.length >= cores) scanParts
+      else {
+        val rowGroups = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size
+          finally r.close()
+        }.sum
+        math.min(scanParts, rowGroups)
+      }
+    } catch { case _: Throwable => scanParts }
+  }
+
   def fanOut(df: DataFrame, cacheKey: String = ""): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     // split planning depends on session parallelism, so the cache key
@@ -64,7 +103,7 @@ object Tables {
       if (cacheKey.isEmpty) df.rdd.getNumPartitions
       else
         splitCounts
-          .computeIfAbsent(s"$cacheKey#$cores", _ => df.rdd.getNumPartitions)
+          .computeIfAbsent(s"$cacheKey#$cores", _ => effectiveParts(df, cacheKey, cores))
           .intValue()
     if (parts < cores) df.repartition(cores) else df
   }

@@ -64,13 +64,42 @@ object Pq {
   /** Assignment score: 2·⟨sub,ce⟩ − ⟨ce,ce⟩ is argmax-equivalent to
     * argmin ‖sub−ce‖² (the ‖sub‖² term is constant per row) without
     * needing the row norm — one broadcast dot per (row, code).
+    *
+    * The argmax is a PURE MAP (the assignCells discipline): each
+    * subspace's ≤PqCodes codebook rows collect into one broadcast
+    * code-ascending array, and a single `aggregate` fold per subvector
+    * row picks the best code in place — ascending-code iteration with
+    * strictly-greater replacement is exactly the old
+    * max(struct(score, -code)) tie rule (ties to the lowest code) on
+    * identical doubles. The previous ×PqCodes join + groupBy(max(struct))
+    * planned as SortAggregate (struct buffers cannot hash-aggregate),
+    * sorting the whole exploded stream per Lloyd round / encode pass —
+    * the r18 probes' fourth-decade build term. `keep` carries payload
+    * columns (the Lloyd mean's sub) through the map, so no corpus join
+    * back.
     */
-  private def scored(subv: DataFrame, cents: DataFrame): DataFrame = {
+  private def assignCodes(
+      subv: DataFrame,
+      cents: DataFrame,
+      keep: Seq[String] = Nil
+  ): DataFrame = {
     val spark = subv.sparkSession
     import spark.implicits._
+    val byM = cents
+      .withColumn("cc", dot($"ce", $"ce"))
+      .groupBy($"m")
+      .agg(array_sort(collect_list(struct($"code", $"ce", $"cc"))).as("cs"))
+      .select(
+        $"m",
+        transform($"cs", c => c("code")).as("codes"),
+        transform($"cs", c => c("ce")).as("ces"),
+        transform($"cs", c => c("cc")).as("ccs")
+      )
     subv
-      .join(broadcast(cents.withColumn("cc", dot($"ce", $"ce"))), "m")
-      .withColumn("score", lit(2.0) * dot($"sub", $"ce") - $"cc")
+      .join(broadcast(byM), "m")
+      .withColumn("bi", graft.functions.VectorExpressions.argBestPq($"ces", $"ccs", $"sub"))
+      .filter($"bi" >= 0)
+      .select(($"vec_id" +: $"m" +: element_at($"codes", $"bi" + 1).as("code") +: keep.map(col)): _*)
   }
 
   /** Trained per-subspace codebooks: `PqLloydRounds` deterministic Lloyd
@@ -100,16 +129,10 @@ object Pq {
       )
       .select($"m", floor(($"vec_id" - offset) / stride).cast("int").as("code"), $"sub".as("ce"))
     for (_ <- 1 to PqLloydRounds) {
-      // argmax carries ONLY (score, code) through the aggregation buffer
-      // — carrying `sub` via first() widens every partial-agg row by the
-      // subvector array over the ×PqCodes exploded scored stream (the
-      // r18 fourth-decade build term); the winning rows join their sub
-      // back afterwards, a narrow corpus-sized join instead
-      val assigned = scored(subv, cents)
-        .groupBy($"vec_id", $"m")
-        .agg(max(struct($"score", (-$"code").as("nc"))).as("best"))
-        .select($"vec_id", $"m", (-$"best.nc").as("code"))
-        .join(subv, Seq("vec_id", "m"))
+      // assignment is the map-side argmax fold (assignCodes) with `sub`
+      // KEPT in the row — the round's only shuffle is the
+      // (m × code × dim)-group integer mean, fully hash-aggregable
+      val assigned = assignCodes(subv, cents, keep = Seq("sub"))
         .select($"m", $"code", $"sub")
       cents = assigned
         .select($"m", $"code", posexplode($"sub").as(Seq("j", "x")))
@@ -128,12 +151,12 @@ object Pq {
         )
         .groupBy($"m", $"code")
         .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
-        // truncate the Lloyd recurrence per round (the connected-
-        // components discipline): the next round broadcasts `cents`, and
-        // without the checkpoint that broadcast RE-EXECUTES every prior
-        // round's join-aggregate chain — ≤ M·K rows, so materializing is
-        // free and the per-round cost stays flat at any corpus size
-        .localCheckpoint()
+      // the recurrence stays LAZY on purpose: round k's broadcast
+      // re-executes rounds 1..k−1, but each round is now a cheap linear
+      // map+mean (no SortAggregate), so at the fixed 2-round depth the
+      // re-execution is bounded — while an eager per-round
+      // localCheckpoint measured +2 s of job latency on every
+      // in-session-trained serve (sim_ann_ivf 0.7 → 3.0 s at sf0.1)
     }
     cents.persist()
   }
@@ -142,14 +165,8 @@ object Pq {
     * map pass with a map-side argmax, exactly the IVF cell assignment
     * shape. Output is the bytes-per-vector code table.
     */
-  private[graft] def pqEncode(subv: DataFrame, cents: DataFrame): DataFrame = {
-    val spark = subv.sparkSession
-    import spark.implicits._
-    scored(subv, cents)
-      .groupBy($"vec_id", $"m")
-      .agg(max(struct($"score", (-$"code").as("nc"))).as("best"))
-      .select($"vec_id", $"m", (-$"best.nc").as("code"))
-  }
+  private[graft] def pqEncode(subv: DataFrame, cents: DataFrame): DataFrame =
+    assignCodes(subv, cents)
 
   /** ADC candidate ranking: approximate max-inner-product score of every
     * corpus vector against each query (vec_id < NumQueries), from table

@@ -150,18 +150,10 @@ object Similarity {
       .filter($"vec_id" % IvfStride === initOffset && $"vec_id" < IvfStride.toLong * IvfMaxCells)
       .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
     for (_ <- 1 to IvfLloydRounds) {
-      // argmax carries ONLY (ccos, cid) through the aggregation buffer —
-      // carrying the embedding via first() widens every partial-agg row
-      // by a 64-float array over the ×cells crossJoin stream; the
-      // assignments join their embedding back afterwards (narrow
-      // corpus-sized join, the PQ codebook discipline)
-      val assigned = emb
-        .crossJoin(broadcast(cents))
-        .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
-        .groupBy($"vec_id")
-        .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
-        .select($"vec_id", (-$"best.ncid").as("cid"))
-        .join(emb.select($"vec_id", $"embedding"), Seq("vec_id"))
+      // assignment is the shared map-side argmax fold (assignCells) with
+      // the embedding KEPT in the row — the round's only shuffle is the
+      // (cell × 64)-group integer mean, fully hash-aggregable
+      val assigned = assignCells(emb, cents, keep = Seq("embedding"))
         .select($"cid", $"embedding")
       val comps = assigned
         .select($"cid", posexplode($"embedding").as(Seq("j", "x")))
@@ -176,10 +168,11 @@ object Similarity {
         .groupBy($"cid")
         .agg(transform(array_sort(collect_list(struct($"j", $"cx"))), s => s("cx")).as("ce"))
         .select($"cid", $"ce", norm($"ce").as("cn"))
-        // truncate the recurrence per round: the next round's broadcast
-        // must not re-execute this round's corpus-wide chain (≤ cells
-        // rows, materializing is free)
-        .localCheckpoint()
+      // the recurrence stays LAZY on purpose: round k's broadcast
+      // re-executes rounds 1..k−1, but each round is now a cheap linear
+      // map+mean (no SortAggregate), bounded at the fixed 2-round depth —
+      // an eager per-round localCheckpoint measured +2 s of job latency
+      // on every in-session-trained serve
     }
     // persisted: the trained quantizer IS the stored artifact of a
     // production IVF index ("train once, serve many") — ≤ IvfMaxCells
@@ -380,19 +373,41 @@ object Similarity {
   }
 
   /** Nearest-cell assignment of `emb` against `cents` — the shared IVF
-    * posting-list build: broadcast centroids, map-side cosine argmax
-    * (ties to the lowest cid), one (vec_id, cid) row per vector
-    * shuffles into the partial agg.
+    * posting-list build as a PURE MAP: the ≤IvfMaxCells centroids
+    * collect into ONE broadcast array (cid-ascending) and a single
+    * `aggregate` fold per row computes the cosine argmax in place —
+    * ascending-cid iteration with strictly-greater replacement is
+    * exactly the old max(struct(ccos, -cid)) tie rule (ties to the
+    * lowest cid), on the identical dot/divide doubles. The previous
+    * crossJoin(×cells) + groupBy(max(struct)) form planned as
+    * SortAggregate (a struct buffer cannot hash-aggregate), sorting the
+    * whole exploded stream per build/Lloyd round — the r18 probes'
+    * fourth-decade term. `keep` carries payload columns through the map
+    * so callers (the Lloyd mean) never join the corpus back.
     */
-  private[graft] def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(
+      emb: DataFrame,
+      cents: DataFrame,
+      keep: Seq[String] = Nil
+  ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val centArr = cents
+      .agg(array_sort(collect_list(struct($"cid", $"ce", $"cn"))).as("cs"))
+      .select(
+        transform($"cs", c => c("cid")).as("cids"),
+        transform($"cs", c => c("ce")).as("ces"),
+        transform($"cs", c => c("cn")).as("cns")
+      )
     emb
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", dot($"embedding", $"ce") / ($"nrm" * $"cn"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"ccos", (-$"cid").as("ncid"))).as("best"))
-      .select($"vec_id", (-$"best.ncid").as("cid"))
+      .crossJoin(broadcast(centArr))
+      .withColumn(
+        "bi",
+        graft.functions.VectorExpressions.argBestCosine($"ces", $"cns", $"embedding", $"nrm")
+      )
+      // parity with the old inner-join form: no centroids → no rows
+      .filter($"bi" >= 0)
+      .select(($"vec_id" +: element_at($"cids", $"bi" + 1).as("cid") +: keep.map(col)): _*)
   }
 
   val IvfNewMod = 5 // incremental split: vec_id % IvfNewMod == 0 is the new batch
