@@ -230,14 +230,22 @@ object Bench {
     // map (the 3×-prior adjudication reference) with contention-inflated
     // individual times even though the TOTAL improved — so the anchor
     // carries "queries_adjref", the element-wise min of this run and the
-    // prior reference, and adjudication reads it in preference to
+    // prior QUIET map, and adjudication reads it in preference to
     // "queries". "queries" itself stays the honest measurement of THIS
     // run (totals and per-query times remain mutually consistent).
+    //   ONE-GENERATION MEMORY: the merge base is the anchor's honest
+    // "queries" map, NOT the anchor's own adjref — an element-wise min
+    // over full history never decays, so a query that legitimately got
+    // slower under an accepted tradeoff would be adjudicated against an
+    // unreachable historical min every round forever. With the
+    // one-generation base, a stale min ages out at the next quiet
+    // advance (which omits adjref entirely, resetting the reference to
+    // that run's honest times).
     val adjRefField =
       if (detailPath == "BENCH_DETAIL.json" && anchorLoad.exists(_ < loadNow) && sameQuerySet) {
         val merged = results
           .map { r =>
-            val ref = prior.get(r._1).filter(_ > 0).fold(r._2)(math.min(r._2, _))
+            val ref = priorQueries.get(r._1).filter(_ > 0).fold(r._2)(math.min(r._2, _))
             "\"" + r._1 + "\":" + fmtAt(3)(ref)
           }
           .mkString("{", ",", "}")

@@ -67,7 +67,7 @@ object Tables {
     * than cores, so a production table (≥ cores files) never pays a
     * footer pass.
     */
-  private def effectiveParts(df: DataFrame, path: String, cores: Int): Int = {
+  private[graft] def effectiveParts(df: DataFrame, path: String, cores: Int): Int = {
     val scanParts = df.rdd.getNumPartitions
     try {
       val conf = df.sparkSession.sparkContext.hadoopConfiguration
@@ -89,9 +89,13 @@ object Tables {
           try r.getRowGroups.size
           finally r.close()
         }.sum
-        math.min(scanParts, rowGroups)
+        // an empty dir (or all-empty files) has zero row groups; the
+        // split count is the only honest answer there — min(_, 0) would
+        // report 0 parallelism and push the caller into a pointless
+        // repartition of an empty frame
+        if (rowGroups == 0) scanParts else math.min(scanParts, rowGroups)
       }
-    } catch { case _: Throwable => scanParts }
+    } catch { case scala.util.control.NonFatal(_) => scanParts }
   }
 
   def fanOut(df: DataFrame, cacheKey: String = ""): DataFrame = {
@@ -179,7 +183,17 @@ object GraftSession {
       // fourth-decade term the r18 build probes measured (sig build 13 s
       // → 159 s at 3× data). 128k keys × ≤256 B buffers ≈ 33 MB/task —
       // bounded at any corpus size because keys/task are shuffle-bounded,
-      // while the avoided sort grows with the DATA
+      // while the avoided sort grows with the DATA.
+      //   SESSION-GLOBAL ASSUMPTION: the threshold applies to EVERY
+      // ObjectHashAggregate and its map is untracked by the memory
+      // manager, so it is sized against the LARGEST registered
+      // per-key aggregation buffer. Census (keep current when adding
+      // aggregates): MinhashAgg 32×8 B, SimhashAgg 64×4 B, KMinValues
+      // 64×8 B, TopKByCosine ≤20×16 B, KMinByHash ≤5×16 B — worst ≈
+      // 0.5 KB payload (~2 KB with List/JVM overhead) → ≤256 MB/task
+      // worst-case before fallback. An aggregate with per-key state in
+      // the tens of KB (a large heap/sketch) must NOT rely on this
+      // session default — scope a lower threshold around that job.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouseDir)

@@ -388,7 +388,28 @@ object Dedup {
     * Returns (labels df [u, lbl], rounds) — the round count feeds the
     * SkewSpec chain-topology bound.
     */
-  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+  /** Per-round fixpoint telemetry for [[connectedComponents]] — consumed
+    * by the ProbeLabelStages dev tool, no-op in production paths.
+    * `starSec` is the large-star+small-star construction (through the
+    * round's localCheckpoint materialization), `checkSec` the
+    * convergence test (count + except).
+    */
+  private[graft] case class CcRound(
+      round: Int,
+      edgesIn: Long,
+      edgesOut: Long,
+      starSec: Double,
+      checkSec: Double,
+      parts: Int
+  )
+
+  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) =
+    connectedComponents(pairs, _ => ())
+
+  private[graft] def connectedComponents(
+      pairs: DataFrame,
+      probe: CcRound => Unit
+  ): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     import spark.implicits._
     // canonical downward edges (u > v), deduped
@@ -398,7 +419,11 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     var rounds = 0
-    var converged = edges.isEmpty
+    // edge count carried across rounds: the convergence test needs
+    // |next| == |edges|, and |edges| is last round's |next| — counting
+    // the checkpointed frame again every round is a whole extra job
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
     while (!converged) {
       // large-star: every node n relinks its LARGER neighbors to
       // m(n) = min(Γ(n) ∪ {n}). Since edges are canonical (u > v), the
@@ -414,6 +439,7 @@ object Dedup {
       // small-star: per node, link its smaller neighbors and itself to
       // their minimum
       val ssMin = ls.groupBy($"u").agg(min($"v").as("m"))
+      val tStar0 = System.nanoTime()
       val next = ls
         .join(ssMin, "u")
         .filter($"v" =!= $"m")
@@ -421,13 +447,26 @@ object Dedup {
         .union(ssMin.select($"u", $"m".as("v")))
         .distinct()
         .localCheckpoint()
+      val starSec = (System.nanoTime() - tStar0) / 1e9
       rounds += 1
       // exact fixpoint test on canonical edge SETS: same size and no
       // new-side difference ⇒ equal (both sides are distinct)
-      converged =
-        next.count() == edges.count() && next.except(edges).isEmpty
+      val tChk0 = System.nanoTime()
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      probe(
+        CcRound(
+          rounds,
+          edgeCount,
+          nextCount,
+          starSec,
+          (System.nanoTime() - tChk0) / 1e9,
+          next.rdd.getNumPartitions
+        )
+      )
       val prev = edges
       edges = next
+      edgeCount = nextCount
       prev.unpersist()
     }
     (edges.groupBy($"u").agg(min($"v").as("lbl")), rounds)

@@ -193,9 +193,17 @@ case class LshSignature(child: Expression, planes: Array[Array[Double]]) extends
   * Why an expression and not `aggregate(...)`: the HOF fold is
   * semantically identical but interpreted — per-element lambda binding
   * plus a struct allocation per step measured 2-4× slower on the
-  * serving paths; this is a virtual call per ROW with a primitive loop
-  * inside (the FloatDotConst tradeoff, applied to the ×cells stream the
-  * old SortAggregate formulation materialized and sorted).
+  * serving paths; this compiles to a primitive double loop inside
+  * whole-stage codegen (doGenCode below; eval is the interpreted twin,
+  * parity-pinned by ArgBestVectorSpec over random inputs).
+  *
+  * NaN rule: a NaN score (zero-norm embedding in cosine mode:
+  * acc / (0 · cn)) normalizes to -Infinity, and a row whose scores are
+  * ALL -Infinity falls back to candidate 0 — so every non-null input
+  * row stays assigned to a cell/code (the old max(struct) formulation
+  * ordered NaN greatest and kept such rows; silently dropping them
+  * from posting lists / Lloyd means would be worse than either rule).
+  * -1 is returned only for null inputs or an empty candidate array.
   */
 case class ArgBestVector(
     vecs: Expression,
@@ -203,8 +211,7 @@ case class ArgBestVector(
     vec: Expression,
     nrm: Expression,
     cosine: Boolean
-) extends Expression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+) extends Expression {
   override def children: Seq[Expression] = Seq(vecs, stats, vec, nrm)
   override def nullable: Boolean = false
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
@@ -229,11 +236,62 @@ case class ArgBestVector(
       var acc = 0.0
       var j = 0
       while (j < n) { acc += v.getFloat(j).toDouble * ce.getFloat(j).toDouble; j += 1 }
-      val score = if (cosine) acc / (nv * st.getDouble(i)) else 2.0 * acc - st.getDouble(i)
+      var score = if (cosine) acc / (nv * st.getDouble(i)) else 2.0 * acc - st.getDouble(i)
+      if (java.lang.Double.isNaN(score)) score = Double.NegativeInfinity
       if (score > bestScore) { bestScore = score; best = i }
       i += 1
     }
-    best
+    if (best < 0 && m > 0) 0 else best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.{FalseLiteral, JavaCode}
+    val vsEv = vecs.genCode(ctx)
+    val stEv = stats.genCode(ctx)
+    val vEv = vec.genCode(ctx)
+    val nEv = nrm.genCode(ctx)
+    val best = ctx.freshName("best")
+    val bestScore = ctx.freshName("bestScore")
+    val m = ctx.freshName("m")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val ce = ctx.freshName("ce")
+    val score = ctx.freshName("score")
+    val scoreExpr =
+      if (cosine) s"$acc / (${nEv.value} * ${stEv.value}.getDouble($i))"
+      else s"2.0 * $acc - ${stEv.value}.getDouble($i)"
+    val javaCode =
+      code"""
+         |${vsEv.code}
+         |${stEv.code}
+         |${vEv.code}
+         |${nEv.code}
+         |int $best = -1;
+         |if (!(${vsEv.isNull} || ${stEv.isNull} || ${vEv.isNull} || ${nEv.isNull})) {
+         |  double $bestScore = Double.NEGATIVE_INFINITY;
+         |  int $m = ${vsEv.value}.numElements();
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $ce = ${vsEv.value}.getArray($i);
+         |    int $n = java.lang.Math.min(${vEv.value}.numElements(), $ce.numElements());
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $acc += ((double) ${vEv.value}.getFloat($j)) * ((double) $ce.getFloat($j));
+         |    }
+         |    double $score = $scoreExpr;
+         |    if (java.lang.Double.isNaN($score)) $score = Double.NEGATIVE_INFINITY;
+         |    if ($score > $bestScore) { $bestScore = $score; $best = $i; }
+         |  }
+         |  if ($best < 0 && $m > 0) $best = 0;
+         |}
+       """.stripMargin
+    ev.copy(
+      code = javaCode,
+      isNull = FalseLiteral,
+      value = JavaCode.variable(best, org.apache.spark.sql.types.IntegerType)
+    )
   }
 
   override protected def withNewChildrenInternal(

@@ -392,11 +392,18 @@ object Relational {
     * serving pass that needed it.
     */
   private val HistRegistryCap = 8
+  // ACCESS-order (third ctor arg): a cache hit moves the entry to the
+  // back, so cap eviction takes the least-recently-RETURNED histogram —
+  // insertion order would evict the eldest unconditionally, including
+  // one a concurrent caller just received and is still executing
+  // against (results stay correct either way — Spark recomputes an
+  // unpersisted frame — but the shared-scan optimization would be
+  // silently defeated under concurrent use at the cap)
   private val histRegistry =
     new java.util.LinkedHashMap[
       (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
       DataFrame
-    ]
+    ](16, 0.75f, true)
 
   private[graft] def valueHistogram(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -415,6 +422,10 @@ object Relational {
           val eldest = histRegistry.entrySet().iterator().next()
           eldest.getValue.unpersist()
           histRegistry.remove(eldest.getKey)
+          // stderr so a churn pattern at the cap is visible in run logs
+          System.err.println(
+            s"[hist-registry] evicted least-recently-used entry at cap $HistRegistryCap"
+          )
         }
         val built = hist.persist()
         histRegistry.put(key, built)
@@ -803,15 +814,22 @@ object Relational {
     // newest-write stays fresh even though the dir was created before
     // the cutoff. Recursion only ever runs over the dead candidates
     // (dirs no live fingerprint claims), never the whole warehouse.
-    def newestWrite(p: org.apache.hadoop.fs.Path): Long = {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else {
-        val children = fs.listStatus(p)
-        if (children.isEmpty) st.getModificationTime
-        else math.max(st.getModificationTime, children.map(c => newestWrite(c.getPath)).max)
+    // a concurrent writer can rename/delete entries (e.g. _temporary
+    // commit) between our listStatus and the child stat — an unreadable
+    // entry is BY DEFINITION being written right now, so treat it as
+    // maximally fresh rather than crash the sweep
+    def newestWrite(p: org.apache.hadoop.fs.Path): Long =
+      try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else {
+          val children = fs.listStatus(p)
+          if (children.isEmpty) st.getModificationTime
+          else math.max(st.getModificationTime, children.map(c => newestWrite(c.getPath)).max)
+        }
+      } catch {
+        case scala.util.control.NonFatal(_) => Long.MaxValue
       }
-    }
     val (liveKept, dead) =
       entries.partition(st => live.exists(fp => st.getPath.getName.contains(fp)))
     val stale =

@@ -70,7 +70,8 @@ def write(out, name, table):
     print(f"wrote {name}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str, seed: int = 42, vocab_mode: str = "fixed") -> None:
+def gen(sf: float, out: str, seed: int = 42, vocab_mode: str = "fixed",
+        chunk_rows: int = 0) -> None:
     rng = np.random.RandomState(seed)
     n_cust = int(150000 * sf)
     n_supp = int(10000 * sf)
@@ -126,22 +127,59 @@ def gen(sf: float, out: str, seed: int = 42, vocab_mode: str = "fixed") -> None:
         "o_orderpriority": pa.array(np.array(PRIORITY)[rng.randint(0, 5, n_ord)]),
     }))
 
-    sdate = (rng.randint(ORDER_EPOCH_LO // DAY_MS, ORDER_EPOCH_HI // DAY_MS,
-                         n_li, dtype=np.int64)
-             + rng.randint(1, 96, n_li, dtype=np.int64)) * DAY_MS
-    write(out, "lineitem", pa.table({
-        "l_orderkey": pa.array(rng.randint(0, n_ord, n_li, dtype=np.int64)),
-        "l_partkey": pa.array(rng.randint(0, n_part, n_li, dtype=np.int64)),
-        "l_suppkey": pa.array(rng.randint(0, n_supp, n_li, dtype=np.int64)),
-        "l_linenumber": pa.array(rng.randint(1, 8, n_li).astype(np.int32)),
-        "l_quantity": rng.randint(1, 51, n_li).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
-        "l_discount": rng.randint(0, 11, n_li) / 100.0,
-        "l_tax": rng.randint(0, 9, n_li) / 100.0,
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, n_li)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, n_li)]),
-        "l_shipdate": pa.array(sdate * 1000, pa.timestamp("us")),
-    }))
+    # lineitem is by far the largest table (6M*sf rows); above ~sf30 the
+    # all-in-RAM build needs >40 GB, so --chunk-rows streams it through a
+    # ParquetWriter in slices. NOTE: the chunked RNG stream interleaves
+    # per-slice draws and therefore yields DIFFERENT values than the
+    # unchunked path — only use it for probe-scale fixtures (sf100+),
+    # never to regenerate an existing anchor fixture.
+    def lineitem_slice(k):
+        sdate = (rng.randint(ORDER_EPOCH_LO // DAY_MS, ORDER_EPOCH_HI // DAY_MS,
+                             k, dtype=np.int64)
+                 + rng.randint(1, 96, k, dtype=np.int64)) * DAY_MS
+        return pa.table({
+            "l_orderkey": pa.array(rng.randint(0, n_ord, k, dtype=np.int64)),
+            "l_partkey": pa.array(rng.randint(0, n_part, k, dtype=np.int64)),
+            "l_suppkey": pa.array(rng.randint(0, n_supp, k, dtype=np.int64)),
+            "l_linenumber": pa.array(rng.randint(1, 8, k).astype(np.int32)),
+            "l_quantity": rng.randint(1, 51, k).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, k), 2),
+            "l_discount": rng.randint(0, 11, k) / 100.0,
+            "l_tax": rng.randint(0, 9, k) / 100.0,
+            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, k)]),
+            "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, k)]),
+            "l_shipdate": pa.array(sdate * 1000, pa.timestamp("us")),
+        })
+
+    if chunk_rows and n_li > chunk_rows:
+        writer, done = None, 0
+        while done < n_li:
+            tbl = lineitem_slice(min(chunk_rows, n_li - done))
+            if writer is None:
+                writer = pq.ParquetWriter(f"{out}/lineitem.parquet", tbl.schema)
+            writer.write_table(tbl)
+            done += tbl.num_rows
+            print(f"  lineitem chunk: {done}/{n_li}", flush=True)
+        writer.close()
+        print(f"wrote lineitem: {n_li} rows (chunked)")
+    else:
+        # original stream order: sdate drawn fully before the columns
+        sdate = (rng.randint(ORDER_EPOCH_LO // DAY_MS, ORDER_EPOCH_HI // DAY_MS,
+                             n_li, dtype=np.int64)
+                 + rng.randint(1, 96, n_li, dtype=np.int64)) * DAY_MS
+        write(out, "lineitem", pa.table({
+            "l_orderkey": pa.array(rng.randint(0, n_ord, n_li, dtype=np.int64)),
+            "l_partkey": pa.array(rng.randint(0, n_part, n_li, dtype=np.int64)),
+            "l_suppkey": pa.array(rng.randint(0, n_supp, n_li, dtype=np.int64)),
+            "l_linenumber": pa.array(rng.randint(1, 8, n_li).astype(np.int32)),
+            "l_quantity": rng.randint(1, 51, n_li).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+            "l_discount": rng.randint(0, 11, n_li) / 100.0,
+            "l_tax": rng.randint(0, 9, n_li) / 100.0,
+            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.randint(0, 3, n_li)]),
+            "l_linestatus": pa.array(np.array(["F", "O"])[rng.randint(0, 2, n_li)]),
+            "l_shipdate": pa.array(sdate * 1000, pa.timestamp("us")),
+        }))
 
     ts = np.sort(EVENT_EPOCH_LO + rng.randint(0, EVENT_SPAN_NS, n_ev, dtype=np.int64))
     write(out, "events", pa.table({
@@ -208,12 +246,17 @@ def gen(sf: float, out: str, seed: int = 42, vocab_mode: str = "fixed") -> None:
 if __name__ == "__main__":
     sf, out = float(sys.argv[1]), sys.argv[2]
     mode = "fixed"
+    chunk = 0
     rest = sys.argv[3:]
     for i, a in enumerate(rest):
         if a == "--vocab" and i + 1 < len(rest):
             mode = rest[i + 1]
         elif a.startswith("--vocab="):
             mode = a.split("=", 1)[1]
+        elif a == "--chunk-rows" and i + 1 < len(rest):
+            chunk = int(rest[i + 1])
+        elif a.startswith("--chunk-rows="):
+            chunk = int(a.split("=", 1)[1])
     import os
     os.makedirs(out, exist_ok=True)
-    gen(sf, out, vocab_mode=mode)
+    gen(sf, out, vocab_mode=mode, chunk_rows=chunk)
