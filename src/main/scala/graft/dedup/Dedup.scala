@@ -98,17 +98,40 @@ object Dedup {
   ): DataFrame = {
     import spark.implicits._
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val withInter =
-      if (cand.columns.contains("inter")) cand
+    // NOTE (r19, measured): a semi-join reduction of `sh` to candidate
+    // docs before these joins was tried and REJECTED — deriving the two
+    // candidate doc-id sets re-executes the (expensive) candidate
+    // subtree twice more in the same query (no exchange reuse across
+    // the different distinct keys), and on the measured corpus the
+    // candidate set touches most documents anyway (sf10: 2.84M
+    // candidate pairs over a 500k-doc corpus), so the reduction shrank
+    // nothing and pair production regressed 224 → 375 s. Single
+    // reference to `cand`, one pass, stays.
+    //   What DOES pay (r19): the SIZE-RATIO prefilter. J(A,B) ≥ t and
+    // |A∩B| ≤ min(|A|,|B|) force min ≥ t·max, so joining the (tiny,
+    // per-doc) size table onto the candidates BEFORE the shingle
+    // expansion drops every size-skewed background pair from the
+    // dominant Σ|shingles(a)| term — the r19 stage probe measured the
+    // LSH candidate set at 220× the true pair set at sf30, and ~60% of
+    // those background pairs fail the ratio on U{10..100}-length docs.
+    // Exactly result-invariant (a necessary condition of the final
+    // filter, with 1e-6 slack so double rounding can only KEEP a
+    // borderline pair for exact verification, never drop one).
+    val scored =
+      if (cand.columns.contains("inter"))
+        cand
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
       else
         cand
+          .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
+          .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+          .filter(least($"na", $"nb") >= greatest($"na", $"nb") * threshold - 1e-6)
           .join(sh.select($"doc_id".as("id_a"), $"sh"), "id_a")
           .join(sh.select($"doc_id".as("id_b"), $"sh"), Seq("id_b", "sh"))
-          .groupBy($"id_a", $"id_b")
+          .groupBy($"id_a", $"id_b", $"na", $"nb")
           .agg(count(lit(1)).as("inter"))
-    withInter
-      .join(sizes.select($"doc_id".as("id_a"), $"n".as("na")), "id_a")
-      .join(sizes.select($"doc_id".as("id_b"), $"n".as("nb")), "id_b")
+    scored
       .withColumn("jaccard", round($"inter" / ($"na" + $"nb" - $"inter"), 6))
       .filter($"jaccard" >= threshold)
       .select($"id_a", $"id_b", $"jaccard")
@@ -221,9 +244,25 @@ object Dedup {
     * true near-dup groups (bucket df 2-3) is untouched (SkewSpec pins
     * both properties on a hot-cluster corpus).
     */
-  def minhashLsh(spark: SparkSession, dir: String, maxBandBucket: Option[Int]): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, maxBandBucket: Option[Int]): DataFrame =
+    jaccardFilter(
+      spark,
+      dir,
+      shingleRows(spark, dir),
+      lshCandidates(spark, dir, maxBandBucket),
+      JaccardThreshold
+    )
+
+  /** Pre-verification LSH candidate pairs (factored out of [[minhashLsh]]
+    * so the ProbeLabelStages dev tool can attribute build cost between
+    * candidate production and exact-Jaccard verification).
+    */
+  private[graft] def lshCandidates(
+      spark: SparkSession,
+      dir: String,
+      maxBandBucket: Option[Int]
+  ): DataFrame = {
     import spark.implicits._
-    val sh = shingleRows(spark, dir)
     val banded0 = bandedSignatures(minhashSignatures(spark, dir))
     val banded = maxBandBucket match {
       case Some(cap) =>
@@ -235,7 +274,7 @@ object Dedup {
         banded0.join(keep, Seq("band", "bv"), "left_semi")
       case None => banded0
     }
-    val cand = banded
+    banded
       .as("a")
       .join(
         banded.as("b"),
@@ -244,7 +283,6 @@ object Dedup {
       )
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    jaccardFilter(spark, dir, sh, cand, JaccardThreshold)
   }
 
   /** Duplicate-cluster assignment — the step after near-dup detection in

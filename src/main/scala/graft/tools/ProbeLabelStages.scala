@@ -55,14 +55,34 @@ object ProbeLabelStages {
 
     val load = waitQuiet()
 
-    // stage 1: capped pair production (the fixpoint's edge source)
+    // stage 1a: pre-verification candidate production (banded self-join
+    // under the cap) — materialized separately so pairs_sec - cand_sec
+    // attributes the verification join. NOTE this stage is NOT paid
+    // twice by the real path (stage 1b recomputes it inside one query);
+    // the decomposition trades one extra pass for the attribution.
     t0 = System.nanoTime()
-    val pairs = Dedup.minhashLsh(spark, dir, Some(Dedup.MinhashBucketCap)).select($"id_a", $"id_b")
-    val pairsCk = pairs.localCheckpoint()
+    val nCand =
+      Dedup.lshCandidates(spark, dir, Some(Dedup.MinhashBucketCap)).localCheckpoint().count()
+    println(
+      s"""PROBE {"probe":"label_stage","stage":"cand","dir":"$dir","rows":$nCand,""" +
+        s""""sec":${fmt((System.nanoTime() - t0) / 1e9, 2)},"load":${fmt(load, 1)}}"""
+    )
+
+    // stage 1b: full pair production, materialized EXACTLY the way the
+    // fixpoint consumes it (distinct() before the checkpoint, so
+    // Catalyst's EliminateSorts removes minhashLsh's tail orderBy — the
+    // raw frame would pay the global sort's range-sampling double
+    // execution, which the real path never does)
+    t0 = System.nanoTime()
+    val pairsCk = Dedup
+      .minhashLsh(spark, dir, Some(Dedup.MinhashBucketCap))
+      .select($"id_a", $"id_b")
+      .distinct()
+      .localCheckpoint()
     val nPairs = pairsCk.count()
     println(
       s"""PROBE {"probe":"label_stage","stage":"pairs","dir":"$dir","rows":$nPairs,""" +
-        s""""sec":${fmt((System.nanoTime() - t0) / 1e9, 2)},"load":${fmt(load, 1)}}"""
+        s""""sec":${fmt((System.nanoTime() - t0) / 1e9, 2)},"load":${fmt(loadavg, 1)}}"""
     )
 
     // stage 2: the fixpoint, per-round telemetry through the probe hook
