@@ -195,6 +195,14 @@ object GraftSession {
       // the tens of KB (a large heap/sketch) must NOT rely on this
       // session default — scope a lower threshold around that job.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      // batch-engine broadcast deadline: a broadcast future's 300 s
+      // default clock starts when the QUERY starts, not when the
+      // broadcast's inputs are ready — any plan with a broadcast join
+      // ABOVE a >5-minute upstream chain (every index/label build past
+      // the fourth decade) dies on the default with the upstream work
+      // still healthy. One hour is the build budget, not a hang bound;
+      // genuinely-stuck stages still fail via task-level timeouts.
+      .config("spark.sql.broadcastTimeout", "3600")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
